@@ -1,24 +1,79 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.operators._
+import graft.sources.WebCorpusGen
+
+/** Benchmark main. Runs (a) each SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * (b) the full quality pipeline (url → langid → gopher rep → gopher qual →
+  * C4 → fineweb → badwords → tokens → PII) over the seeded synthetic
+  * web-page corpus sized by the sf dir (sf0.1 → 200k docs, FIXTURES.md §13).
+  * Prints ONE JSON line. `full_pipeline` seconds + `pipeline_docs_per_sec`
+  * are the headline numbers; see ScalingBench for the N-vs-4N evidence. */
 object Bench {
+
+  def corpusRows(sfDir: String): Long =
+    if (sfDir.contains("sf0.001")) 2000L
+    else if (sfDir.contains("sf0.01")) 20000L
+    else if (sfDir.contains("sf0.1")) 200000L
+    else 200000L
+
+  /** Materialize the synthetic corpus once per (rows) size; reused across
+    * bench runs so the timed section measures read → filter → write only. */
+  def ensureCorpus(spark: SparkSession, rows: Long): String = {
+    val path = s"/tmp/graft_corpus_$rows"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      WebCorpusGen.generate(spark, rows, partitions = 64)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Timed: read parquet → full filter chain → count kept (html column is
+    * pruned at the scan — the pipeline never touches it). */
+  def pipelineDocsPerSec(spark: SparkSession, rows: Long): (Double, Long) = {
+    implicit val s: SparkSession = spark
+    val path = ensureCorpus(spark, rows)
+    val pipeline = new QualityPipeline(Presets.fineweb(
+      urlFilter = new UrlFilter(blockListedDomains = WebCorpusGen.BlockedDomains),
+      languages = Some(Seq("en")),
+      badwords = WebCorpusGen.BadWordsFixture.asMap))
+    val corpus = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val kept = pipeline.run(corpus).filter(_.keep).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, kept)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val rows = corpusRows(sfDir)
+    val (pipeSec, kept) = pipelineDocsPerSec(spark, rows)
+    results("full_pipeline") = pipeSec
+    val docsPerSec = rows / pipeSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.values.sum}%.3f"
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs_per_sec":${docsPerSec.toLong},"pipeline_rows":$rows,"pipeline_kept":$kept,"cpus":$cpus}""")
     spark.stop()
   }
 }

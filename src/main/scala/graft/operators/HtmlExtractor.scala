@@ -1,0 +1,73 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML → text extraction.
+  *
+  * The reference uses trafilatura (extractors/trafilatura.py:4-55) with
+  * favor_precision=True; no JVM trafilatura exists, so per SURVEY.md §7.3
+  * we implement exact extraction for the constrained HTML our corpus
+  * generator emits (content inside <article>/<p>/<h1-6>/<li>, boilerplate
+  * <nav>/<header>/<footer>/<script>/<style>/<aside> and comments stripped),
+  * and document a golden-table join as the escape hatch for arbitrary WARC
+  * data. Mirrors the reference's own unit fixture
+  * (tests/pipeline/test_extractors.py:9:
+  * "<html><body><article><p>Hello World!</p></article></body></html>"
+  *  → "Hello World!").
+  */
+object HtmlExtractor {
+
+  private val BlockDrop = Set("nav", "header", "footer", "script", "style", "aside", "head")
+  private val LineBreakTags = Set("p", "li", "h1", "h2", "h3", "h4", "h5", "h6",
+    "br", "div", "article", "section", "tr", "title")
+
+  /** Extract readable text; returns "" when nothing qualifies (the
+    * reference's extractor drops such docs). */
+  def extract(html: String): String = {
+    val out = new ArrayBuffer[String]()
+    val current = new StringBuilder
+    var i = 0
+    val n = html.length
+    var dropDepth = 0
+
+    def flushLine(): Unit = {
+      val line = current.toString.trim.replaceAll("\\s+", " ")
+      if (line.nonEmpty) out += line
+      current.clear()
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i)
+          if (end < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, end).trim
+            val closing = inner.startsWith("/")
+            val name = inner.stripPrefix("/").takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            if (BlockDrop.contains(name)) {
+              if (closing) dropDepth = math.max(0, dropDepth - 1)
+              else if (!inner.endsWith("/")) dropDepth += 1
+            }
+            if (LineBreakTags.contains(name)) flushLine()
+            i = end + 1
+          }
+        }
+      } else {
+        if (dropDepth == 0) current.append(c)
+        i += 1
+      }
+    }
+    flushLine()
+    out.mkString("\n")
+  }
+
+  /** Entity-decode the minimal set common in web text. */
+  def decodeEntities(s: String): String =
+    s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+}

@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.WebPage
+
+/** Deterministic synthetic Common-Crawl-style corpus matching the
+  * BASELINE.json input_hint schema (url, warc_ts, html, text, lang).
+  *
+  * Every row is a pure function of (seed, id) so generation is
+  * embarrassingly parallel (spark.range → map) and reproducible across
+  * runs, partitionings, and cluster sizes — the property the differential
+  * harness and the N-vs-4N scaling bench both rely on.
+  *
+  * Mix (FIXTURES.md §13): ~60% clean English prose that passes the full
+  * filter chain, ~40% spread across planted rule-trigger docs; one hot
+  * fqdn owning ~10% of rows (skew), and a 0.1% tail of oversized HTML
+  * blobs (~50× median) to exercise skew handling.
+  */
+object WebCorpusGen {
+
+  val DefaultSeed = 42L
+
+  // -- vocabulary pools (constructed, public-domain-ish filler) --
+  private val nouns = Array(
+    "market", "garden", "river", "mountain", "library", "station", "teacher",
+    "window", "journey", "morning", "village", "bridge", "harbor", "forest",
+    "kitchen", "letter", "winter", "summer", "evening", "road", "city",
+    "music", "painting", "story", "castle", "island", "valley", "meadow",
+    "ocean", "train", "market", "festival", "garden", "museum", "theatre",
+    "doctor", "farmer", "sailor", "writer", "painter", "baker", "miller")
+  private val verbs = Array(
+    "watched", "crossed", "visited", "remembered", "described", "followed",
+    "discovered", "painted", "carried", "opened", "closed", "repaired",
+    "planted", "gathered", "studied", "finished", "started", "enjoyed",
+    "explained", "observed", "prepared", "collected", "delivered", "measured")
+  private val adjectives = Array(
+    "quiet", "bright", "ancient", "narrow", "pleasant", "careful", "distant",
+    "gentle", "crowded", "peaceful", "golden", "frozen", "wooden", "steady",
+    "curious", "patient", "famous", "simple", "modest", "lively", "foggy")
+  private val connectors = Array(
+    "and then", "because", "while", "although", "so that", "before", "after")
+
+  private val frenchWords = Array(
+    "le", "marché", "était", "très", "calme", "ce", "matin", "et", "les",
+    "enfants", "jouaient", "dans", "la", "rue", "pendant", "que", "nous",
+    "regardions", "les", "bateaux", "sur", "la", "rivière", "près", "du",
+    "pont", "avec", "une", "lumière", "douce", "je", "ne", "pense", "pas",
+    "qu'il", "est", "jamais", "pour", "vous", "dans", "toujours")
+  private val germanWords = Array(
+    "der", "markt", "war", "heute", "sehr", "ruhig", "und", "die", "kinder",
+    "spielten", "auf", "der", "straße", "während", "wir", "die", "schiffe",
+    "auf", "dem", "fluss", "beobachteten", "nicht", "eine", "mit", "von",
+    "für", "das", "ist", "auch", "aber", "oder", "wir", "sind", "werden")
+  private val spanishWords = Array(
+    "el", "mercado", "estaba", "muy", "tranquilo", "esta", "mañana", "y",
+    "los", "niños", "jugaban", "en", "la", "calle", "mientras", "mirábamos",
+    "los", "barcos", "en", "el", "río", "cerca", "del", "puente", "con",
+    "una", "luz", "suave", "no", "pero", "también", "muy", "cuando", "es")
+
+  final class DocRng(seed: Long) {
+    private var s: Long = seed ^ 0x9e3779b97f4a7c15L
+    def nextLong(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = {
+      val l = nextLong() & Long.MaxValue
+      (l % bound).toInt
+    }
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+    def pick(a: Array[String]): String = a(nextInt(a.length))
+  }
+
+  private def sentence(rng: DocRng): String = {
+    val a = () => rng.pick(adjectives)
+    val o = () => rng.pick(nouns)
+    val v = () => rng.pick(verbs)
+    // varied templates rich in Gopher stop words (the, be, to, of, and,
+    // that, have, with) so clean docs pass the stop-word rule
+    val core = rng.nextInt(6) match {
+      case 0 => s"The ${a()} ${o()} ${v()} the ${o()} of the ${a()} ${o()}"
+      case 1 => s"A ${o()} with a ${a()} ${o()} ${v()} near the ${a()} ${o()}"
+      case 2 => s"That ${o()} ${v()} because the ${o()} seemed ${a()} and ${a()}"
+      case 3 => s"Some of the ${o()}s have ${v()} the ${a()} ${o()} to reach the ${o()}"
+      case 4 => s"It would be ${a()} to ${v().stripSuffix("ed")} the ${o()} while the ${o()} ${v()}"
+      case _ => s"People ${v()} the ${o()} and the ${a()} ${o()} that came with the ${a()} ${o()}"
+    }
+    val tail = rng.nextInt(3) match {
+      case 0 => s" ${rng.pick(connectors)} the ${a()} ${o()} ${v()} again"
+      case 1 => s", and the ${o()} was ${a()}"
+      case _ => ""
+    }
+    core + tail + ". "
+  }
+
+  private def paragraph(rng: DocRng, sentences: Int): String =
+    (1 to sentences).map(_ => sentence(rng)).mkString("").trim
+
+  private def cleanDoc(rng: DocRng, scale: Int): String = {
+    val nParas = 3 + rng.nextInt(3 + scale)
+    (1 to nParas).map(_ => paragraph(rng, 2 + rng.nextInt(4))).mkString("\n")
+  }
+
+  private def foreignDoc(rng: DocRng, words: Array[String]): String = {
+    val n = 60 + rng.nextInt(80)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.append(words(rng.nextInt(words.length)))
+      i += 1
+      sb.append(if (i % 12 == 0) ". " else " ")
+    }
+    sb.append(words(rng.nextInt(words.length))).append('.').toString
+  }
+
+  private def zhDoc(rng: DocRng): String = {
+    val chars = "的一是在不了有和人这中大为上个国我以要他时来用们生到作地于出就分对成会可主发年动"
+    val n = 80 + rng.nextInt(120)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) { sb.append(chars.charAt(rng.nextInt(chars.length))); i += 1 }
+    sb.append('。').toString
+  }
+
+  /** doc kind by id hash: 0-59 clean, then planted rule triggers. */
+  def genText(id: Long, seed: Long): (String, String) = { // (text, lang)
+    val rng = new DocRng(seed ^ (id * 0x5851f42d4c957f2dL))
+    val kind = (id % 100).toInt
+    kind match {
+      case k if k < 60 => (cleanDoc(rng, if (k % 7 == 0) 6 else 2), "en")
+      case k if k < 65 => (foreignDoc(rng, frenchWords), "fr")
+      case k if k < 68 => (zhDoc(rng), "zh")
+      case k if k < 70 => (foreignDoc(rng, germanWords), "de")
+      case k if k < 72 => (foreignDoc(rng, spanishWords), "es")
+      case k if k < 75 => // gopher_short_doc: <50 words, low repetition
+        (paragraph(rng, 3).split(" ").take(35).mkString(" ").stripSuffix(",") + ".", "en")
+      case k if k < 78 => // dup_line_frac
+        (sentence(rng).trim + "\n" + (sentence(rng).trim + "\n") * 4, "en")
+      case k if k < 81 => // top_n_gram / duplicated_n_grams
+        val phrase = sentence(rng).trim.stripSuffix(".")
+        (((phrase + ", ") * 10).trim + ". " + paragraph(rng, 2), "en")
+      case k if k < 84 => // gopher_too_many_hashes (en filler keeps LID high;
+        // varied segments so the repetition rules don't fire first)
+        (sentence(rng).trim + " " +
+          (1 to 40).map(i => s"# the ${rng.pick(nouns)} ${rng.pick(verbs)} ${rng.pick(adjectives)} $i").mkString(" "), "en")
+      case k if k < 86 => // gopher_too_many_ellipsis: each "..." adds 3 dot
+        // tokens to n_words, so segments stay ≤5 extra words to keep the
+        // ratio above 0.1; varied templates so the words flanking the dots
+        // differ (else the 5-gram dup scan fires first)
+        (sentence(rng).trim + " " +
+          (1 to 40).map { i =>
+            val o = rng.pick(nouns); val a2 = rng.pick(adjectives); val v2 = rng.pick(verbs)
+            (i % 5) match {
+              case 0 => s"... $o of the $a2 $v2"
+              case 1 => s"... the $a2 $o $v2"
+              case 2 => s"... $v2 by a $a2 $o"
+              case 3 => s"... $o and $o $v2"
+              case _ => s"... $a2 $o near $o"
+            }
+          }.mkString(" "), "en")
+      case k if k < 88 => // gopher_too_many_bullets
+        ((1 to 20).map(_ => "• " + sentence(rng).trim).mkString("\n"), "en")
+      case k if k < 90 => // fineweb short_line_ratio: short lines that pass
+        // C4 (terminal '.', ≥3 words) and repetition (varied templates)
+        ((1 to 30).map { i =>
+          val o = rng.pick(nouns); val a2 = rng.pick(adjectives); val v2 = rng.pick(verbs)
+          (i % 6) match {
+            case 0 => s"We sell the $a2 $o."
+            case 1 => s"Here is a $a2 $o."
+            case 2 => s"See the $o of $o."
+            case 3 => s"The $o can be $a2."
+            case 4 => s"Try this $a2 $o now."
+            case _ => s"Our $o was $v2."
+          }
+        }.mkString("\n"), "en")
+      case k if k < 92 => // fineweb line_punct_ratio: lines end with an
+        // apostrophe — C4 END_PUNCTUATION accepts it, FineWeb's
+        // TERMINAL_PUNCTUATION stop_chars do not (varied templates)
+        ((1 to 12).map { i =>
+          val o = rng.pick(nouns); val a2 = rng.pick(adjectives); val v2 = rng.pick(verbs)
+          (i % 4) match {
+            case 0 => s"People spoke of the $a2 $o as 'the $a2 $o'"
+            case 1 => s"The $o was $v2 and called 'a $a2 $o'"
+            case 2 => s"Many of them $v2 the $o to be 'rather $a2'"
+            case _ => s"That $a2 $o was $v2 with the words 'so $a2'"
+          }
+        }.mkString("\n"), "en")
+      case k if k < 94 => // c4 lorem ipsum (doc drop)
+        (cleanDoc(rng, 2) + "\nSome lorem ipsum filler text appears right here.", "en")
+      case k if k < 95 => // c4 curly bracket
+        (cleanDoc(rng, 2) + "\nA code sample with a { bracket appears here.", "en")
+      case k if k < 97 => // badwords
+        (paragraph(rng, 2) + " " + BadWordsFixture.en(rng.nextInt(BadWordsFixture.en.length)) +
+          " appears mid sentence. " + paragraph(rng, 2), "en")
+      case _ => // PII-laden but otherwise clean (kept, scrubbed)
+        (paragraph(rng, 2) + " Contact us at user" + (id % 97) + "@example" + (id % 13) +
+          ".com or via 57.120.21." + (id % 200) + " any time. " + paragraph(rng, 3), "en")
+    }
+  }
+
+  /** Fixture toxicity word list (stand-in for LDNOOBW; the real lists are a
+    * runtime config asset). Deliberately innocuous tokens. */
+  object BadWordsFixture {
+    val en: Array[String] = Array("badwordalpha", "badwordbeta", "badwordgamma")
+    val asMap: Map[String, Seq[String]] =
+      Map("en" -> en.toSeq, "fr" -> Seq("badmotfr"), "de" -> Seq("schlechtwort"),
+          "es" -> Seq("malapalabra"), "zh" -> Seq("坏词"))
+  }
+
+  private val domains: Array[String] = {
+    val tlds = Array("com", "org", "net", "io", "co.uk", "de", "fr")
+    (0 until 500).map(i => s"site$i.${tlds(i % tlds.length)}").toArray
+  }
+
+  /** The blocklisted slice of domains used to exercise the URL filter. */
+  val BlockedDomains: Set[String] = (0 until 500 by 50).map(i => domains(i)).toSet
+
+  def genRow(id: Long, seed: Long): WebPage = {
+    val rng = new DocRng(seed ^ id)
+    val (text0, lang) = genText(id, seed)
+    // 0.1% oversized blobs (~50x median): extra *distinct* paragraphs so the
+    // doc still flows through the whole chain (skew tail, not a dup trigger)
+    val text =
+      if (id % 1000 == 999)
+        text0 + "\n" + cleanDoc(new DocRng(seed ^ id ^ 0x5eedL), 120)
+      else text0
+    val fqdn =
+      if (rng.nextDouble() < 0.10) "hot.example.com" // hot domain ~10%
+      else domains(rng.nextInt(domains.length))
+    val url = s"https://$fqdn/page/${id}"
+    val html = ("<html><head><title>doc " + id + "</title></head><body><nav>home | about</nav>" +
+      text.split("\n").map(p => s"<p>$p</p>").mkString("<article>", "", "</article>") +
+      "<footer>copyright</footer></body></html>").getBytes("UTF-8")
+    val ts = new Timestamp(1700000000000L + (id % 86400000L))
+    WebPage(url, ts, html, text, lang)
+  }
+
+  /** Distributed generation: n rows over `partitions` partitions. */
+  def generate(spark: SparkSession, n: Long, seed: Long = DefaultSeed,
+               partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+                else spark.sparkContext.defaultParallelism * 2
+    spark.range(0, n, 1, parts).map(id => genRow(id, seed)).toDF()
+  }
+}

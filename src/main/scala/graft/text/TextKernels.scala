@@ -1,0 +1,159 @@
+package graft.text
+
+import java.text.Normalizer
+import java.util.regex.Pattern
+import scala.collection.mutable
+
+/** Pure text kernels ported from the reference:
+  *   - simplify_text              utils/text.py:212-257
+  *   - ngrams / find_duplicates / find_top_duplicate / find_all_duplicate
+  *                                filters/gopher_repetition_filter.py:31-70
+  *   - preprocess_for_repetition  utils/text.py:320-328 (fork addition)
+  *   - preprocess_for_alpha_word_ratio utils/text.py:331-342 (fork addition)
+  * All pure JVM functions — safe inside codegen'd UDFs / mapPartitions.
+  */
+object TextKernels {
+
+  // utils/text.py:202-205 — digits in any script with optional decimal part
+  private val NumbersPattern: Pattern =
+    Pattern.compile("\\p{Nd}+([.,\u060c\u066b\u2396\u2397\u2398]\\p{Nd}+)?")
+
+  private val WhitespacePattern: Pattern = Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+
+  // PUNCTUATION_TRANS (utils/text.py:182): each PUNCTUATION char → " "
+  private val punctToSpace: Set[Char] = Punct.PUNCTUATION.toSet
+
+  /** simplify_text with the default TextNormConfig (lowercase, norm numbers,
+    * punct→space, whitespace squeeze, NFD with Mn stripped). */
+  def simplifyText(text0: String): String = {
+    var text = PyText.pyLower(text0)
+    text = NumbersPattern.matcher(text).replaceAll("0")
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      sb.append(if (punctToSpace.contains(c)) ' ' else c)
+      i += 1
+    }
+    text = sb.toString
+    text = WhitespacePattern.matcher(PyText.pyStrip(text)).replaceAll(" ")
+    val nfd = Normalizer.normalize(text, Normalizer.Form.NFD)
+    val out = new java.lang.StringBuilder(nfd.length)
+    i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) out.append(c)
+      i += 1
+    }
+    PyText.pyStrip(out.toString)
+  }
+
+  /** get_n_grams (gopher_repetition_filter.py:31-32): space-joined n-grams. */
+  def getNGrams(words: Array[String], n: Int): Array[String] = {
+    val count = words.length - n + 1
+    if (count <= 0) return Array.empty
+    val out = new Array[String](count)
+    var i = 0
+    while (i < count) {
+      out(i) = words.slice(i, i + n).mkString(" ")
+      i += 1
+    }
+    out
+  }
+
+  /** find_duplicates (gopher_repetition_filter.py:35-46):
+    * (re-occurrence count, re-occurrence char length). */
+  def findDuplicates(xs: Iterable[String]): (Int, Int) = {
+    val unique = new mutable.HashSet[String]()
+    var dupChars = 0
+    var dupElems = 0
+    for (x <- xs) {
+      if (unique.contains(x)) { dupChars += x.length; dupElems += 1 }
+      else unique.add(x)
+    }
+    (dupElems, dupChars)
+  }
+
+  /** find_top_duplicate (gopher_repetition_filter.py:49-54):
+    * len(most common n-gram) * its count; Counter.most_common tie-break is
+    * first-insertion order. Returns 0 for empty input (caller guards). */
+  def findTopDuplicate(xs: Array[String]): Int = {
+    if (xs.isEmpty) return 0
+    val counts = new java.util.LinkedHashMap[String, Integer]()
+    var i = 0
+    while (i < xs.length) {
+      val k = xs(i)
+      val prev = counts.get(k)
+      counts.put(k, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var bestCount = -1
+    var bestLen = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > bestCount) { bestCount = e.getValue; bestLen = e.getKey.length }
+    }
+    bestLen * bestCount
+  }
+
+  /** find_all_duplicate (gopher_repetition_filter.py:57-70): sequential
+    * non-overlapping duplicate n-gram scan — on a hit, skip n words ahead.
+    * Order-dependent by design; ported verbatim. */
+  def findAllDuplicate(words: Array[String], n: Int): Int = {
+    val nWords = words.length
+    val unique = new mutable.HashSet[String]()
+    var repeatedChars = 0
+    var idx = 0
+    while (idx < nWords - n + 1) {
+      val sb = new java.lang.StringBuilder()
+      var j = idx
+      while (j < idx + n) { sb.append(words(j)); j += 1 }
+      val nGram = sb.toString
+      if (unique.contains(nGram)) {
+        repeatedChars += nGram.length
+        idx += n
+      } else {
+        unique.add(nGram)
+        idx += 1
+      }
+    }
+    repeatedChars
+  }
+
+  // ---- fork-specific preprocessors (utils/text.py:320-342) ----
+
+  private val EnumPattern = Pattern.compile("\\d+\\.\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+  private val SpaceRuns = Pattern.compile(" +")
+  private val ListMarkers = "+-*\u2022 "
+
+  /** preprocess_for_repetition (utils/text.py:320-328). */
+  def preprocessForRepetition(text0: String): String = {
+    var text = text0.replace("|", " ").replace("<br>", "\n")
+    text = EnumPattern.matcher(text).replaceAll("")
+    val lines = PyText.splitLines(text).map(l => PyText.pyLStrip(l, ListMarkers))
+    text = lines.mkString("\n")
+    SpaceRuns.matcher(text).replaceAll(" ")
+  }
+
+  private val EnumPattern2 =
+    Pattern.compile("\\d+[.\u3001)\uff09]\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+  private val LetterEnumPattern =
+    Pattern.compile("[A-Ha-h][.\u3001)\uff09]\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+  private val BracketNumPattern = Pattern.compile(
+    "[(\\[{\uff08\uff3b\u3010]\\s*\\d+\\s*[)\\]}\uff09\uff3d\u3011]",
+    Pattern.UNICODE_CHARACTER_CLASS)
+  private val AnyWs = Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** preprocess_for_alpha_word_ratio (utils/text.py:331-342). */
+  def preprocessForAlphaWordRatio(text0: String): String = {
+    var text = text0.replace("|", " ").replace("<br>", " ")
+    text = EnumPattern.matcher(text).replaceAll("")
+    val lines = PyText.splitLines(text).map(l => PyText.pyLStrip(l, ListMarkers))
+    text = lines.mkString("\n")
+    text = EnumPattern2.matcher(text).replaceAll("")
+    text = LetterEnumPattern.matcher(text).replaceAll("")
+    text = BracketNumPattern.matcher(text).replaceAll("")
+    AnyWs.matcher(text).replaceAll(" ")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic word / sentence tokenizer.
+  *
+  * The reference (fork) routes *every* language through a jieba-backed spaCy
+  * tokenizer (utils/word_tokenizers.py:106-115 hard-codes language="zh" +
+  * segmenter="jieba"). On Latin-script text jieba's behaviour reduces to:
+  *   - maximal runs of [A-Za-z0-9] (plus decimal numbers "12.5") are one
+  *     token (jieba finalseg re_skip = `\d+\.\d+|[a-zA-Z0-9]+`),
+  *   - every other non-space char is its own single-char token,
+  *   - whitespace tokens are dropped (strip_strings, word_tokenizers.py:15).
+  * On CJK text jieba uses a dictionary; we approximate with one token per
+  * CJK code point (documented divergence — validation corpora are scoped to
+  * Latin-script languages, SURVEY.md §7.3).
+  *
+  * This is a pure function so it can run inside whole-stage-codegen-adjacent
+  * UDFs and mapPartitions without any per-row model state.
+  */
+object Tokenizer {
+
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  @inline private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)
+
+  /** Tokenize into words (jieba-on-Latin approximation, see scaladoc). */
+  def words(text: String): Array[String] = {
+    val out = new ArrayBuffer[String]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (PyText.pyIsSpace(c)) {
+        i += 1
+      } else if (isAlnum(c)) {
+        val start = i
+        while (i < n && isAlnum(text.charAt(i))) i += 1
+        // decimal join: digits '.' digits → one token (jieba re_skip)
+        if (i < n && text.charAt(i) == '.' && i > start &&
+            isDigit(text.charAt(i - 1)) && i + 1 < n && isDigit(text.charAt(i + 1)) &&
+            allDigits(text, start, i)) {
+          i += 1
+          while (i < n && isDigit(text.charAt(i))) i += 1
+        }
+        out += text.substring(start, i)
+      } else if (Character.isHighSurrogate(c) && i + 1 < n &&
+                 Character.isLowSurrogate(text.charAt(i + 1))) {
+        out += text.substring(i, i + 2)
+        i += 2
+      } else {
+        out += c.toString
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  private def allDigits(s: String, from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) { if (!isDigit(s.charAt(i))) return false; i += 1 }
+    true
+  }
+
+  /** Words containing at least one char outside PUNCTUATION_SET
+    * (gopher_quality_filter.py:75). */
+  def nonSymbolWords(ws: Array[String]): Array[String] =
+    ws.filter(w => w.exists(ch => !Punct.PUNCTUATION_SET.contains(ch.toInt)))
+
+  /** Approximate sentence count: number of spaCy-sentencizer-style segments.
+    * A boundary is a run of terminal punctuation [.!?…。！？] followed by
+    * optional closing quotes/brackets then whitespace-or-end. Any trailing
+    * text without terminal punctuation counts as one more sentence. */
+  def sentenceCount(text: String): Int = {
+    val t = PyText.pyStrip(text)
+    if (t.isEmpty) return 0
+    var count = 0
+    var i = 0
+    val n = t.length
+    var sawContent = false
+    while (i < n) {
+      val c = t.charAt(i)
+      if (isTerminal(c)) {
+        while (i < n && (isTerminal(t.charAt(i)) || isCloser(t.charAt(i)))) i += 1
+        if (sawContent) { count += 1; sawContent = false }
+      } else {
+        if (!PyText.pyIsSpace(c)) sawContent = true
+        i += 1
+      }
+    }
+    if (sawContent) count += 1
+    math.max(count, 1)
+  }
+
+  @inline private def isTerminal(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?' || c == '…' ||
+    c == '。' || c == '！' || c == '？'
+
+  @inline private def isCloser(c: Char): Boolean =
+    c == '"' || c == '\'' || c == '”' || c == '’' || c == ')' ||
+    c == ']' || c == '」' || c == '』'
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Punct, PyText, TextKernels, Tokenizer}
+
+/** Fixtures from the reference's tests/pipeline/test_text.py:6-20 plus
+  * kernel-level sanity checks. */
+class TextKernelsSpec extends AnyFunSuite {
+
+  test("simplify_text golden fixture (test_text.py:7-10)") {
+    assert(TextKernels.simplifyText("|$17.56||1|\n|$15.37||2599|") == "0 0 0 0")
+  }
+
+  test("simplify_text of the PUNCTUATION table is '0' (test_text.py:12-14)") {
+    // the full-width '１' digit is normalized to 0; everything else vanishes
+    assert(TextKernels.simplifyText(Punct.PUNCTUATION) == "0")
+  }
+
+  test("punctuation tables have reference cardinalities") {
+    assert(Punct.PUNCTUATION.length == 129)
+    assert(Punct.TERMINAL_PUNCTUATION.size == 159)
+  }
+
+  test("splitLines matches Python str.splitlines") {
+    assert(PyText.splitLines("a\nb\r\nc\rd").toSeq == Seq("a", "b", "c", "d"))
+    assert(PyText.splitLines("a\n").toSeq == Seq("a"))
+    assert(PyText.splitLines("").toSeq == Seq.empty)
+    assert(PyText.splitLines("a b").toSeq == Seq("a", "b"))
+    assert(PyText.splitLines("\n\n").toSeq == Seq("", ""))
+  }
+
+  test("pyStrip strips NBSP and unicode spaces like Python") {
+    assert(PyText.pyStrip("  x  ") == "x")
+    assert(PyText.pyStrip("x") == "x")
+  }
+
+  test("tokenizer: latin runs + punct chars + decimals") {
+    assert(Tokenizer.words("I am too small...").toSeq ==
+      Seq("I", "am", "too", "small", ".", ".", "."))
+    assert(Tokenizer.words("pi is 3.14 ok").toSeq == Seq("pi", "is", "3.14", "ok"))
+    assert(Tokenizer.words("e-mail me").toSeq == Seq("e", "-", "mail", "me"))
+    assert(Tokenizer.words("你好 world").toSeq == Seq("你", "好", "world"))
+  }
+
+  test("find_duplicates counts re-occurrences and their chars") {
+    assert(TextKernels.findDuplicates(Seq("a", "bb", "a", "bb", "bb")) == ((3, 5)))
+    assert(TextKernels.findDuplicates(Seq("x")) == ((0, 0)))
+  }
+
+  test("find_top_duplicate: len * count, first-insertion tie-break") {
+    assert(TextKernels.findTopDuplicate(Array("ab", "cd", "ab")) == 4)
+    // tie on count → first inserted ("a", count 1) wins over "bbb"
+    assert(TextKernels.findTopDuplicate(Array("a", "bbb")) == 1)
+  }
+
+  test("find_all_duplicate: non-overlapping scan advances n on hit") {
+    // words: a b a b a b — 2-grams: ab, ba, ab(dup, skip 2), ...
+    val words = Array("a", "b", "a", "b", "a", "b")
+    assert(TextKernels.findAllDuplicate(words, 2) == 4) // "ab" at idx2 (+2), "ab" at idx4
+  }
+
+  test("preprocess_for_repetition strips list markers and enumerations") {
+    assert(TextKernels.preprocessForRepetition("1. hello|world\n- item") == "hello world\nitem")
+  }
+
+  test("sentence count approximation") {
+    assert(Tokenizer.sentenceCount("One. Two! Three?") == 3)
+    assert(Tokenizer.sentenceCount("No terminal punct") == 1)
+    assert(Tokenizer.sentenceCount("Hello World!") == 1)
+  }
+}
