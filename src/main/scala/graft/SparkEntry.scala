@@ -120,6 +120,84 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), langUdf(col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    }),
+    "minhash_dedup" -> ((s, dir) => {
+      // MinHash+LSH near-dup (shuffling operator; rows-only check)
+      implicit val sp: SparkSession = s
+      MinhashDedup.dedup(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
+        .orderBy("doc_id")
+    }),
+    "sentence_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      SentenceDedup(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
+        .orderBy("doc_id")
+    }),
+    "simhash_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      SimHashDedup(documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("doc_id"), col("simhash"), col("simhash_keep"))
+        .orderBy("doc_id")
+    }),
+    "ann_topk" -> ((s, dir) => {
+      // brute-force cosine top-1 neighbor (ids only — float ordering is
+      // engine-identical, float values are not hash-safe)
+      Similarity.bruteForceTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 1)
+        .select(col("vec_id"), col("neighbor"))
+        .orderBy("vec_id")
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      // LSH-bucketed approximate variant (rows-only check)
+      implicit val sp: SparkSession = s
+      Similarity.lshTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 1)
+        .select(col("vec_id"), col("neighbor"))
+        .orderBy("vec_id")
+    }),
+    "doc_stats" -> ((s, dir) => {
+      // stats/doc_stats.py analog — integer-exact metrics per doc
+      documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          tokenCountUdf(col("text")).as("n_words"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_spaces"))
+        .orderBy("doc_id")
+    }),
+    "word_stats" -> ((s, dir) => {
+      // stats/word_stats.py analog: word totals + type-token counts
+      documents(s, dir).select(
+          col("doc_id"),
+          tokenCountUdf(col("text")).as("n_words"),
+          aggregate(filter(split(col("text"), " "), w => w =!= ""),
+            lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
+          size(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+    "stats_group_agg" -> ((s, dir) => {
+      // StatsMerger analog: partial→final agg by group (one shuffle)
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("sum_floor_value"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
+        .orderBy("event_type")
+    }),
+    "stats_histogram" -> ((s, dir) => {
+      // histogram via value bucketing (stats/base.py:62-87 analog)
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(floor(col("value") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+    "top_sources" -> ((s, dir) => {
+      // grouped top-k with deterministic tie-break (top-k fqdn analog)
+      documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("source"))
+        .limit(10)
     })
   )
 
@@ -168,6 +246,45 @@ FROM documents GROUP BY 1 ORDER BY url_key""",
       text || ' contact a' || doc_id || '@ex' || (doc_id % 7) || '.com or 57.120.21.' || (doc_id % 200) || ' now',
       '[A-Za-z0-9]+@[A-Za-z0-9]+(\.[A-Za-z0-9]+)+', 'email@example.com', 'g'),
     '(\d{1,3}\.){3}\d{1,3}', '22.214.171.124', 'g') AS scrubbed
-FROM documents ORDER BY doc_id"""
+FROM documents ORDER BY doc_id""",
+    "ann_topk" ->
+      """WITH p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+    list_aggregate(list_apply(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]), 'sum')
+      / (sqrt(list_aggregate(list_apply(a.embedding::DOUBLE[], x -> x*x), 'sum'))
+       * sqrt(list_aggregate(list_apply(b.embedding::DOUBLE[], x -> x*x), 'sum'))) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT vec_id, neighbor,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor ASC) AS rnk
+  FROM p
+)
+SELECT vec_id, neighbor FROM r WHERE rnk = 1 ORDER BY vec_id""",
+    "doc_stats" ->
+      """SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents ORDER BY doc_id""",
+    "word_stats" ->
+      """WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents
+)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS BIGINT) AS sum_word_len,
+  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct
+FROM w ORDER BY doc_id""",
+    "stats_group_agg" ->
+      """SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value,
+  min(user_id) AS min_user, max(user_id) AS max_user
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "stats_histogram" ->
+      """SELECT CAST(floor(value * 10) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY 1 ORDER BY bucket""",
+    "top_sources" ->
+      """SELECT source, count(*) AS n FROM documents
+GROUP BY source ORDER BY n DESC, source ASC LIMIT 10"""
   )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+/** Hash functions used by the dedup operators.
+  *
+  * sha1Hash64 mirrors the reference's utils/hashes/sha1.py:17-26 (first 8
+  * bytes of SHA-1, little-endian unsigned) — the fork's minhash config uses
+  * hash_fc="sha1", precision=64 (scripts/data_cleaning.py:202-205).
+  * xxhash64 is the standard public XXH64 algorithm (the upstream default).
+  */
+object Hashes {
+
+  /** struct.unpack("<Q", sha1(utf8).digest()[:8]) as a (wrapping) Long. */
+  def sha1Hash64(data: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val d = md.digest(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  // ---- XXH64 (public domain algorithm, https://xxhash.com) ----
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  def xxhash64(data: String): Long =
+    xxhash64(data.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
+
+  def xxhash64(input: Array[Byte], seed: Long): Long = {
+    val len = input.length
+    var i = 0
+    var hash =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        while (i + 32 <= len) {
+          v1 = round(v1, getLong(input, i))
+          v2 = round(v2, getLong(input, i + 8))
+          v3 = round(v3, getLong(input, i + 16))
+          v4 = round(v4, getLong(input, i + 24))
+          i += 32
+        }
+        var h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+        h = mergeRound(h, v1); h = mergeRound(h, v2)
+        h = mergeRound(h, v3); h = mergeRound(h, v4)
+        h
+      } else seed + P5
+    hash += len
+    while (i + 8 <= len) {
+      hash ^= round(0L, getLong(input, i))
+      hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= len) {
+      hash ^= (getInt(input, i) & 0xffffffffL) * P1
+      hash = java.lang.Long.rotateLeft(hash, 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      hash ^= (input(i) & 0xffL) * P5
+      hash = java.lang.Long.rotateLeft(hash, 11) * P1
+      i += 1
+    }
+    hash ^= hash >>> 33
+    hash *= P2
+    hash ^= hash >>> 29
+    hash *= P3
+    hash ^ (hash >>> 32)
+  }
+
+  @inline private def round(acc: Long, input: Long): Long =
+    java.lang.Long.rotateLeft(acc + input * P2, 31) * P1
+
+  @inline private def mergeRound(acc: Long, v: Long): Long =
+    (acc ^ round(0L, v)) * P1 + P4
+
+  @inline private def getLong(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 4) & 0xffL) << 32) | ((b(i + 5) & 0xffL) << 40) |
+    ((b(i + 6) & 0xffL) << 48) | ((b(i + 7) & 0xffL) << 56)
+
+  @inline private def getInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+}

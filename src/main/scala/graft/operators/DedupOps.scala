@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+import graft.text.{PyText, TextKernels, Tokenizer}
+
+/** Exact and URL dedup — the simple shuffling dedup operators. */
+object ExactDedup {
+
+  /** Exact-text dedup via hash groupBy: annotate each row with the
+    * surviving doc id (min id per identical text) and a keep flag.
+    * One shuffle; at scale, group on a 64-bit text hash first and only
+    * compare full text within hash groups (collision-safe two-level key). */
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.withColumn("__th", xxhash64(col(textCol)))
+    val w = Window.partitionBy(col("__th"), col(textCol))
+    hashed
+      .withColumn("exact_dup_rep", min(col(idCol)).over(w))
+      .withColumn("exact_keep", col("exact_dup_rep") === col(idCol))
+      .drop("__th")
+  }
+}
+
+/** dedup/url_dedup.py:45-62 — keep the highest-priority row per normalized
+  * url; ties break to the smallest id (the reference keeps the first in
+  * heap order; ours is deterministic under any partitioning). */
+object UrlDedup {
+  def apply(df: DataFrame, urlCol: String, idCol: String, priorityCol: String): DataFrame = {
+    val w = Window.partitionBy(col(urlCol))
+    df.withColumn("__best",
+        first(col(idCol)).over(w.orderBy(col(priorityCol).desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("url_keep", col("__best") === col(idCol))
+      .withColumnRenamed("__best", "url_dup_rep")
+  }
+}
+
+/** Sentence-level dedup (dedup/sentence_dedup.py): hash every window of
+  * `nSentences` consecutive lines (line mode ≙ split_sentences=False —
+  * avoids sentence-splitter divergence; the hash input is the
+  * simplify_text'd window, sentence_dedup.py:137-143); the first occurrence
+  * (min doc id, then min window idx) survives, every later occurrence marks
+  * a span [idx, idx+n) for removal; docs shrink to their kept lines and are
+  * dropped when left with <minDocWords words or <minNumSentences lines.
+  *
+  * Spark shape: explode → groupBy(hash) shuffle → per-doc span removal.
+  */
+final case class SentenceDedupConfig(
+    nSentences: Int = 3,
+    minDocWords: Int = 50,
+    minNumSentences: Int = 3)
+
+object SentenceDedup {
+
+  /** (id, text) → (id, text rewritten, sentence_dedup_keep, removed_sentences) */
+  def apply(df: DataFrame, idCol: String, textCol: String,
+            cfg: SentenceDedupConfig = SentenceDedupConfig())
+           (implicit spark: SparkSession): DataFrame = {
+    val n = cfg.nSentences
+
+    val windowHashes = udf { text: String =>
+      val sents = PyText.splitLines(text)
+      if (sents.length < n) Array.empty[(Int, Long)]
+      else {
+        val simplified = sents.map(TextKernels.simplifyText)
+        (0 to sents.length - n).iterator.flatMap { i =>
+          val joined = simplified.slice(i, i + n).mkString(" ")
+          if (PyText.pyStrip(joined).isEmpty) None
+          else Some((i, Hashes.xxhash64(joined)))
+        }.toArray
+      }
+    }
+
+    val sigs = df
+      .select(col(idCol).as("__doc"), explode(windowHashes(col(textCol))).as("w"))
+      .select(col("__doc"), col("w._1").as("__sent"), col("w._2").as("__hash"))
+
+    // first occurrence per hash wins; all others are duplicate spans
+    val w = Window.partitionBy("__hash").orderBy(col("__doc").asc, col("__sent").asc)
+    val dups = sigs
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") > 1)
+      .groupBy("__doc")
+      .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
+
+    val rewrite = udf { (text: String, dupSents: Seq[Int]) =>
+      val sents = PyText.splitLines(text)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var di = 0
+      var dropUntil = 0
+      var removed = 0
+      for (idx <- sents.indices) {
+        if (di < dupSents.length && dupSents(di) == idx) {
+          dropUntil = idx + n
+          di += 1
+        }
+        if (idx >= dropUntil) kept += sents(idx) else removed += 1
+      }
+      (kept.mkString("\n"), removed)
+    }
+
+    val joined = df
+      .join(dups.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .withColumn("__r", rewrite(col(textCol),
+        coalesce(col("__dupSents"), array().cast("array<int>"))))
+      .withColumn("__newText", col("__r._1"))
+      .withColumn("removed_sentences", col("__r._2"))
+
+    val wordCount = udf { t: String => Tokenizer.words(t).length }
+    val sentCount = udf { t: String => PyText.splitLines(t).length }
+
+    joined
+      .withColumn("sentence_dedup_keep",
+        (col("__newText") === col(textCol)) ||
+        ((lit(cfg.minDocWords) <= 0 || wordCount(col("__newText")) >= cfg.minDocWords) &&
+         (lit(cfg.minNumSentences) <= 0 || sentCount(col("__newText")) >= cfg.minNumSentences) &&
+         col("__newText") =!= ""))
+      .withColumn(textCol, col("__newText"))
+      .drop("__dupSents", "__r", "__newText")
+  }
+}
+
+/** SimHash near-dup: 64-bit charge/discharge fingerprint over word
+  * features; near-duplicates = hamming distance ≤ k, found at scale by
+  * banding the fingerprint into (k+1) segments (pigeonhole: any pair within
+  * distance k shares at least one exact segment) and verifying candidates. */
+object SimHashDedup {
+
+  def simhash64(text: String): Long = {
+    val words = Tokenizer.words(TextKernels.simplifyText(text))
+    if (words.isEmpty) return 0L
+    val v = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = Hashes.xxhash64(words(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (v(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simhashUdf = udf(simhash64 _)
+
+  /** Annotate (simhash, simhash_cluster, simhash_keep) for pairs within
+    * `maxHamming`. Banding gives exact recall for distance ≤ maxHamming. */
+  def apply(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3)
+           (implicit spark: SparkSession): DataFrame = {
+    val bands = maxHamming + 1
+    val bandBits = 64 / bands
+    val withSim = df.withColumn("simhash", simhashUdf(col(textCol)))
+
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        col("simhash").bitwiseAND(
+          lit(((1L << bandBits) - 1) << (b * bandBits))).as("key"))
+    }
+    val candidates = withSim
+      .select(col(idCol).as("doc"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .groupBy("bk")
+      .agg(collect_list(struct(col("doc"), col("simhash"))).as("grp"))
+      .where(size(col("grp")) > 1)
+      .select(explode(col("grp")).as("a"), col("grp"))
+      .select(col("a.doc").as("doc"), col("a.simhash").as("h1"), explode(col("grp")).as("b"))
+      .select(col("doc"), col("h1"), col("b.doc").as("other"), col("b.simhash").as("h2"))
+      .where(col("doc") =!= col("other"))
+
+    val verified = candidates
+      .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+      .select(col("doc"), col("other"))
+      .groupBy("doc").agg(min(least(col("doc"), col("other"))).as("rep"))
+      .select(col("doc"), col("rep"))
+
+    val comps = MinhashDedup.components(verified.where(col("doc") =!= col("rep")))
+    withSim.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .withColumn("simhash_cluster", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+      .withColumn("simhash_keep", col("simhash_cluster") === col(idCol))
+  }
+}
+
+/** Exact n-gram Jaccard similarity between candidate pairs (the verify
+  * step after any LSH candidate generation). */
+object NgramJaccard {
+  def jaccard(a: String, b: String, n: Int = 5): Double = {
+    val sa = TextKernels.getNGrams(Tokenizer.words(TextKernels.simplifyText(a)), n).toSet
+    val sb = TextKernels.getNGrams(Tokenizer.words(TextKernels.simplifyText(b)), n).toSet
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  def jaccardUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: String, b: String) => jaccard(a, b, n) }
+}

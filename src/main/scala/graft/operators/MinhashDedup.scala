@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+import graft.text.{TextKernels, Tokenizer}
+
+/** MinHash + LSH near-duplicate detection, re-expressed Spark-first.
+  *
+  * Algorithm per the reference (dedup/minhash.py):
+  *   - shingles = hash64 of space-joined word `nGrams`-grams of
+  *     simplify_text(text)                          (minhash.py:190-210)
+  *   - numBuckets×hashesPerBucket permutations h'=(h*a+b) mod (2^61-1),
+  *     min per permutation, split into buckets      (minhash.py:164-187)
+  *     (like numpy uint64, the multiply wraps mod 2^64 before the mod)
+  *   - docs sharing a full bucket signature are duplicate pairs
+  *     (stage 2's sorted-file merge ≙ one groupBy shuffle, minhash.py:388-442)
+  *   - connected components over pairs; one survivor per cluster
+  *     (stage 3's single-node union-find ≙ iterative min-label propagation,
+  *     which scales past one node's RAM; survivor = min id per cluster —
+  *     deterministic, whereas the reference keeps the structure-dependent
+  *     union-find root)
+  *
+  * The whole flow is 2 shuffles (bucket groupBy + component join rounds) —
+  * at 10^12 docs the sig explode is numBuckets rows/doc and the groupBy
+  * keys are (bucket, 8×8-byte sig), so AQE handles the skewed empty-sig
+  * buckets; pair volume ≪ doc volume.
+  */
+final case class MinhashDedupConfig(
+    nGrams: Int = 5,
+    numBuckets: Int = 14,
+    hashesPerBucket: Int = 8,
+    seed: Long = 1L,
+    hashFunc: String = "sha1") // "sha1" (fork config) or "xxhash"
+
+object MinhashDedup {
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Permutation parameters a (odd-ish, in [1,p)) and b (in [0,p)) derived
+    * deterministically from the seed via SplitMix64. (The reference derives
+    * them from numpy's MT19937; values differ, distribution and structure
+    * are identical — signature equality across engines is not externally
+    * observable, similarity properties are, and those are tested.) */
+  def parameters(cfg: MinhashDedupConfig): (Array[Long], Array[Long]) = {
+    val n = cfg.numBuckets * cfg.hashesPerBucket
+    var s = cfg.seed
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.fill(n)(java.lang.Long.remainderUnsigned(next(), MersennePrime - 1) + 1)
+    val b = Array.fill(n)(java.lang.Long.remainderUnsigned(next(), MersennePrime))
+    (a, b)
+  }
+
+  /** Raw minhash vector (numBuckets×hashesPerBucket mins) for one text;
+    * None when the text has fewer than nGrams words. Exposed for the
+    * similarity-estimation property tests (test_minhash.py:60-75). */
+  def minhashes(text: String, cfg: MinhashDedupConfig,
+                a: Array[Long], b: Array[Long]): Option[Array[Long]] = {
+    val words = Tokenizer.words(TextKernels.simplifyText(text))
+    val n = cfg.numBuckets * cfg.hashesPerBucket
+    if (words.length < cfg.nGrams) return None
+    val useSha1 = cfg.hashFunc == "sha1"
+    val mins = Array.fill(n)(-1L)
+    var i = 0
+    val last = words.length - cfg.nGrams
+    while (i <= last) {
+      val shingle = words.slice(i, i + cfg.nGrams).mkString(" ")
+      val h0 = if (useSha1) Hashes.sha1Hash64(shingle) else Hashes.xxhash64(shingle)
+      var k = 0
+      while (k < n) {
+        val phv = java.lang.Long.remainderUnsigned(h0 * a(k) + b(k), MersennePrime)
+        if (java.lang.Long.compareUnsigned(phv, mins(k)) < 0) mins(k) = phv
+        k += 1
+      }
+      i += 1
+    }
+    Some(mins)
+  }
+
+  /** Per-doc bucket signatures: each bucket's `hashesPerBucket` min-hashes
+    * hex-packed into one string key. Empty docs (< nGrams words) yield no
+    * rows — they can never be duplicates (matches reference behavior where
+    * such docs crash/skip stage 1; we drop them from the sig table). */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 cfg: MinhashDedupConfig = MinhashDedupConfig()): DataFrame = {
+    val (a, b) = parameters(cfg)
+    val nb = cfg.numBuckets
+    val hpb = cfg.hashesPerBucket
+    val n = nb * hpb
+    val ng = cfg.nGrams
+    val useSha1 = cfg.hashFunc == "sha1"
+
+    val sigUdf = udf { text: String =>
+      val words = Tokenizer.words(TextKernels.simplifyText(text))
+      if (words.length < ng) Array.empty[String]
+      else {
+        val mins = Array.fill(n)(-1L) // unsigned max
+        var i = 0
+        val last = words.length - ng
+        val sb = new java.lang.StringBuilder()
+        while (i <= last) {
+          sb.setLength(0)
+          var j = i
+          while (j < i + ng) {
+            if (j > i) sb.append(' ')
+            sb.append(words(j))
+            j += 1
+          }
+          val h0 = if (useSha1) Hashes.sha1Hash64(sb.toString) else Hashes.xxhash64(sb.toString)
+          var k = 0
+          while (k < n) {
+            val phv = java.lang.Long.remainderUnsigned(h0 * a(k) + b(k), MersennePrime)
+            if (java.lang.Long.compareUnsigned(phv, mins(k)) < 0) mins(k) = phv
+            k += 1
+          }
+          i += 1
+        }
+        val out = new Array[String](nb)
+        var bi = 0
+        while (bi < nb) {
+          val hx = new java.lang.StringBuilder(hpb * 16)
+          var k = bi * hpb
+          while (k < (bi + 1) * hpb) {
+            hx.append(java.lang.Long.toHexString(mins(k))).append(':')
+            k += 1
+          }
+          out(bi) = hx.toString
+          bi += 1
+        }
+        out
+      }
+    }
+
+    df.select(col(idCol).as("doc"), posexplode(sigUdf(col(textCol))).as(Seq("bucket", "sig")))
+  }
+
+  /** Duplicate pair edges as (doc → bucket-group representative). */
+  def duplicateEdges(sigs: DataFrame): DataFrame =
+    sigs
+      .groupBy("bucket", "sig")
+      .agg(collect_list("doc").as("docs"))
+      .where(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc"), array_min(col("docs")).as("rep"))
+      .where(col("doc") =!= col("rep"))
+      .distinct()
+
+  /** Connected components: iterative min-label propagation to fixpoint.
+    * Each round every node takes the min label over itself + its neighbors
+    * (labels flow both ways along edges), then one pointer-jumping step
+    * (follow your label's label) halves the remaining distance — so rounds
+    * ≈ log2(component diameter). Returns (doc, cluster). */
+  def components(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val und = edges.select(col("doc").as("u"), col("rep").as("v"))
+      .union(edges.select(col("rep").as("u"), col("doc").as("v")))
+      .cache()
+    var labels = und.select(col("u").as("doc"), col("u").as("cluster"))
+      .union(und.select(col("u").as("doc"), col("v").as("cluster")))
+      .groupBy("doc").agg(min("cluster").as("cluster"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min: labels flow across every edge in both directions
+      val viaEdges = und.join(labels, und("v") === labels("doc"))
+        .select(und("u").as("doc"), col("cluster"))
+      val afterNeighbors = viaEdges.union(labels)
+        .groupBy("doc").agg(min("cluster").as("cluster"))
+      // pointer jump: follow cluster → its own cluster
+      val next = afterNeighbors.as("l")
+        .join(afterNeighbors.as("r"), col("l.cluster") === col("r.doc"), "left")
+        .select(col("l.doc").as("doc"),
+          least(col("l.cluster"), coalesce(col("r.cluster"), col("l.cluster"))).as("cluster"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), "doc")
+        .where(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Full flow: annotate each row with (minhash_cluster, minhash_keep).
+    * Survivor per cluster = min id. Rows in no cluster keep their own id. */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+            cfg: MinhashDedupConfig = MinhashDedupConfig())
+           (implicit spark: SparkSession): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, cfg)
+    val comps = components(duplicateEdges(sigs))
+    df.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .withColumn("minhash_cluster", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+      .withColumn("minhash_keep", col("minhash_cluster") === col(idCol))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two strategies:
+  *  - bruteForceTopK: exact all-pairs cosine via a (broadcast-friendly)
+  *    self-join and native array expressions — the correctness baseline,
+  *    O(n²·d); fine for one partition's block, not for 10^12 rows.
+  *  - lshTopK: random-hyperplane LSH — signatures computed with seeded
+  *    deterministic hyperplanes, banded into buckets so candidate pairs
+  *    only form inside buckets (one groupBy shuffle), then exact cosine
+  *    verification on the candidates. The scale path: cost ∝ bucket sizes,
+  *    not n².
+  */
+object Similarity {
+
+  /** cos(a,b) as a native column expression (arrays cast to double;
+    * left-to-right accumulation — bit-compatible with the DuckDB oracle). */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a.cast("array<double>"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b.cast("array<double>"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors per row (self-join). Returns
+    * (idCol, neighbor, cosine, rank). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val left = df.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val right = df.select(col(idCol).as("neighbor"), col(vecCol).as("__nv"))
+    val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
+    left.crossJoin(right)
+      .where(col("__qid") =!= col("neighbor"))
+      .withColumn("cosine", cosine(col("__qv"), col("__nv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes from a seed. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    var s = seed
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // Box-Muller-free: sum of 4 uniforms ≈ gaussian enough for LSH planes
+    Array.fill(bits, dim) {
+      ((next() >>> 11) * 1.1102230246251565e-16) +
+      ((next() >>> 11) * 1.1102230246251565e-16) +
+      ((next() >>> 11) * 1.1102230246251565e-16) +
+      ((next() >>> 11) * 1.1102230246251565e-16) - 2.0
+    }
+  }
+
+  /** Approximate top-k via random-hyperplane LSH with `bands` bucket
+    * families of `bitsPerBand` bits each. Recall rises with bands. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L)
+             (implicit spark: SparkSession): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, bands * bitsPerBand, seed))
+    val nb = bands
+    val bpb = bitsPerBand
+
+    val bucketUdf = udf { vec: Seq[Float] =>
+      val p = planes.value
+      val bits = new Array[Boolean](p.length)
+      var i = 0
+      while (i < p.length) {
+        var dot = 0.0
+        val plane = p(i)
+        var j = 0
+        while (j < plane.length && j < vec.length) { dot += plane(j) * vec(j); j += 1 }
+        bits(i) = dot >= 0
+        i += 1
+      }
+      (0 until nb).map { b =>
+        var key = 0L
+        var j = 0
+        while (j < bpb) { key = (key << 1) | (if (bits(b * bpb + j)) 1L else 0L); j += 1 }
+        (b.toLong << 32) | key
+      }.toArray
+    }
+
+    val bucketed = df
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
+        explode(bucketUdf(col(vecCol))).as("__bucket"))
+
+    val candidates = bucketed.as("a")
+      .join(bucketed.as("b"), col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__qid") =!= col("b.__qid"))
+      .select(col("a.__qid").as("__qid"), col("a.__qv").as("__qv"),
+        col("b.__qid").as("neighbor"), col("b.__qv").as("__nv"))
+      .dropDuplicates("__qid", "neighbor")
+
+    val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
+    candidates
+      .withColumn("cosine", cosine(col("__qv"), col("__nv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate detection: pairs with cosine ≥ threshold
+    * (via LSH candidates), connected-components, min-id survivor. */
+  def cosineNearDupes(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double = 0.95, bands: Int = 16, bitsPerBand: Int = 8)
+                     (implicit spark: SparkSession): DataFrame = {
+    val top = lshTopK(df, idCol, vecCol, k = 50, bands = bands, bitsPerBand = bitsPerBand)
+    val edges = top.where(col("cosine") >= threshold)
+      .select(col(idCol).as("doc"), col("neighbor").as("rep"))
+      .where(col("doc") =!= col("rep"))
+    val comps = MinhashDedup.components(edges)
+    df.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .withColumn("cosine_cluster", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+      .withColumn("cosine_keep", col("cosine_cluster") === col(idCol))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators._
+import graft.text.{TextKernels, Tokenizer}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val loremBase =
+    """Lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor
+incididunt ut labore et dolore magna aliqua Ut enim ad minim veniam quis
+nostrud exercitation ullamco laboris nisi ut aliquip ex ea commodo consequat
+Duis aute irure dolor in reprehenderit in voluptate velit esse cillum dolore
+eu fugiat nulla pariatur Excepteur sint occaecat cupidatat non proident sunt
+in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
+
+  private def perturb(text: String, frac: Double, seed: Int): String = {
+    val rng = new scala.util.Random(seed)
+    val words = text.split(" ")
+    words.map(w => if (rng.nextDouble() < frac) s"sub${rng.nextInt(1000)}" else w).mkString(" ")
+  }
+
+  private def trueJaccard(a: String, b: String, n: Int): Double = {
+    def shingles(t: String) =
+      TextKernels.getNGrams(Tokenizer.words(TextKernels.simplifyText(t)), n).toSet
+    val (sa, sb) = (shingles(a), shingles(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("minhash: estimated similarity within 0.21 of true Jaccard (test_minhash.py:60-75)") {
+    val cfg = MinhashDedupConfig()
+    val (pa, pb) = MinhashDedup.parameters(cfg)
+    val base = MinhashDedup.minhashes(loremBase, cfg, pa, pb).get
+    for (pct <- Seq(0.05, 0.1, 0.2, 0.3, 0.5)) {
+      val other = perturb(loremBase, pct, seed = 7)
+      val om = MinhashDedup.minhashes(other, cfg, pa, pb).get
+      val est = base.zip(om).count { case (x, y) => x == y }.toDouble / base.length
+      val truth = trueJaccard(loremBase, other, cfg.nGrams)
+      assert(math.abs(est - truth) < 0.21, s"pct=$pct est=$est true=$truth")
+    }
+  }
+
+  test("minhash dedup: exact + near duplicates cluster, one survivor each") {
+    val near = perturb(loremBase, 0.03, seed = 3) // ~97% same words
+    val distinct1 = perturb(loremBase, 0.9, seed = 11)
+    val df = Seq(
+      (1L, loremBase), (2L, loremBase), (3L, near),
+      (4L, distinct1),
+      (5L, "completely different short text about gardens and rivers flowing through ancient villages near the morning market")
+    ).toDF("doc_id", "text")
+    val out = MinhashDedup.dedup(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("minhash_cluster"), r.getAs[Boolean]("minhash_keep")))
+      .toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L)._2 && out(5L)._2)
+  }
+
+  test("connected components: chains across buckets merge transitively") {
+    val edges = Seq((5L, 7L), (7L, 3L), (9L, 9L), (10L, 12L)).toDF("doc", "rep")
+    val comps = MinhashDedup.components(edges.where($"doc" =!= $"rep")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(5L) == 3L && comps(7L) == 3L && comps(3L) == 3L)
+    assert(comps(10L) == 10L && comps(12L) == 10L)
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val df = Seq((10L, "aaa"), (3L, "aaa"), (5L, "bbb")).toDF("doc_id", "text")
+    val out = ExactDedup(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("exact_keep")).toMap
+    assert(out == Map(10L -> false, 3L -> true, 5L -> true))
+  }
+
+  test("url dedup keeps highest priority, ties to min id") {
+    val df = Seq(
+      ("u1", 1L, 1), ("u1", 2L, 3), ("u1", 3L, 3),
+      ("u2", 4L, 0)
+    ).toDF("url", "doc_id", "priority")
+    val out = UrlDedup(df, "url", "doc_id", "priority").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("url_keep")).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("sentence dedup removes later duplicate 3-line spans (sentence_dedup.py semantics)") {
+    val shared = "First shared line about the harbor.\nSecond shared line about the market.\nThird shared line about the bridge."
+    val doc1 = shared + "\nUnique closing line one here with plenty of additional words to stay above the minimum threshold for documents " + ("pad " * 40)
+    val doc2 = "A totally unique opener line for the second document.\n" + shared +
+      "\nDifferent closing content follows here with many more words " + ("filler " * 50)
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = SentenceDedup(df, "doc_id", "text", SentenceDedupConfig(minDocWords = 10, minNumSentences = 1))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Boolean]("sentence_dedup_keep"), r.getAs[Int]("removed_sentences")))).toMap
+    // doc 1 untouched (first occurrence wins)
+    assert(out(1L)._1 == doc1 && out(1L)._2 && out(1L)._3 == 0)
+    // doc 2: the shared 3-line window is removed
+    assert(!out(2L)._1.contains("First shared line"))
+    assert(out(2L)._1.startsWith("A totally unique opener"))
+    assert(out(2L)._3 == 3)
+    assert(out(2L)._2) // still enough words → kept
+  }
+
+  test("sentence dedup drops doc shrunk below min words") {
+    val shared = "Alpha shared line one.\nBeta shared line two.\nGamma shared line three."
+    val df = Seq((1L, shared + "\n" + ("extra " * 60).trim), (2L, shared)).toDF("doc_id", "text")
+    val out = SentenceDedup(df, "doc_id", "text", SentenceDedupConfig(minDocWords = 50, minNumSentences = 1))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("sentence_dedup_keep")).toMap
+    assert(out(1L))
+    assert(!out(2L)) // everything removed → dropped
+  }
+
+  test("simhash: identical → hamming 0; small edit → small distance; dedup clusters") {
+    val near = loremBase + " extra"
+    assert(SimHashDedup.simhash64(loremBase) == SimHashDedup.simhash64(loremBase))
+    // word-unigram simhash on a ~69-word doc: a 1-word edit flips bits whose
+    // ±1 vote margins it crosses — small but not tiny (E[flips] ≈ 64·P(|m|=1))
+    val hd = java.lang.Long.bitCount(
+      SimHashDedup.simhash64(loremBase) ^ SimHashDedup.simhash64(near))
+    assert(hd <= 16, s"hamming=$hd")
+    val unrelated = "unrelated short text about trains and winter evenings in the quiet station"
+    val hdFar = java.lang.Long.bitCount(
+      SimHashDedup.simhash64(loremBase) ^ SimHashDedup.simhash64(unrelated))
+    assert(hdFar > hd, s"near=$hd far=$hdFar")
+    val df = Seq((1L, loremBase), (2L, loremBase), (3L, unrelated)).toDF("doc_id", "text")
+    val out = SimHashDedup(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("simhash_keep")).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("ngram jaccard") {
+    assert(NgramJaccard.jaccard(loremBase, loremBase) == 1.0)
+    assert(NgramJaccard.jaccard(loremBase, "a b c d e f") == 0.0)
+  }
+
+  test("ann: brute force finds planted nearest neighbor; lsh agrees on it") {
+    val rng = new scala.util.Random(5)
+    val base = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val nearly = base.clone(); nearly(0) += 0.01f
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1).toSeq)
+    } :+ (100L, base.toSeq) :+ (101L, nearly.toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor")).toMap
+    assert(bf(100L) == 101L && bf(101L) == 100L)
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", 1, bands = 16, bitsPerBand = 6).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor")).toMap
+    assert(lsh(100L) == 101L && lsh(101L) == 100L)
+  }
+
+  test("xxhash64 matches known reference vectors") {
+    // vectors verified against the public XXH64 spec (seed 0)
+    assert(graft.functions.Hashes.xxhash64("") == 0xEF46DB3751D8E999L)
+    assert(graft.functions.Hashes.xxhash64("a") == 0xD24EC4F1A98C6E5BL)
+    assert(graft.functions.Hashes.xxhash64("abc") == 0x44BC2CF5AD770999L)
+  }
+}
