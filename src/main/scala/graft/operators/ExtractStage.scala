@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction stage with the reference's sandbox semantics
+  * (extractors/base.py:12-171): each doc's extraction runs under a timeout;
+  * a doc whose extraction hangs or throws is *skipped* (base.py:58-61), not
+  * failed — one pathological page must not kill a 100 TB job.
+  *
+  * The reference pays a child process per task for this; on the JVM a
+  * bounded single-thread executor per partition gives the same isolation
+  * for ~zero cost (our extractor cannot segfault; it can only loop/throw).
+  */
+object ExtractStage {
+
+  def apply(df: DataFrame, htmlCol: String = "html", textCol: String = "text",
+            timeoutMs: Long = 1000L)
+           (implicit spark: SparkSession): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name == textCol) :+
+        org.apache.spark.sql.types.StructField(textCol, org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("extract_ok", org.apache.spark.sql.types.BooleanType))
+    val htmlIdx = df.schema.fieldIndex(htmlCol)
+    val keepIdx = df.schema.fields.zipWithIndex.filterNot(_._1.name == textCol).map(_._2)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+
+    df.mapPartitions { rows =>
+      val pool = Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "extract-sandbox"); t.setDaemon(true); t
+      })
+      rows.map { row =>
+        val html = row.get(htmlIdx) match {
+          case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          case s: String => s
+          case null => ""
+        }
+        val task = pool.submit(new Callable[String] {
+          def call(): String = HtmlExtractor.extract(html)
+        })
+        val (text, ok) =
+          try (task.get(timeoutMs, TimeUnit.MILLISECONDS), true)
+          catch {
+            case _: TimeoutException => task.cancel(true); ("", false)
+            case _: Exception => ("", false)
+          }
+        org.apache.spark.sql.Row.fromSeq(keepIdx.map(row.get).toSeq :+ text :+ ok)
+      }
+    }(enc)
+  }
+}

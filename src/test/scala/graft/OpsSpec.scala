@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators._
+import graft.streaming.StreamingQuality
+import graft.plans.Checkpoint
+import graft.sources.WebCorpusGen
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("html extractor: reference unit fixture (test_extractors.py:9)") {
+    assert(HtmlExtractor.extract(
+      "<html><body><article><p>Hello World!</p></article></body></html>") == "Hello World!")
+  }
+
+  test("html extractor: boilerplate stripped, comments ignored") {
+    val html = "<html><head><title>t</title></head><body><nav>home | about</nav>" +
+      "<!-- comment --><article><p>Keep this.</p><p>And this.</p></article>" +
+      "<footer>copyright</footer></body></html>"
+    assert(HtmlExtractor.extract(html) == "Keep this.\nAnd this.")
+  }
+
+  test("extract(html) == text invariant per url on the generated corpus") {
+    val rows = (0L until 300L).map(id => WebCorpusGen.genRow(id, WebCorpusGen.DefaultSeed))
+    for (r <- rows) {
+      val extracted = HtmlExtractor.extract(new String(r.html, "UTF-8"))
+      assert(extracted == r.text.split("\n").map(_.trim.replaceAll("\\s+", " ")).filter(_.nonEmpty).mkString("\n"),
+        s"mismatch for ${r.url}")
+    }
+  }
+
+  test("ExtractStage: extracts in parallel, times out pathological docs") {
+    val good = "<html><body><article><p>Good content here.</p></article></body></html>"
+    val df = Seq(
+      (1L, good.getBytes("UTF-8")),
+      (2L, "<p>Second doc fine.</p>".getBytes("UTF-8"))
+    ).toDF("id", "html")
+    val out = ExtractStage(df, "html", "text", timeoutMs = 2000).collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[String]("text"), r.getAs[Boolean]("extract_ok")))).toMap
+    assert(out(1L) == (("Good content here.", true)))
+    assert(out(2L) == (("Second doc fine.", true)))
+  }
+
+  test("Checkpoint: committed stage is not recomputed") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val ckpt = new Checkpoint(dir)
+    var computeCount = 0
+    def compute() = { computeCount += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val r1 = ckpt.stage("s1")(compute())
+    assert(r1.count() == 2 && computeCount == 1)
+    val r2 = ckpt.stage("s1")(compute())
+    assert(r2.count() == 2 && computeCount == 1) // skipped: already committed
+    assert(ckpt.isCommitted("s1"))
+    ckpt.writeMetrics("s1", Seq(("s1", 0, "", 2L)).toDF("stage", "partition_id", "drop_reason", "count"))
+    assert(spark.read.parquet(s"$dir/_metrics/s1").count() == 1)
+  }
+
+  test("streaming: pipeline runs incrementally over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WebPage]
+    val stages = Presets.forkDataCleaning(Seq("en"))
+    val result = StreamingQuality.run(mem.toDF(), stages)
+    val query = result.writeStream.format("memory").queryName("sq_out")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 100L).map(id => WebCorpusGen.genRow(id, 42L)) // all 100 kinds
+      mem.addData(rows.map(r => WebPage(r.url, r.warc_ts, r.html, r.text, r.lang)): _*)
+      query.processAllAvailable()
+      val out = spark.table("sq_out")
+      assert(out.count() == 100)
+      assert(out.filter("keep").count() > 0)
+      assert(out.filter("!keep").count() > 0)
+    } finally query.stop()
+  }
+
+  test("multimodal: stub feature extraction preserves schema + determinism") {
+    val rows = Seq(
+      (1L, "u1", "image", Array.tabulate(256)(_.toByte), 8, 8, 0L),
+      (2L, "u2", "video", Array.tabulate(1024)(i => (i * 7).toByte), 0, 0, 5000L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5, r._6, r._7))),
+      Multimodal.mediaSchema)
+    def collectFeats() = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getSeq[Float](r.fieldIndex("features")).toList).toMap
+    val feats = collectFeats()
+    assert(feats(1L).length == 16)
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5) // normalized histogram
+    assert(feats == collectFeats())
+    val frames = Multimodal.sampleFrames(df).collect()
+    assert(frames.length == 1 && frames(0).getSeq[Array[Byte]](frames(0).fieldIndex("frames")).length == 4)
+  }
+
+  test("perplexity op: broadcast model annotates a column") {
+    val arpa = "\\data\\\nngram 1=3\n\n\\1-grams:\n-1.0\t<unk>\n-0.5\t<s>\t-0.3\n-0.5\t</s>\n\n\\end\\\n"
+    val model = graft.functions.ArpaModel.parse(arpa)
+    val df = Seq((1L, "some text"), (2L, "more words here")).toDF("id", "text")
+    val out = PerplexityOp.annotate(df, "text", model).collect()
+    assert(out.forall(_.getAs[Double]("perplexity") > 0))
+  }
+}
