@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local-cluster[...] worker JVMs resolve their classpath via SPARK_HOME;
+// without SPARK_SCALA_VERSION the launcher scans for build dirs and dies.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -23,7 +23,7 @@ object Bench {
   def ensureCorpus(spark: SparkSession, rows: Long): String = {
     val path = s"/tmp/graft_corpus_$rows"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      WebCorpusGen.generate(spark, rows, partitions = 64)
+      WebCorpusGen.generate(spark, rows, partitions = 256)
         .write.mode("overwrite").parquet(path)
     }
     path
@@ -52,6 +52,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // CPU-bound text kernels: ~100 docs/ms/core means a 128 MB split is
+      // minutes of work — size read splits small so task count ≥ cores
+      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (768 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

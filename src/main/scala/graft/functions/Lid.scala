@@ -84,37 +84,62 @@ object HeuristicLid extends Lid {
     'ß' -> Map("de" -> 1.5))
 
   val languages: Seq[String] = Seq("en", "fr", "pt", "it", "es", "de", "zh")
+  private val langIndex: Map[String, Int] = languages.zipWithIndex.toMap
 
-  override def predict(text0: String): (String, Double, Map[String, Double]) = {
-    val text = text0.replace("\n", " ")
-    val scores = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+  // one combined lookup per word: word → packed (langIdx, weight) pairs
+  private val combinedProfiles: java.util.HashMap[String, Array[(Int, Double)]] = {
+    val m = new java.util.HashMap[String, Array[(Int, Double)]]()
+    val all = profiles.toSeq.flatMap { case (lang, p) =>
+      p.toSeq.map { case (w, wt) => (w, langIndex(lang), wt) }
+    }
+    all.groupBy(_._1).foreach { case (w, entries) =>
+      m.put(w, entries.map(e => (e._2, e._3)).toArray)
+    }
+    m
+  }
 
-    // CJK evidence → zh
+  override def predict(text: String): (String, Double, Map[String, Double]) = {
+    val scores = new Array[Double](languages.length)
+
+    // char evidence (accents → romance/german; CJK → zh); ASCII fast path
     var cjk = 0
     var total = 0
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (!PyText.pyIsSpace(c)) {
+      if (c < 0x80) {
+        if (!PyText.pyIsSpace(c)) total += 1
+      } else if (!PyText.pyIsSpace(c)) {
         total += 1
         if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3400 && c <= 0x4dbf)) cjk += 1
         val ev = charEvidence.getOrElse(Character.toLowerCase(c), null)
-        if (ev != null) ev.foreach { case (l, w) => scores(l) += w }
+        if (ev != null) ev.foreach { case (l, w) => scores(langIndex(l)) += w }
       }
       i += 1
     }
-    if (total > 0 && cjk > 0) scores("zh") += cjk.toDouble / total * 40.0
+    if (total > 0 && cjk > 0) scores(langIndex("zh")) += cjk.toDouble / total * 40.0
 
-    val words = Tokenizer.words(PyText.pyLower(text))
-    for (w <- words; (lang, profile) <- profiles; weight <- profile.get(w))
-      scores(lang) += weight
+    // marker-word evidence over lowercased tokens (newlines are token
+    // separators either way, matching predict(text.replace("\n"," ")))
+    val words = Tokenizer.words(text)
+    i = 0
+    while (i < words.length) {
+      val hits = combinedProfiles.get(PyText.pyLower(words(i)))
+      if (hits != null) {
+        var j = 0
+        while (j < hits.length) { scores(hits(j)._1) += hits(j)._2; j += 1 }
+      }
+      i += 1
+    }
 
-    val sum = scores.values.sum
+    var sum = 0.0
+    i = 0
+    while (i < scores.length) { sum += scores(i); i += 1 }
     if (sum <= 0) {
       // no evidence: mimic fastText's low-confidence fallback
       ("en", 0.0, Map("en" -> 0.0))
     } else {
-      val normalized = scores.map { case (l, s) => l -> s / sum }.toMap
+      val normalized = languages.zipWithIndex.map { case (l, k) => l -> scores(k) / sum }.toMap
       val (bestLang, bestScore) = normalized.maxBy { case (l, s) => (s, l) }
       (bestLang, bestScore, normalized)
     }

@@ -37,8 +37,9 @@ object GopherQualityFilter {
   val StopWords: Set[String] =
     Set("the", "be", "to", "of", "and", "that", "have", "with")
 
-  def check(text: String, cfg: GopherQualityConfig = GopherQualityConfig()): Option[String] = {
-    val words = Tokenizer.words(text)
+  def check(text: String, cfg: GopherQualityConfig = GopherQualityConfig(),
+            tokenize: String => Array[String] = Tokenizer.words): Option[String] = {
+    val words = tokenize(text)
     val nWords = words.length
 
     val nonSymbolWords = Tokenizer.nonSymbolWords(words)
@@ -111,7 +112,8 @@ object GopherRepetitionFilter {
   val ForkDupNGrams: Seq[(Int, Double)] =
     Seq(5 -> 0.25, 6 -> 0.23, 7 -> 0.20, 8 -> 0.19, 9 -> 0.18, 10 -> 0.17)
 
-  def check(text: String, cfg: GopherRepetitionConfig = GopherRepetitionConfig()): Option[String] = {
+  def check(text: String, cfg: GopherRepetitionConfig = GopherRepetitionConfig(),
+            tokenize: String => Array[String] = Tokenizer.words): Option[String] = {
     val paragraphs = ParaExp.split(PyText.pyStrip(text), -1)
     val (paraDup, paraDupChars) = TextKernels.findDuplicates(paragraphs)
     if (cfg.dupParaFrac.exists(f => paraDup.toDouble / paragraphs.length > f))
@@ -126,19 +128,25 @@ object GopherRepetitionFilter {
     if (cfg.dupLineCharFrac.exists(f => lineDupChars.toDouble / text.length > f))
       return Some("dup_line_char_frac")
 
-    // n-gram rules run on the preprocessed text (fork, utils/text.py:320)
-    val pText = TextKernels.preprocessForRepetition(text)
-    val words = Tokenizer.words(pText)
+    // n-gram rules run on the preprocessed text (fork, utils/text.py:320);
+    // FastRepetition = hash-windowed kernels, semantics-equivalent to the
+    // reference's string scans (see FastRepetitionSpec)
+    // fast path: when the preprocess is the identity, reuse the caller's
+    // (possibly memoized) tokenization of the raw text
+    val pText =
+      if (TextKernels.repetitionPreprocessIsIdentity(text)) text
+      else TextKernels.preprocessForRepetition(text)
+    val words = tokenize(pText)
+    val reps = new graft.text.FastRepetition.Reps(words)
 
     for ((n, frac) <- cfg.topNGrams) {
-      val nGrams = TextKernels.getNGrams(words, n)
-      if (nGrams.nonEmpty) {
-        val topLen = TextKernels.findTopDuplicate(nGrams)
+      if (words.length - n + 1 > 0) {
+        val topLen = reps.findTopDuplicate(n)
         if (topLen.toDouble / pText.length > frac) return Some("top_n_gram")
       }
     }
     for ((n, frac) <- cfg.dupNGrams) {
-      val dupChars = TextKernels.findAllDuplicate(words, n)
+      val dupChars = reps.findAllDuplicate(n)
       if (dupChars.toDouble / pText.length > frac) return Some("duplicated_n_grams")
     }
     None
@@ -222,7 +230,8 @@ final case class FineWebQualityConfig(
     newLineRatio: Double = 0.3)
 
 object FineWebQualityFilter {
-  def check(text: String, cfg: FineWebQualityConfig = FineWebQualityConfig()): Option[String] = {
+  def check(text: String, cfg: FineWebQualityConfig = FineWebQualityConfig(),
+            tokenize: String => Array[String] = Tokenizer.words): Option[String] = {
     val lines = text.split("\n", -1).filter(l => PyText.pyStrip(l).nonEmpty)
     if (lines.isEmpty) return Some("empty")
 
@@ -239,7 +248,7 @@ object FineWebQualityFilter {
     val denom = text.replace("\n", "").length
     if (dupChars.toDouble / denom > cfg.charDuplicatesRatio) return Some("char_dup_ratio")
 
-    val nWords = Tokenizer.words(text).length
+    val nWords = tokenize(text).length
     val newLines = PyText.pyCount(text, "\n")
     if (newLines.toDouble / nWords > cfg.newLineRatio) return Some("list_ratio")
     None

@@ -155,6 +155,8 @@ object MinhashDedup {
     * (follow your label's label) halves the remaining distance — so rounds
     * ≈ log2(component diameter). Returns (doc, cluster). */
   def components(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    if (edges.isEmpty) // no duplicate pairs at all — skip the whole loop
+      return edges.select(col("doc"), col("rep").as("cluster"))
     val und = edges.select(col("doc").as("u"), col("rep").as("v"))
       .union(edges.select(col("rep").as("u"), col("doc").as("v")))
       .cache()

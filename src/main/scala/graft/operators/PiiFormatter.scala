@@ -86,7 +86,17 @@ final class PiiScrubber(
   def scrub(text0: String): String = {
     if (resetPerDoc) { emailI = 0; ipI = 0 }
     var text = text0
-    if (removeEmails) {
+    // cheap exact prechecks: the email pattern requires a literal '@', the
+    // IP pattern an ASCII digit — most clean docs skip both regex scans
+    val hasAt = text0.indexOf('@') >= 0
+    var hasDigit = false
+    var ci = 0
+    while (!hasDigit && ci < text0.length) {
+      val c = text0.charAt(ci)
+      if (c >= '0' && c <= '9') hasDigit = true
+      ci += 1
+    }
+    if (removeEmails && hasAt) {
       val m = PiiFormatter.EmailRegex.matcher(text)
       val sb = new java.lang.StringBuilder()
       while (m.find()) {
@@ -97,7 +107,7 @@ final class PiiScrubber(
       m.appendTail(sb)
       text = sb.toString
     }
-    if (removeIps) {
+    if (removeIps && hasDigit) {
       val m = PiiFormatter.IpRegex.matcher(text)
       val sb = new java.lang.StringBuilder()
       while (m.find()) {

@@ -29,6 +29,19 @@ final class StageContext(val partitionId: Int, cfg: PipelineConfig) {
     resetPerDoc = cfg.piiResetPerDoc)
   lazy val samplerRng = new java.util.Random(cfg.samplerSeed + partitionId)
   lazy val badwordsRng = new java.util.Random(cfg.badwordsSeed + partitionId)
+
+  // Memoized tokenization: several stages tokenize the *same* doc.text
+  // (Gopher quality, FineWeb, token counter). One entry suffices — a stage
+  // that rewrites text (C4) naturally invalidates it by identity.
+  private var lastText: String = null
+  private var lastWords: Array[String] = null
+  def words(text: String): Array[String] = {
+    if (!(text eq lastText)) {
+      lastWords = graft.text.Tokenizer.words(text)
+      lastText = text
+    }
+    lastWords
+  }
 }
 
 /** One pipeline step: pure per-doc transform (+ partition context for
@@ -134,10 +147,12 @@ object Stages {
     }
 
   def gopherRepetition(cfg: GopherRepetitionConfig = GopherRepetitionConfig()): DocStage =
-    DocStage.filter("gopher_repetition") { (d, _) => GopherRepetitionFilter.check(d.text, cfg) }
+    DocStage.filter("gopher_repetition") { (d, ctx) =>
+      GopherRepetitionFilter.check(d.text, cfg, ctx.words) }
 
   def gopherQuality(cfg: GopherQualityConfig = GopherQualityConfig()): DocStage =
-    DocStage.filter("gopher_quality") { (d, _) => GopherQualityFilter.check(d.text, cfg) }
+    DocStage.filter("gopher_quality") { (d, ctx) =>
+      GopherQualityFilter.check(d.text, cfg, ctx.words) }
 
   /** C4 quality — rewrites text to the kept lines (c4_filters.py:135). */
   def c4Quality(cfg: C4QualityConfig = C4QualityConfig()): DocStage = new DocStage {
@@ -172,7 +187,8 @@ object Stages {
   }
 
   def fineWebQuality(cfg: FineWebQualityConfig = FineWebQualityConfig()): DocStage =
-    DocStage.filter("fineweb_quality") { (d, _) => FineWebQualityFilter.check(d.text, cfg) }
+    DocStage.filter("fineweb_quality") { (d, ctx) =>
+      FineWebQualityFilter.check(d.text, cfg, ctx.words) }
 
   def urlFilter(uf: UrlFilter): DocStage =
     DocStage.filter("url_filter") { (d, _) => uf.check(d.url) }
@@ -205,7 +221,7 @@ object Stages {
   def tokensCounter: DocStage = new DocStage {
     val name = "tokens_counter"
     def process(doc: PipeDoc, ctx: StageContext): PipeDoc =
-      doc.copy(token_count = Tokenizer.words(doc.text).length.toLong)
+      doc.copy(token_count = ctx.words(doc.text).length.toLong)
   }
 
   /** formatters/pii.py — scrub emails + public IPs, stateful rotation per

@@ -28,18 +28,78 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Exact top-k neighbors per row (self-join). Returns
-    * (idCol, neighbor, cosine, rank). */
+  /** dot(a,b)/(na*nb) with precomputed norms — the norms are computed once
+    * per row (not per pair) and the left-to-right double accumulation stays
+    * bit-identical to the oracle's per-pair formula. */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def normCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sqrt(aggregate(transform(v.cast("array<double>"), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Exact top-k neighbors per row. Physical strategy: broadcast the
+    * (small) candidate side as primitive float arrays and scan it per
+    * query row inside mapPartitions with a bounded top-k heap — the same
+    * block-broadcast pattern MLlib uses for BLAS-style ops. A crossJoin
+    * materializes n² wide rows; this computes the identical cosine
+    * (ordered double accumulation, /(qn·nn)) at memory cost O(n·d).
+    * Returns (idCol, neighbor, cosine, rank). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val left = df.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
-    val right = df.select(col(idCol).as("neighbor"), col(vecCol).as("__nv"))
-    val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
-    left.crossJoin(right)
-      .where(col("__qid") =!= col("neighbor"))
-      .withColumn("cosine", cosine(col("__qv"), col("__nv")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items: Array[(Long, Array[Float])] = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(items)
+    val kk = k
+
+    val queries = df.select(col(idCol).cast("long").as("__qid"), col(vecCol).cast("array<float>").as("__qv"))
+      .as[(Long, Seq[Float])]
+    queries.mapPartitions { it =>
+      val cand = bc.value
+      val norms = cand.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      it.flatMap { case (qid, qv0) =>
+        val qv = qv0.toArray
+        var qn = 0.0
+        var i = 0
+        while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        val qnorm = math.sqrt(qn)
+        // bounded selection: keep the kk best (cosine desc, neighbor asc)
+        val best = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by { case (c, id) => (-c, id) }) // worst-first
+        var j = 0
+        while (j < cand.length) {
+          val (nid, nv) = cand(j)
+          if (nid != qid) {
+            var dot = 0.0
+            var d = 0
+            val len = math.min(qv.length, nv.length)
+            while (d < len) { dot += qv(d).toDouble * nv(d).toDouble; d += 1 }
+            val cos = dot / (qnorm * norms(j))
+            if (best.size < kk) best.enqueue((cos, nid))
+            else {
+              val (wc, wid) = best.head
+              if (cos > wc || (cos == wc && nid < wid)) { best.dequeue(); best.enqueue((cos, nid)) }
+            }
+          }
+          j += 1
+        }
+        best.toArray.sortBy { case (c, id) => (-c, id) }.zipWithIndex.map {
+          case ((c, nid), rank) => (qid, nid, c, rank + 1)
+        }
+      }
+    }.toDF(idCol, "neighbor", "cosine", "rank")
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes from a seed. */
@@ -93,18 +153,19 @@ object Similarity {
 
     val bucketed = df
       .select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
+        normCol(col(vecCol)).as("__qn"),
         explode(bucketUdf(col(vecCol))).as("__bucket"))
 
     val candidates = bucketed.as("a")
       .join(bucketed.as("b"), col("a.__bucket") === col("b.__bucket"))
       .where(col("a.__qid") =!= col("b.__qid"))
-      .select(col("a.__qid").as("__qid"), col("a.__qv").as("__qv"),
-        col("b.__qid").as("neighbor"), col("b.__qv").as("__nv"))
+      .select(col("a.__qid").as("__qid"), col("a.__qv").as("__qv"), col("a.__qn").as("__qn"),
+        col("b.__qid").as("neighbor"), col("b.__qv").as("__nv"), col("b.__qn").as("__nn"))
       .dropDuplicates("__qid", "neighbor")
 
     val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
     candidates
-      .withColumn("cosine", cosine(col("__qv"), col("__nv")))
+      .withColumn("cosine", dotUdf(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))

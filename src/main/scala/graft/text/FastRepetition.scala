@@ -1,0 +1,206 @@
+package graft.text
+
+/** Allocation-free reimplementations of the repetition kernels.
+  *
+  * Semantics identical to TextKernels.findAllDuplicate / findTopDuplicate
+  * over get_n_grams (verified by a randomized equivalence spec): window
+  * equality is *joined-string* equality, so windows are compared as
+  * substrings of the joined master string via 128-bit (dual 64-bit)
+  * polynomial prefix hashes — O(1) per window instead of building and
+  * hashing a String per window. This is the hot kernel of the whole filter
+  * chain (6 dup-n passes + 3 top-n passes per doc).
+  */
+object FastRepetition {
+
+  private val B1 = 1000003L
+  private val B2 = 0x100000001b3L
+
+  /** Char-prefix dual hashes + positions of a master string. */
+  final class PrefixHashes(master: String) {
+    val n: Int = master.length
+    val h1 = new Array[Long](n + 1)
+    val h2 = new Array[Long](n + 1)
+    val p1 = new Array[Long](n + 1)
+    val p2 = new Array[Long](n + 1)
+    locally {
+      p1(0) = 1L; p2(0) = 1L
+      var i = 0
+      while (i < n) {
+        val c = master.charAt(i).toLong
+        h1(i + 1) = h1(i) * B1 + c
+        h2(i + 1) = h2(i) * B2 + c
+        p1(i + 1) = p1(i) * B1
+        p2(i + 1) = p2(i) * B2
+        i += 1
+      }
+    }
+    /** dual hash of master[a,b) */
+    @inline def hash1(a: Int, b: Int): Long = h1(b) - h1(a) * p1(b - a)
+    @inline def hash2(a: Int, b: Int): Long = h2(b) - h2(a) * p2(b - a)
+  }
+
+  /** Open-addressing set of 128-bit keys (two longs). */
+  private final class PairSet(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var k1 = new Array[Long](cap)
+    private var k2 = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var size = 0
+
+    /** returns true if newly added, false if already present */
+    def add(a: Long, b: Long): Boolean = {
+      if (size * 2 >= cap) grow()
+      var idx = mix(a, b) & (cap - 1)
+      while (used(idx)) {
+        if (k1(idx) == a && k2(idx) == b) return false
+        idx = (idx + 1) & (cap - 1)
+      }
+      used(idx) = true; k1(idx) = a; k2(idx) = b; size += 1
+      true
+    }
+
+    private def grow(): Unit = {
+      val ok1 = k1; val ok2 = k2; val ou = used
+      cap <<= 1
+      k1 = new Array[Long](cap); k2 = new Array[Long](cap); used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ou.length) {
+        if (ou(i)) {
+          var idx = mix(ok1(i), ok2(i)) & (cap - 1)
+          while (used(idx)) idx = (idx + 1) & (cap - 1)
+          used(idx) = true; k1(idx) = ok1(i); k2(idx) = ok2(i)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Open-addressing 128-bit-key counter preserving first-insert order. */
+  private final class PairCounter(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var k1 = new Array[Long](cap)
+    private var k2 = new Array[Long](cap)
+    private var cnt = new Array[Int](cap)
+    private var ord = new Array[Int](cap)
+    private var len = new Array[Int](cap)
+    private var size = 0
+    private var nextOrd = 0
+
+    def addOcc(a: Long, b: Long, charLen: Int): Unit = {
+      if (size * 2 >= cap) grow()
+      var idx = mix(a, b) & (cap - 1)
+      while (cnt(idx) != 0) {
+        if (k1(idx) == a && k2(idx) == b) { cnt(idx) += 1; return }
+        idx = (idx + 1) & (cap - 1)
+      }
+      k1(idx) = a; k2(idx) = b; cnt(idx) = 1; ord(idx) = nextOrd; len(idx) = charLen
+      nextOrd += 1; size += 1
+    }
+
+    /** len × count of the most frequent key; first-inserted wins ties
+      * (Counter.most_common insertion-order stability). */
+    def topProduct: Int = {
+      var bestCount = -1
+      var bestOrd = Int.MaxValue
+      var bestLen = 0
+      var i = 0
+      while (i < cap) {
+        if (cnt(i) != 0 &&
+            (cnt(i) > bestCount || (cnt(i) == bestCount && ord(i) < bestOrd))) {
+          bestCount = cnt(i); bestOrd = ord(i); bestLen = len(i)
+        }
+        i += 1
+      }
+      if (bestCount <= 0) 0 else bestLen * bestCount
+    }
+
+    private def grow(): Unit = {
+      val ok1 = k1; val ok2 = k2; val oc = cnt; val oo = ord; val ol = len
+      cap <<= 1
+      k1 = new Array[Long](cap); k2 = new Array[Long](cap)
+      cnt = new Array[Int](cap); ord = new Array[Int](cap); len = new Array[Int](cap)
+      var i = 0
+      while (i < oc.length) {
+        if (oc(i) != 0) {
+          var idx = mix(ok1(i), ok2(i)) & (cap - 1)
+          while (cnt(idx) != 0) idx = (idx + 1) & (cap - 1)
+          k1(idx) = ok1(i); k2(idx) = ok2(i); cnt(idx) = oc(i); ord(idx) = oo(i); len(idx) = ol(i)
+        }
+        i += 1
+      }
+    }
+  }
+
+  @inline private def mix(a: Long, b: Long): Int = {
+    var z = a * 0x9e3779b97f4a7c15L + b
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    (z ^ (z >>> 27)).toInt
+  }
+
+  /** Word-start offsets of words within an unspaced master (no separator). */
+  private def offsetsUnspaced(words: Array[String]): Array[Int] = {
+    val off = new Array[Int](words.length + 1)
+    var i = 0
+    while (i < words.length) { off(i + 1) = off(i) + words(i).length; i += 1 }
+    off
+  }
+
+  /** Word-start offsets within a single-space-joined master. */
+  private def offsetsSpaced(words: Array[String]): Array[Int] = {
+    val off = new Array[Int](words.length + 1)
+    var i = 0
+    while (i < words.length) { off(i + 1) = off(i) + words(i).length + 1; i += 1 }
+    off
+  }
+
+  /** Shared per-text state reused across all n values. */
+  final class Reps(words: Array[String]) {
+    val unspacedMaster: String = {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < words.length) { sb.append(words(i)); i += 1 }
+      sb.toString
+    }
+    val spacedMaster: String = words.mkString(" ")
+    val offU: Array[Int] = offsetsUnspaced(words)
+    val offS: Array[Int] = offsetsSpaced(words)
+    val phU = new PrefixHashes(unspacedMaster)
+    val phS = new PrefixHashes(spacedMaster)
+    val nWords: Int = words.length
+
+    /** find_all_duplicate (gopher_repetition_filter.py:57-70): sequential
+      * non-overlapping duplicate n-gram scan, skip n on hit. */
+    def findAllDuplicate(n: Int): Int = {
+      val limit = nWords - n + 1
+      if (limit <= 0) return 0
+      val seen = new PairSet(limit)
+      var repeatedChars = 0
+      var idx = 0
+      while (idx < limit) {
+        val a = offU(idx)
+        val b = offU(idx + n)
+        if (!seen.add(phU.hash1(a, b), phU.hash2(a, b))) {
+          repeatedChars += b - a
+          idx += n
+        } else idx += 1
+      }
+      repeatedChars
+    }
+
+    /** find_top_duplicate over " ".join n-grams: len(top)*count, ties to
+      * first inserted; 0 when there are no n-grams. */
+    def findTopDuplicate(n: Int): Int = {
+      val limit = nWords - n + 1
+      if (limit <= 0) return 0
+      val counter = new PairCounter(limit)
+      var idx = 0
+      while (idx < limit) {
+        val a = offS(idx)
+        val b = offS(idx + n) - 1 // drop trailing separator
+        counter.addOcc(phS.hash1(a, b), phS.hash2(a, b), b - a)
+        idx += 1
+      }
+      counter.topProduct
+    }
+  }
+}

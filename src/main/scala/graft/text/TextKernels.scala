@@ -127,6 +127,34 @@ object TextKernels {
   private val SpaceRuns = Pattern.compile(" +")
   private val ListMarkers = "+-*\u2022 "
 
+  /** True when preprocess_for_repetition would return `text` unchanged —
+    * no '|' or "<br>", no "digits. " enumerations, no line-leading list
+    * markers, no multi-space runs. One scan; lets the hot path reuse the
+    * shared tokenization of the raw text. */
+  def repetitionPreprocessIsIdentity(text: String): Boolean = {
+    var i = 0
+    val n = text.length
+    var atLineStart = true
+    var prevSpace = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '|') return false
+      if (c == '<' && text.startsWith("br>", i + 1)) return false
+      if (atLineStart && (c == '+' || c == '-' || c == '*' || c == '•' || c == ' '))
+        return false
+      // "\d+\.\s+" — digit(s) '.' unicode-whitespace (Nd digits, like \d)
+      if (Character.isDigit(c) && i + 1 < n && text.charAt(i + 1) == '.' &&
+          i + 2 < n && PyText.pyIsSpace(text.charAt(i + 2))) return false
+      if (c == ' ') {
+        if (prevSpace) return false
+        prevSpace = true
+      } else prevSpace = false
+      atLineStart = PyText.isLineBreak(c)
+      i += 1
+    }
+    true
+  }
+
   /** preprocess_for_repetition (utils/text.py:320-328). */
   def preprocessForRepetition(text0: String): String = {
     var text = text0.replace("|", " ").replace("<br>", "\n")
