@@ -198,6 +198,51 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("source"))
         .limit(10)
+    }),
+    "decont" -> ((s, dir) => {
+      // n-gram decontamination: docs with doc_id%50==0 act as the
+      // "benchmark"; any doc sharing a 12-gram is contaminated
+      implicit val sp: SparkSession = s
+      val docs = documents(s, dir)
+      val index = DecontFilter.buildIndex(
+        docs.where(col("doc_id") % 50 === 0), "text", DecontConfig(12))
+      DecontFilter(docs, index, "text", DecontConfig(12))
+        .select("doc_id", "decont_keep").orderBy("doc_id")
+    }),
+    "hard_sampler" -> ((s, dir) => {
+      // top-score docs up to a token budget (eta_dacp hard sampler)
+      documents(s, dir)
+        .withColumn("score", col("doc_id"))
+        .withColumn("tokens", tokenCountUdf(col("text")))
+        .transform(df => Sampling.hardTopByTokens(df, "score", "tokens", 5000L))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "cdf_sampler" -> ((s, dir) => {
+      // CDF sampling probabilities (quantized; the Bernoulli draw itself is
+      // engine-seeded and not comparable)
+      documents(s, dir)
+        .withColumn("score", col("doc_id"))
+        .withColumn("tokens", tokenCountUdf(col("text")))
+        .transform(df => Sampling.cdfSample(df, "score", "tokens", 0.2, 0.5))
+        .select(col("doc_id"), floor(col("sample_p") * 1000000).cast("long").as("p_q"))
+        .orderBy("doc_id")
+    }),
+    "fingerprint" -> ((s, dir) => {
+      // 64-bit content fingerprints (engine-specific hash; rows-only)
+      val fpUdf = udf { t: String => graft.functions.Fingerprint.contentHash(t) }
+      documents(s, dir).select(col("doc_id"), fpUdf(col("text")).as("fp")).orderBy("doc_id")
+    }),
+    "bloom_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      BloomDedup(documents(s, dir).coalesce(1).sortWithinPartitions("doc_id"),
+          "doc_id", "text", BloomDedupConfig(nGrams = 5))
+        .select("doc_id", "bloom_keep").orderBy("doc_id")
+    }),
+    "symbol_lines" -> ((s, dir) => {
+      // symbol-only-line collapse; identity on this corpus — the oracle
+      // checks exactly that
+      val fmtUdf = udf { t: String => new SymbolLinesFormatter().format(t) }
+      documents(s, dir).select(col("doc_id"), fmtUdf(col("text")).as("formatted")).orderBy("doc_id")
     })
   )
 
@@ -285,6 +330,52 @@ FROM events GROUP BY event_type ORDER BY event_type""",
 FROM events GROUP BY 1 ORDER BY bucket""",
     "top_sources" ->
       """SELECT source, count(*) AS n FROM documents
-GROUP BY source ORDER BY n DESC, source ASC LIMIT 10"""
+GROUP BY source ORDER BY n DESC, source ASC LIMIT 10""",
+    "decont" ->
+      """WITH w AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS words FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-11),
+    i -> array_to_string(words[i:i+11], ' '))) AS gram
+  FROM w WHERE len(words) >= 12
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+)
+SELECT d.doc_id, (c.doc_id IS NULL) AS decont_keep
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id""",
+    "hard_sampler" ->
+      """WITH t AS (
+  SELECT doc_id, doc_id AS score,
+    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, tokens,
+    sum(tokens) OVER (ORDER BY score DESC, tokens ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM t
+)
+SELECT doc_id FROM r WHERE running - tokens < 5000 ORDER BY doc_id""",
+    "cdf_sampler" ->
+      """WITH t AS (
+  SELECT doc_id, doc_id AS score,
+    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, tokens,
+    sum(tokens) OVER (ORDER BY score DESC, tokens ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+    (SELECT sum(tokens) FROM t) AS total
+  FROM t
+)
+SELECT doc_id,
+  CAST(floor(
+    CASE WHEN running / CAST(total AS DOUBLE) <= 0.2 THEN 1.0
+         ELSE 0.5 * (1.0 - running / CAST(total AS DOUBLE) + 0.2) END * 1000000) AS BIGINT) AS p_q
+FROM r ORDER BY doc_id""",
+    "symbol_lines" ->
+      """SELECT doc_id, text AS formatted FROM documents ORDER BY doc_id"""
   )
 }

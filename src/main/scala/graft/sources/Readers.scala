@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source readers (readers/ in the reference). Spark-native: every format
+  * maps to a DataFrameReader; the reference's rank-sharding
+  * (`files[rank::world_size]`, io.py:164) is Spark partitioning, its
+  * `adapter` (readers/base.py:49-76) is a column mapping, its
+  * `limit`/`skip` are limit/offset.
+  *
+  * Common output contract: (id, text, url?, …passthrough) — `id` defaults
+  * to `f"{path}/{row_in_file}"` like readers/base.py:73.
+  */
+object Readers {
+
+  /** Column adapter: rename/select into the engine's expected columns. */
+  final case class Adapter(
+      textCol: String = "text",
+      idCol: Option[String] = None, // None → synthesize path-based id
+      extra: Map[String, String] = Map.empty) // outputName → inputExpr
+
+  private def withId(df: DataFrame, adapter: Adapter): DataFrame = {
+    val base = adapter.idCol match {
+      case Some(c) => df.withColumn("id", col(c).cast("string"))
+      case None =>
+        // readers/base.py:73 — id = f"{path}/{id_in_file}"
+        df.withColumn("__f", input_file_name())
+          .withColumn("id", concat(col("__f"), lit("/"),
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("__f").orderBy(monotonically_increasing_id())) - 1).cast("string")))
+          .drop("__f")
+    }
+    val renamed =
+      if (adapter.textCol == "text") base
+      else base.withColumnRenamed(adapter.textCol, "text")
+    adapter.extra.foldLeft(renamed) { case (d, (out, in)) => d.withColumn(out, expr(in)) }
+  }
+
+  /** readers/jsonl.py — JSONL with inferred gzip/zstd compression. */
+  def jsonl(spark: SparkSession, path: String, adapter: Adapter = Adapter(),
+            limit: Int = -1): DataFrame = {
+    val df = spark.read.json(path)
+    val adapted = withId(df, adapter)
+    if (limit > 0) adapted.limit(limit) else adapted
+  }
+
+  /** readers/parquet.py — column pruning is Catalyst's job. */
+  def parquet(spark: SparkSession, path: String, adapter: Adapter = Adapter(),
+              limit: Int = -1): DataFrame = {
+    val df = spark.read.parquet(path)
+    val adapted = withId(df, adapter)
+    if (limit > 0) adapted.limit(limit) else adapted
+  }
+
+  /** readers/csv.py — header-based CSV. */
+  def csv(spark: SparkSession, path: String, adapter: Adapter = Adapter(),
+          limit: Int = -1): DataFrame = {
+    val df = spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+    val adapted = withId(df, adapter)
+    if (limit > 0) adapted.limit(limit) else adapted
+  }
+
+  /** readers/warc.py mapping: binaryFile read + per-partition WARC record
+    * parse (headers + body), keeping `response` records with an html/xhtml
+    * content type. Charset handling is UTF-8-with-fallback (the reference
+    * uses cchardet detection; divergence documented — our boundary table
+    * normally carries html already, SURVEY.md §2.2). */
+  def warc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, bytes) => WarcParser.parse(p, bytes) }
+      }
+      .toDF()
+  }
+}
+
+/** Minimal WARC/1.x parser: splits records on WARC/ version lines, reads
+  * headers, extracts HTTP response bodies of html content types. */
+object WarcParser {
+  final case class WarcDoc(id: String, url: String, warc_date: String, html: Array[Byte])
+
+  def parse(path: String, bytes: Array[Byte]): Iterator[WarcDoc] = {
+    val data =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        gunzip(bytes)
+      else bytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcDoc]
+    var pos = 0
+    var recIdx = 0
+    while (pos >= 0 && pos < data.length) {
+      val start = indexOf(data, "WARC/".getBytes, pos)
+      if (start < 0) { pos = -1 }
+      else {
+        val headerEnd = indexOf(data, "\r\n\r\n".getBytes, start)
+        if (headerEnd < 0) { pos = -1 }
+        else {
+          val headers = parseHeaders(new String(data, start, headerEnd - start, "ISO-8859-1"))
+          val len = headers.getOrElse("content-length", "0").trim.toInt
+          val bodyStart = headerEnd + 4
+          val bodyEnd = math.min(data.length, bodyStart + len)
+          if (headers.getOrElse("warc-type", "") == "response") {
+            // skip the HTTP response header block inside the body
+            val httpEnd = indexOf(data, "\r\n\r\n".getBytes, bodyStart)
+            val contentStart = if (httpEnd >= 0 && httpEnd < bodyEnd) httpEnd + 4 else bodyStart
+            val httpHeaders = new String(data, bodyStart,
+              math.max(0, contentStart - bodyStart), "ISO-8859-1").toLowerCase
+            if (httpHeaders.contains("text/html") || httpHeaders.contains("application/xhtml+xml")) {
+              out += WarcDoc(
+                id = headers.getOrElse("warc-record-id", s"$path/$recIdx"),
+                url = headers.getOrElse("warc-target-uri", ""),
+                warc_date = headers.getOrElse("warc-date", ""),
+                html = java.util.Arrays.copyOfRange(data, contentStart, bodyEnd))
+            }
+          }
+          recIdx += 1
+          pos = bodyEnd
+        }
+      }
+    }
+    out.iterator
+  }
+
+  private def parseHeaders(block: String): Map[String, String] =
+    block.split("\r\n").drop(1).flatMap { line =>
+      val i = line.indexOf(':')
+      if (i > 0) Some(line.substring(0, i).toLowerCase.trim -> line.substring(i + 1).trim)
+      else None
+    }.toMap
+
+  private def indexOf(haystack: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    val limit = haystack.length - needle.length
+    while (i <= limit) {
+      var j = 0
+      while (j < needle.length && haystack(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+}

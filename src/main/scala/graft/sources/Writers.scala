@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (writers/ in the reference). The DiskWriter's `${metadata}`
+  * filename templating (writers/disk_base.py:15-181) maps to partitionBy
+  * columns; max_file_size rotation maps to maxRecordsPerFile. */
+object Writers {
+
+  /** writers/jsonl.py — JSON lines + gzip. */
+  def jsonl(df: DataFrame, path: String, gzip: Boolean = true,
+            maxRecordsPerFile: Long = 0, partitionBy: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite)
+    if (gzip) w = w.option("compression", "gzip")
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.json(path)
+  }
+
+  /** writers/parquet.py — snappy parquet (the primary sink). */
+  def parquet(df: DataFrame, path: String,
+              maxRecordsPerFile: Long = 0, partitionBy: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite)
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.parquet(path)
+  }
+
+  /** The exclusion-writer pattern (filters/base_filter.py:62-83): one pass
+    * computes (keep, drop_reason); kept rows go to `outPath`, dropped rows
+    * to `quarantinePath` partitioned by drop reason (the reference's
+    * "${filter_reason}/${rank}.jsonl" templating). Caching the input of the
+    * two writes avoids recomputing the filter chain. */
+  def withQuarantine(result: DataFrame, outPath: String, quarantinePath: String,
+                     keepCol: String = "keep", reasonCol: String = "drop_reason"): Unit = {
+    val cached = result.cache()
+    try {
+      parquet(cached.where(col(keepCol)).drop(keepCol, reasonCol), outPath)
+      parquet(cached.where(!col(keepCol)), quarantinePath, partitionBy = Seq(reasonCol))
+    } finally { cached.unpersist(); () }
+  }
+}

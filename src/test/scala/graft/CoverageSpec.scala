@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.{Readers, WarcParser, Writers}
+
+class CoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readers: jsonl round trip with adapter + synthesized id") {
+    val dir = java.nio.file.Files.createTempDirectory("rd").toString
+    Seq(("hello world", "a"), ("second doc", "b")).toDF("content", "tag")
+      .coalesce(1).write.json(s"$dir/in")
+    val df = Readers.jsonl(spark, s"$dir/in",
+      Readers.Adapter(textCol = "content", extra = Map("tag2" -> "upper(tag)")))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(df.columns.contains("text") && df.columns.contains("id"))
+    assert(rows.forall(_.getAs[String]("id").contains("/")))
+    assert(rows.map(_.getAs[String]("tag2")).toSet == Set("A", "B"))
+  }
+
+  test("writers: quarantine split by drop reason") {
+    val dir = java.nio.file.Files.createTempDirectory("wr").toString
+    val df = Seq((1L, "keep me", true, ""), (2L, "bad", false, "gopher_short_doc"),
+      (3L, "worse", false, "lorem_ipsum")).toDF("id", "text", "keep", "drop_reason")
+    Writers.withQuarantine(df, s"$dir/out", s"$dir/quarantine")
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+    val q = spark.read.parquet(s"$dir/quarantine")
+    assert(q.count() == 2)
+    assert(q.select("drop_reason").distinct().count() == 2) // partition column readable
+  }
+
+  test("warc parser: response records with html extracted") {
+    val html = "<html><body><p>Hi there.</p></body></html>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+    def record(tpe: String, uri: String, body: String): String =
+      s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Record-ID: <urn:test:$uri>\r\nContent-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n"
+    val warc = record("warcinfo", "meta", "software: test") +
+      record("response", "https://x.com/a", http) +
+      record("request", "https://x.com/a", "GET /") +
+      record("response", "https://x.com/b", http)
+    val docs = WarcParser.parse("f.warc", warc.getBytes("UTF-8")).toList
+    assert(docs.length == 2)
+    assert(docs.map(_.url) == List("https://x.com/a", "https://x.com/b"))
+    assert(new String(docs.head.html, "UTF-8") == html)
+  }
+
+  test("decont: indexed benchmark n-grams drop contaminated docs") {
+    val bench = "the secret benchmark question about ancient rivers and golden mountains appears here today exactly twelve words"
+    val benchDf = Seq(bench).toDF("text")
+    val index = DecontFilter.buildIndex(benchDf, "text", DecontConfig(nGrams = 8))
+    assert(index.nonEmpty)
+    val docs = Seq(
+      (1L, "clean document with completely different content about trains and winters"),
+      (2L, "prefix words then " + bench + " plus suffix words")).toDF("id", "text")
+    val out = DecontFilter(docs, index, "text", DecontConfig(nGrams = 8)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("decont_keep")).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
+  test("classifier filter: span mode rewrites text to passing units") {
+    val scorer = (t: String) =>
+      Map("good" -> (if (t.contains("good")) 1.0 else 0.0))
+    val st = ClassifierFilter.stage("clf", scorer,
+      keepLabels = Seq("good" -> 0.5), granularity = ClassifierFilter.Paragraph)
+    val ctx = new StageContext(0, PipelineConfig())
+    val doc = PipeDoc("u", new java.sql.Timestamp(0), "good line\nbad line\nanother good one", "en",
+      "en", 1.0, 0, true, "", "")
+    val out = st.process(doc, ctx)
+    assert(out.keep && out.text == "good line\nanother good one")
+    val allBad = st.process(doc.copy(text = "bad\nworse"), ctx)
+    assert(!allBad.keep && allBad.drop_reason == "classifier_all_spans")
+  }
+
+  test("symbol lines formatter collapses symbol-only runs (reference semantics)") {
+    val f = new SymbolLinesFormatter()
+    assert(f.format("real line\n***\n---\nanother line") == "real line\nanother line")
+    val g = new SymbolLinesFormatter(replaceChar = "¶")
+    assert(g.format("a\n***\n---\nb") == "a\n¶\nb")
+    // whitespace-only lines kept
+    assert(f.format("a\n  \nb") == "a\n  \nb")
+  }
+
+  test("sampling: hard top-k by token budget") {
+    val df = Seq((1L, 0.9, 100L), (2L, 0.8, 100L), (3L, 0.7, 100L), (4L, 0.6, 100L))
+      .toDF("id", "score", "tokens")
+    val out = Sampling.hardTopByTokens(df, "score", "tokens", 250L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L)) // 300 tokens started before budget 250 exhausted
+  }
+
+  test("sampling: cdf sample gives hard docs p=1 and is seeded-deterministic") {
+    val df = (1 to 100).map(i => (i.toLong, 1.0 - i / 100.0, 10L)).toDF("id", "score", "tokens")
+    val out = Sampling.cdfSample(df, "score", "tokens", hardFraction = 0.2, rate = 0.5).cache()
+    val hard = out.where(col("sample_p") === 1.0).count()
+    assert(hard == 20)
+    val s1 = out.where(col("sampled")).count()
+    val again = Sampling.cdfSample(df, "score", "tokens", 0.2, 0.5).where(col("sampled")).count()
+    assert(s1 == again)
+  }
+
+  test("bloom dedup: repeated doc within a partition gets dropped") {
+    val text = ("many shared words appear in this long repeated paragraph about rivers " * 4).trim
+    val df = Seq((1L, text), (2L, text), (3L, "totally different and unique short content here okay"))
+      .toDF("id", "text").coalesce(1)
+    val out = BloomDedup(df, "id", "text", BloomDedupConfig(nGrams = 5)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("bloom_keep")).toMap
+    assert(out(3L))
+    assert(out(1L) != out(2L) || out(1L)) // first occurrence kept, second dropped
+    assert(!out(2L) || !out(1L) == false)
+  }
+
+  test("fingerprint: identical content → same hash; winnow sketch overlaps for near-dups") {
+    val a = "the quiet market watched the golden river and then the ancient bridge appeared near the harbor today"
+    val b = a.replace("today", "yesterday")
+    assert(graft.functions.Fingerprint.contentHash(a) == graft.functions.Fingerprint.contentHash(a))
+    assert(graft.functions.Fingerprint.contentHash(a) != graft.functions.Fingerprint.contentHash(b))
+    val sa = graft.functions.Fingerprint.winnow(a, n = 3, window = 4).toSet
+    val sb = graft.functions.Fingerprint.winnow(b, n = 3, window = 4).toSet
+    assert(sa.intersect(sb).nonEmpty)
+  }
+
+  test("stats: summary + histogram + topK machinery") {
+    val df = Seq.tabulate(100)(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val s = StatsOps.summary(df, "v").collect().head
+    assert(s.getAs[Long]("n") == 100 && s.getAs[Double]("mean") == 4.5)
+    assert(StatsOps.histogram(df, "v").count() == 10)
+    val grouped = df.groupBy((col("id") % 7).as("k")).agg(count(lit(1)).as("n"))
+    assert(StatsOps.topK(grouped, "k", "n", 3).count() == 3)
+  }
+
+  test("stats: doc/word/line metric columns") {
+    val df = Seq((1L, "Hello World. This has SOME words...\nshort\nand a longer line that goes on.")).toDF("id", "text")
+    val d = StatsOps.docStats(df).collect().head
+    assert(d.getAs[Long]("length") > 0 && d.getAs[Double]("white_space_ratio") > 0)
+    val w = StatsOps.wordStats(df).collect().head
+    assert(w.getAs[Long]("n_words") > 10 && w.getAs[Double]("type_token_ratio") > 0.5)
+    val l = StatsOps.lineStats(df).collect().head
+    assert(l.getAs[Long]("n_lines") == 3)
+  }
+}
