@@ -1,0 +1,262 @@
+#!/usr/bin/env python3
+"""Differential F1 harness (driver-side tooling, not part of the library).
+
+Executes the REFERENCE's own filter code (/root/reference — read-only) over
+the engine's synthetic corpus and compares per-document keep/drop labels and
+PII-scrubbed text against the Scala engine's output (written by
+graft.DiffDump).
+
+The reference package can't be imported wholesale offline (loguru/fsspec/
+nltk/spacy are absent), so this harness stubs exactly those seams:
+  - datatrove.data.Document / BaseFilter / BaseFormatter: minimal stand-ins
+    (only `filter()` / `format()` logic is under test).
+  - utils.word_tokenizers.load_word_tokenizer: replaced by a Python port of
+    the engine's deterministic tokenizer (the fork's jieba hack can't run
+    offline; tokenizer parity is covered by the engine's own unit fixtures,
+    SURVEY.md §7.3 — this harness isolates FILTER-RULE parity).
+Everything else — the Gopher/C4/FineWeb/badwords/PII rule code — is the
+reference's verbatim source, exec'd from /root/reference.
+
+Usage: python3 tools/diff_harness.py /tmp/graft_diff
+"""
+import re
+import sys
+import types
+import numpy as np
+import pyarrow.parquet as pq
+
+REF = "/root/reference/src/datatrove"
+
+
+# ---------- python port of the engine's tokenizer (graft.text.Tokenizer) ----
+def py_is_space(c):
+    o = ord(c)
+    if o in (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85) or 0x1C <= o <= 0x1F:
+        return True
+    import unicodedata
+    return unicodedata.category(c) in ("Zs", "Zl", "Zp")
+
+
+def tok_words(text):
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if py_is_space(c):
+            i += 1
+            continue
+        if c.isascii() and c.isalnum():
+            start = i
+            while i < n and text[i].isascii() and text[i].isalnum():
+                i += 1
+            # decimal join: digits '.' digits
+            if (i < n and text[i] == "." and text[start:i].isdigit()
+                    and i + 1 < n and text[i + 1].isascii() and text[i + 1].isdigit()):
+                i += 1
+                while i < n and text[i].isascii() and text[i].isdigit():
+                    i += 1
+            out.append(text[start:i])
+        else:
+            out.append(c)
+            i += 1
+    return out
+
+
+TERMINAL_CHARS = set(".!?…。！？")
+CLOSERS = set("\"'”’)]」』")
+
+
+def sentence_count(text):
+    t = text.strip()
+    if not t:
+        return 0
+    count, i, n, saw = 0, 0, len(t), False
+    while i < n:
+        c = t[i]
+        if c in TERMINAL_CHARS:
+            while i < n and (t[i] in TERMINAL_CHARS or t[i] in CLOSERS):
+                i += 1
+            if saw:
+                count += 1
+                saw = False
+        else:
+            if not py_is_space(c):
+                saw = True
+            i += 1
+    if saw:
+        count += 1
+    return max(count, 1)
+
+
+# ---------- stub module tree so the reference files exec cleanly ----------
+def make_module(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+class Document:
+    def __init__(self, text, id="0", metadata=None):
+        self.text = text
+        self.id = id
+        self.metadata = metadata or {}
+
+
+class BaseFilter:
+    def __init__(self, exclusion_writer=None, batch_size=1):
+        pass
+
+    def stat_update(self, *a, **k):
+        pass
+
+
+class BaseFormatter:
+    def __init__(self):
+        pass
+
+
+class _Tok:
+    def word_tokenize(self, text):
+        return [w for w in (t.strip() for t in tok_words(text)) if w]
+
+    def sent_tokenize(self, text):
+        return ["s"] * sentence_count(text)
+
+    def span_tokenize(self, text):
+        return [(0, len(text))] * sentence_count(text)
+
+
+def load_word_tokenizer(lang):
+    return _Tok()
+
+
+def exec_ref(relpath, name, extra_globals=None):
+    """exec a reference source file as a module with our stub imports."""
+    src = open(f"{REF}/{relpath}").read()
+    mod = types.ModuleType(name)
+    mod.__dict__.update(extra_globals or {})
+    sys.modules[name] = mod
+    exec(compile(src, f"{REF}/{relpath}", "exec"), mod.__dict__)
+    return mod
+
+
+def build_modules():
+    make_module("loguru", logger=types.SimpleNamespace(
+        warning=lambda *a, **k: None, info=lambda *a, **k: None))
+    make_module("datatrove")
+    make_module("datatrove.data", Document=Document,
+                DocumentsPipeline=object, Media=object)
+    make_module("datatrove.io",
+                cached_asset_path_or_download=lambda *a, **k: None,
+                DataFolderLike=object, get_datafolder=lambda *a, **k: None)
+    make_module("datatrove.utils")
+    make_module("datatrove.utils.typeshelper",
+                Languages=types.SimpleNamespace(english="en"), StatHints=object)
+    make_module("datatrove.utils.logging", logger=sys.modules["loguru"].logger)
+    make_module("datatrove.utils._import_utils", ASSETS_PATH="/tmp",
+                check_required_dependencies=lambda *a, **k: None)
+    make_module("datatrove.pipeline")
+    make_module("datatrove.pipeline.writers")
+    make_module("datatrove.pipeline.writers.disk_base", DiskWriter=object)
+    make_module("datatrove.pipeline.filters")
+    make_module("datatrove.pipeline.filters.base_filter", BaseFilter=BaseFilter)
+    make_module("datatrove.pipeline.formatters")
+    make_module("datatrove.pipeline.formatters.base", BaseFormatter=BaseFormatter)
+    make_module("huggingface_hub", cached_assets_path=lambda *a, **k: "/tmp",
+                hf_hub_url=lambda *a, **k: "")
+
+    # the REAL text.py (needs our word_tokenizers stub for split_into_parts)
+    make_module("datatrove.utils.word_tokenizers",
+                load_word_tokenizer=load_word_tokenizer)
+    text_mod = exec_ref("utils/text.py", "datatrove.utils.text")
+
+    gq = exec_ref("pipeline/filters/gopher_quality_filter.py", "ref_gq")
+    gr = exec_ref("pipeline/filters/gopher_repetition_filter.py", "ref_gr")
+    sys.modules["datatrove.pipeline.filters.gopher_repetition_filter"] = gr
+    c4 = exec_ref("pipeline/filters/c4_filters.py", "ref_c4")
+    fw = exec_ref("pipeline/filters/fineweb_quality_filter.py", "ref_fw")
+    pii = exec_ref("pipeline/formatters/pii.py", "ref_pii")
+    return text_mod, gq, gr, c4, fw, pii
+
+
+BADWORDS_EN = ["badwordalpha", "badwordbeta", "badwordgamma"]
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_diff"
+    text_mod, gq, gr, c4, fw, pii = build_modules()
+
+    corpus = pq.read_table(f"{out_dir}/corpus").to_pylist()
+    engine = pq.read_table(f"{out_dir}/result").to_pylist()
+    engine_by_url = {r["url"]: r for r in engine}
+    assert len(corpus) == len(engine)
+
+    # reference pipeline, matching graft.DiffDump stage order
+    f_rep = gr.GopherRepetitionFilter()
+    f_qual = gq.GopherQualityFilter()
+    f_c4 = c4.C4QualityFilter()
+    f_fw = fw.FineWebQualityFilter()
+    f_bad = c4.C4BadWordsFilter(fail_on_missing_language=False)
+    f_bad._badwords_regex["en"] = re.compile(
+        r"(?:\W|^)({})(?:\W|$)".format("|".join(map(re.escape, BADWORDS_EN))))
+    f_pii = pii.PIIFormatter()
+
+    stages = [("gopher_repetition", f_rep), ("gopher_quality", f_qual),
+              ("c4_quality", f_c4), ("fineweb_quality", f_fw),
+              ("c4_badwords", f_bad)]
+
+    tp = fp = fn = tn = 0
+    label_mismatches = []
+    reason_mismatches = []
+    text_mismatches = []
+    for row in corpus:  # doc order = id order (single partition dump)
+        doc = Document(row["text"], id=row["url"], metadata={})
+        ref_keep, ref_reason, ref_stage = True, "", ""
+        for sname, f in stages:
+            r = f.filter(doc)
+            if r is not True and (r is False or (isinstance(r, tuple) and not r[0])):
+                ref_keep = False
+                ref_reason = r[1] if isinstance(r, tuple) else ""
+                ref_stage = sname
+                break
+        if ref_keep:
+            doc.text = f_pii.format(doc.text)
+
+        e = engine_by_url[row["url"]]
+        if ref_keep and e["keep"]:
+            tp += 1
+            if doc.text != e["text"]:
+                text_mismatches.append((row["url"], doc.text[:80], e["text"][:80]))
+        elif ref_keep and not e["keep"]:
+            fn += 1
+            label_mismatches.append((row["url"], "ref_keep", e["drop_reason"]))
+        elif not ref_keep and e["keep"]:
+            fp += 1
+            label_mismatches.append((row["url"], f"ref_drop:{ref_reason}", "engine_keep"))
+        else:
+            tn += 1
+            if ref_reason != e["drop_reason"]:
+                reason_mismatches.append((row["url"], ref_reason, e["drop_reason"]))
+
+    precision = tp / (tp + fp) if tp + fp else 0
+    recall = tp / (tp + fn) if tp + fn else 0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0
+    print(f"docs={len(corpus)} tp={tp} tn={tn} fp={fp} fn={fn}")
+    print(f"keep/drop F1 = {f1:.6f} (precision={precision:.6f} recall={recall:.6f})")
+    print(f"drop-reason agreement on true drops: "
+          f"{(tn - len(reason_mismatches)) / tn if tn else 1:.6f}")
+    print(f"scrubbed-text exact matches on kept: "
+          f"{(tp - len(text_mismatches)) / tp if tp else 1:.6f}")
+    for name, lst in [("LABEL", label_mismatches), ("REASON", reason_mismatches),
+                      ("TEXT", text_mismatches)]:
+        for m in lst[:5]:
+            print(f"  {name} MISMATCH: {m}")
+    ok = f1 >= 0.99 and not text_mismatches
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
