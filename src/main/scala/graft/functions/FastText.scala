@@ -1,0 +1,193 @@
+package graft.functions
+
+import java.io.{DataInputStream, EOFException, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-Scala fastText supervised-model inference (lid.176.bin-compatible).
+  *
+  * Implements the public fastText binary format (FASTTEXT_FILEFORMAT_MAGIC
+  * 793712314, version 12) and the supervised scoring path the reference
+  * uses for language-ID (utils/lid.py:53-59): mean of the input vectors of
+  * tokens (word id if in vocab, plus hashed character n-gram buckets) →
+  * output matrix → softmax over __label__ entries. No pretrained model
+  * ships in this zero-egress sandbox; the loader is exercised against a
+  * synthetic model written in the same format (FastTextSpec), and drops in
+  * for HeuristicLid via the Lid trait when a real model file is present.
+  */
+final class FastTextModel(
+    val dim: Int,
+    val bucket: Int,
+    val minn: Int,
+    val maxn: Int,
+    val wordNgrams: Int,
+    vocab: java.util.HashMap[String, Int],
+    val labels: Array[String],
+    nWords: Int,
+    input: Array[Float], // (nWords + bucket) x dim
+    output: Array[Float] // nLabels x dim
+) extends Serializable with Lid {
+
+  import FastTextModel.{hash => ftHash}
+
+  private def addRow(vec: Array[Float], row: Int): Unit = {
+    var i = 0
+    val off = row * dim
+    while (i < dim) { vec(i) += input(off + i); i += 1 }
+  }
+
+  /** subword n-grams of a word wrapped in < > (fastText Dictionary). */
+  private def subwordRows(word: String, vec: Array[Float]): Int = {
+    if (minn == 0) return 0
+    val w = "<" + word + ">"
+    var count = 0
+    var i = 0
+    while (i < w.length) {
+      if (!Character.isLowSurrogate(w.charAt(i))) {
+        var j = i
+        var n = 0
+        val sb = new StringBuilder
+        while (j < w.length && n < maxn) {
+          sb.append(w.charAt(j))
+          j += 1
+          if (j < w.length && Character.isLowSurrogate(w.charAt(j))) {
+            sb.append(w.charAt(j)); j += 1
+          }
+          n += 1
+          if (n >= minn && !(n == 1 && (i == 0 || j == w.length))) {
+            val h = (ftHash(sb.toString) % bucket + bucket) % bucket
+            addRow(vec, nWords + h.toInt)
+            count += 1
+          }
+        }
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** fastText predict: tokens = whitespace split (+EOS handled by caller's
+    * text form); returns label→probability, descending. */
+  def predictScores(text: String): Array[(String, Double)] = {
+    val tokens = graft.text.PyText.pySplit(text) :+ FastTextModel.EOS
+    val hidden = new Array[Float](dim)
+    var count = 0
+    for (tok <- tokens) {
+      val wid = vocab.getOrDefault(tok, -1)
+      if (wid >= 0) { addRow(hidden, wid); count += 1 }
+      if (tok != FastTextModel.EOS) count += subwordRows(tok, hidden)
+    }
+    // each added row (in-vocab word or subword bucket) counts toward the mean
+    val denom = math.max(count, 1)
+    var i = 0
+    while (i < dim) { hidden(i) /= denom; i += 1 }
+
+    val logits = new Array[Double](labels.length)
+    var best = Double.MinValue
+    i = 0
+    while (i < labels.length) {
+      var s = 0.0
+      var d = 0
+      val off = i * dim
+      while (d < dim) { s += hidden(d) * output(off + d); d += 1 }
+      logits(i) = s
+      if (s > best) best = s
+      i += 1
+    }
+    var z = 0.0
+    i = 0
+    while (i < labels.length) { logits(i) = math.exp(logits(i) - best); z += logits(i); i += 1 }
+    labels.indices.map(k => (labels(k), logits(k) / z)).sortBy(-_._2).toArray
+  }
+
+  override def predict(text: String): (String, Double, Map[String, Double]) = {
+    val scores = predictScores(text.replace("\n", " "))
+    val cleaned = scores.map { case (l, s) => l.stripPrefix("__label__") -> s }
+    (cleaned.head._1, cleaned.head._2, cleaned.toMap)
+  }
+}
+
+object FastTextModel {
+  val Magic = 793712314
+  val Version = 12
+  val EOS = "</s>"
+
+  /** fastText's FNV-1a-style 32-bit string hash (dictionary.cc). */
+  def hash(str: String): Long = {
+    var h = 2166136261L.toInt
+    val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h = h ^ bytes(i).toInt
+      h = h * 16777619
+      i += 1
+    }
+    h.toLong & 0xffffffffL
+  }
+
+  def load(path: String): FastTextModel = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path), 1 << 20))
+    try loadFrom(in) finally in.close()
+  }
+
+  def loadFrom(in: DataInputStream): FastTextModel = {
+    def i32() = Integer.reverseBytes(in.readInt())
+    def i64() = java.lang.Long.reverseBytes(in.readLong())
+    def f64() = java.lang.Double.longBitsToDouble(java.lang.Long.reverseBytes(in.readLong()))
+    def str(): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      var b = in.read()
+      while (b > 0) { buf.write(b); b = in.read() }
+      if (b < 0) throw new EOFException()
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    require(i32() == Magic, "not a fastText model file")
+    require(i32() == Version, "unsupported fastText version")
+    // args (args.cc::load order)
+    val dim = i32(); i32() /*ws*/; i32() /*epoch*/; i32() /*minCount*/
+    i32() /*neg*/; val wordNgrams = i32(); i32() /*loss*/; i32() /*model*/
+    val bucket = i32(); val minn = i32(); val maxn = i32()
+    i32() /*lrUpdateRate*/; f64() /*t*/
+    // dictionary (dictionary.cc::load)
+    val size = i32(); val nWords = i32(); val nLabels = i32()
+    i64() /*ntokens*/; val pruneIdxSize = i64()
+    val vocab = new java.util.HashMap[String, Int]()
+    val labels = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < size) {
+      val w = str()
+      i64() /*count*/
+      val tpe = in.readByte()
+      if (tpe == 0) vocab.put(w, i) else labels += w
+      i += 1
+    }
+    require(pruneIdxSize <= 0, "pruned models not supported")
+    // input matrix
+    val quantInput = in.readBoolean()
+    require(!quantInput, "quantized models not supported")
+    val rows = i64().toInt; val cols = i64().toInt
+    val inputM = readFloats(in, rows * cols)
+    // output matrix
+    val quantOut = in.readBoolean()
+    val oRows = i64().toInt; val oCols = i64().toInt
+    require(!quantOut, "quantized models not supported")
+    val outputM = readFloats(in, oRows * oCols)
+    new FastTextModel(dim, bucket, minn, maxn, wordNgrams, vocab,
+      labels.toArray, nWords, inputM, outputM)
+  }
+
+  private def readFloats(in: InputStream, n: Int): Array[Float] = {
+    val bytes = new Array[Byte](n * 4)
+    var off = 0
+    while (off < bytes.length) {
+      val r = in.read(bytes, off, bytes.length - off)
+      if (r < 0) throw new EOFException()
+      off += r
+    }
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](n)
+    bb.asFloatBuffer().get(out)
+    out
+  }
+}

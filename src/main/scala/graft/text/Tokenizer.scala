@@ -96,6 +96,22 @@ object Tokenizer {
     math.max(count, 1)
   }
 
+  // GPT-2-style pre-tokenizer pattern (public, from the GPT-2 BPE spec):
+  // contractions | optional-space letters | optional-space digits |
+  // optional-space other | trailing/other whitespace
+  private val BpeishPattern = java.util.regex.Pattern.compile(
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** BPE-ish token count: number of GPT-2 pre-tokenizer segments — a cheap
+    * deterministic proxy for a trained BPE's token count. */
+  def bpeishCount(text: String): Int = {
+    val m = BpeishPattern.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   @inline private def isTerminal(c: Char): Boolean =
     c == '.' || c == '!' || c == '?' || c == '…' ||
     c == '。' || c == '！' || c == '？'

@@ -1,0 +1,84 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.FastTextModel
+
+/** Exercises the fastText .bin loader + supervised inference against a
+  * synthetic model file written in the public format (magic 793712314,
+  * version 12) — no pretrained model is available offline. */
+class FastTextSpec extends AnyFunSuite {
+
+  private def writeModel(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    def i32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+    def i64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+    def f64(v: Double): Unit = i64(java.lang.Double.doubleToLongBits(v))
+    def str(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write(0) }
+    def f32(v: Float): Unit = i32(java.lang.Float.floatToIntBits(v))
+
+    val dim = 4
+    i32(FastTextModel.Magic); i32(FastTextModel.Version)
+    // args: dim ws epoch minCount neg wordNgrams loss model bucket minn maxn lrUpdateRate t
+    i32(dim); i32(5); i32(5); i32(1); i32(5); i32(1); i32(1); i32(1)
+    i32(0) /*bucket*/; i32(0) /*minn*/; i32(0) /*maxn*/; i32(100); f64(1e-4)
+    // dictionary: size nwords nlabels ntokens pruneidx
+    val words = Seq("the", "le", "</s>")
+    val labels = Seq("__label__en", "__label__fr")
+    i32(words.length + labels.length); i32(words.length); i32(labels.length)
+    i64(1000L); i64(0L)
+    for (w <- words) { str(w); i64(10L); out.writeByte(0) }
+    for (l <- labels) { str(l); i64(10L); out.writeByte(1) }
+    // input matrix (nwords + bucket) x dim — "the" → +e1, "le" → +e2
+    out.writeBoolean(false)
+    i64(words.length.toLong); i64(dim.toLong)
+    val vecs = Seq(
+      Array(1f, 0f, 0f, 0f), // the
+      Array(0f, 1f, 0f, 0f), // le
+      Array(0f, 0f, 0.1f, 0f)) // </s>
+    vecs.foreach(_.foreach(f32))
+    // output matrix nlabels x dim — en reads e1, fr reads e2
+    out.writeBoolean(false)
+    i64(labels.length.toLong); i64(dim.toLong)
+    Seq(Array(4f, -4f, 0f, 0f), Array(-4f, 4f, 0f, 0f)).foreach(_.foreach(f32))
+    out.flush()
+    bos.toByteArray
+  }
+
+  private val model = FastTextModel.loadFrom(
+    new DataInputStream(new java.io.ByteArrayInputStream(writeModel())))
+
+  test("loader reads args, vocab, labels, matrices") {
+    assert(model.dim == 4)
+    assert(model.labels.toSeq == Seq("__label__en", "__label__fr"))
+  }
+
+  test("supervised prediction: softmax over labels, newline handling") {
+    val (lang, score, all) = model.predict("the the the")
+    assert(lang == "en" && score > 0.9, s"$lang $score")
+    assert(math.abs(all.values.sum - 1.0) < 1e-9)
+    val (lang2, score2, _) = model.predict("le\nle")
+    assert(lang2 == "fr" && score2 > 0.9)
+  }
+
+  test("OOV-only text falls back to EOS vector (low-confidence)") {
+    val (_, score, _) = model.predict("zzz qqq")
+    assert(score < 0.9) // only </s> contributes → weak logits
+  }
+
+  test("fastText string hash matches the public FNV-1a variant") {
+    // h = 2166136261; h ^= byte; h *= 16777619 (int32 wraparound)
+    assert(FastTextModel.hash("") == 2166136261L)
+    var h = 2166136261L.toInt
+    for (b <- "a".getBytes("UTF-8")) { h ^= b; h *= 16777619 }
+    assert(FastTextModel.hash("a") == (h.toLong & 0xffffffffL))
+  }
+
+  test("drops into the LanguageFilter via the Lid seam") {
+    val lf = new graft.operators.LanguageFilter(
+      languages = Some(Seq("en")), lid = model)
+    assert(lf.check("the the the the").keep)
+    assert(!lf.check("le le le le").keep)
+  }
+}
