@@ -154,9 +154,50 @@ object MinhashDedup {
     * (labels flow both ways along edges), then one pointer-jumping step
     * (follow your label's label) halves the remaining distance — so rounds
     * ≈ log2(component diameter). Returns (doc, cluster). */
-  def components(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    if (edges.isEmpty) // no duplicate pairs at all — skip the whole loop
-      return edges.select(col("doc"), col("rep").as("cluster"))
+  /** Driver-side union-find (path compression + union by size — the exact
+    * algorithm of the reference's single-worker stage 3, minhash.py:487-508)
+    * with min-id cluster labels. Used when the edge set fits comfortably on
+    * the driver; duplicate-pair volume ≪ doc volume, so this is the common
+    * case even at large scale (the reference runs *all* of FineWeb's pairs
+    * through one 25 GB task). */
+  private def driverComponents(pairs: Array[(Long, Long)], spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.getOrDefault(root, root)
+      while (parent.getOrDefault(x, x) != root) { val nxt = parent.get(x); parent.put(x, root); x = nxt }
+      root
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min-id root keeps labels deterministic (survivor = min id)
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.map(n => (n, find(n))).toSeq.toDF("doc", "cluster")
+  }
+
+  def components(edges0: DataFrame, maxIter: Int = 30,
+                 driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    val edges = edges0.cache()
+    val edgeCount = edges.limit((driverEdgeLimit + 1).toInt).count()
+    if (edgeCount == 0) { // no duplicate pairs at all — skip the whole loop
+      edges.unpersist()
+      return edges0.select(col("doc"), col("rep").as("cluster"))
+    }
+    if (edgeCount <= driverEdgeLimit &&
+        edges.schema("doc").dataType == org.apache.spark.sql.types.LongType) {
+      import spark.implicits._
+      val pairs = edges.select(col("doc").cast("long"), col("rep").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      return driverComponents(pairs, spark)
+    }
     val und = edges.select(col("doc").as("u"), col("rep").as("v"))
       .union(edges.select(col("rep").as("u"), col("doc").as("v")))
       .cache()
@@ -186,6 +227,7 @@ object MinhashDedup {
       iter += 1
     }
     und.unpersist()
+    edges.unpersist()
     labels
   }
 
