@@ -75,6 +75,24 @@ class OpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: windowed drop metrics with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WebPage]
+    val result = StreamingQuality.run(mem.toDF(), Presets.forkDataCleaning(Seq("en")))
+    val metrics = StreamingQuality.windowedDropMetrics(result, "1 minute", "2 minutes")
+    val query = metrics.writeStream.format("memory").queryName("sq_metrics")
+      .outputMode("complete").start()
+    try {
+      mem.addData((0L until 100L).map(id => WebCorpusGen.genRow(id, 42L)): _*)
+      query.processAllAvailable()
+      val rows = spark.table("sq_metrics").collect()
+      assert(rows.nonEmpty)
+      val reasons = rows.map(_.getAs[String]("reason")).toSet
+      assert(reasons.contains("(kept)") && reasons.size > 1)
+      assert(rows.map(_.getAs[Long]("count")).sum == 100)
+    } finally query.stop()
+  }
+
   test("multimodal: stub feature extraction preserves schema + determinism") {
     val rows = Seq(
       (1L, "u1", "image", Array.tabulate(256)(_.toByte), 8, 8, 0L),
