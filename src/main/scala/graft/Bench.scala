@@ -69,6 +69,7 @@ object Bench {
     }
 
     val rows = corpusRows(sfDir)
+    pipelineDocsPerSec(spark, math.max(rows / 10, 1000)) // JIT warmup, untimed
     val (pipeSec, kept) = pipelineDocsPerSec(spark, rows)
     results("full_pipeline") = pipeSec
     val docsPerSec = rows / pipeSec

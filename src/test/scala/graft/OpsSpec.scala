@@ -75,6 +75,17 @@ class OpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("pipeline verdicts are partitioning-invariant (distributed determinism)") {
+    val rows = (0L until 300L).map(id => WebCorpusGen.genRow(id, 42L))
+    val stages = Presets.fineweb(badwords = WebCorpusGen.BadWordsFixture.asMap)
+    def runWith(parts: Int) = {
+      val df = spark.createDataFrame(rows).repartition(parts)
+      new QualityPipeline(stages).run(df).collect()
+        .map(d => d.url -> ((d.keep, d.drop_reason))).toMap
+    }
+    assert(runWith(1) == runWith(7))
+  }
+
   test("streaming: windowed drop metrics with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[WebPage]
