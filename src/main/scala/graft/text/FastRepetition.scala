@@ -153,20 +153,68 @@ object FastRepetition {
     off
   }
 
-  /** Shared per-text state reused across all n values. */
+  /** Modular inverse of odd x mod 2^64 (Newton-Hensel lifting). */
+  @inline private def inv64(x: Long): Long = {
+    var inv = x // 3 correct bits
+    var i = 0
+    while (i < 6) { inv = inv * (2L - x * inv); i += 1 } // doubles bits per step
+    inv
+  }
+  private val InvB1 = inv64(B1)
+  private val InvB2 = inv64(B2)
+
+  /** Shared per-text state reused across all n values. Prefix hashes are
+    * WORD-level (8×(W+1) longs, ~5× less allocation than char-level) using
+    * the multiplicative inverse of the odd bases mod 2^64:
+    *   hash(concat w[i..j)) = P(j) − P(i)·B^(L(j)−L(i))
+    *                        = P(j) − P(i)·pow(j)·ipow(i). */
   final class Reps(words: Array[String]) {
-    val unspacedMaster: String = {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i < words.length) { sb.append(words(i)); i += 1 }
-      sb.toString
-    }
-    val spacedMaster: String = words.mkString(" ")
-    val offU: Array[Int] = offsetsUnspaced(words)
-    val offS: Array[Int] = offsetsSpaced(words)
-    val phU = new PrefixHashes(unspacedMaster)
-    val phS = new PrefixHashes(spacedMaster)
     val nWords: Int = words.length
+    // unspaced-concat prefixes + char-length powers
+    private val pU1 = new Array[Long](nWords + 1)
+    private val pU2 = new Array[Long](nWords + 1)
+    private val powU1 = new Array[Long](nWords + 1)
+    private val powU2 = new Array[Long](nWords + 1)
+    private val ipowU1 = new Array[Long](nWords + 1)
+    private val ipowU2 = new Array[Long](nWords + 1)
+    // spaced prefixes: hash of "w0 w1 … wk-1 " (one trailing sep per word)
+    private val pS1 = new Array[Long](nWords + 1)
+    private val pS2 = new Array[Long](nWords + 1)
+    private val lenU = new Array[Int](nWords + 1)
+
+    locally {
+      powU1(0) = 1L; powU2(0) = 1L; ipowU1(0) = 1L; ipowU2(0) = 1L
+      var k = 0
+      while (k < nWords) {
+        val w = words(k)
+        var h1 = 0L; var h2 = 0L
+        var b1 = 1L; var b2 = 1L
+        var c = 0
+        while (c < w.length) {
+          val ch = w.charAt(c).toLong
+          h1 = h1 * B1 + ch; h2 = h2 * B2 + ch
+          b1 *= B1; b2 *= B2
+          c += 1
+        }
+        pU1(k + 1) = pU1(k) * b1 + h1
+        pU2(k + 1) = pU2(k) * b2 + h2
+        powU1(k + 1) = powU1(k) * b1
+        powU2(k + 1) = powU2(k) * b2
+        ipowU1(k + 1) = inv64(powU1(k + 1)) // powers of odd bases stay odd
+        ipowU2(k + 1) = inv64(powU2(k + 1))
+        pS1(k + 1) = (pS1(k) * b1 + h1) * B1 + ' '.toLong
+        pS2(k + 1) = (pS2(k) * b2 + h2) * B2 + ' '.toLong
+        lenU(k + 1) = lenU(k) + w.length
+        k += 1
+      }
+    }
+
+    // hash of concat(words[i..j)) — unspaced
+    @inline private def hU1(i: Int, j: Int): Long = pU1(j) - pU1(i) * powU1(j) * ipowU1(i)
+    @inline private def hU2(i: Int, j: Int): Long = pU2(j) - pU2(i) * powU2(j) * ipowU2(i)
+    // hash of "wi wi+1 … wj-1 " (incl. trailing sep): B^(spacedLen) = powU·B^(j−i)
+    @inline private def bPow1(e: Int): Long = { var r = 1L; var i = 0; while (i < e) { r *= B1; i += 1 }; r }
+    @inline private def bPow2(e: Int): Long = { var r = 1L; var i = 0; while (i < e) { r *= B2; i += 1 }; r }
 
     /** find_all_duplicate (gopher_repetition_filter.py:57-70): sequential
       * non-overlapping duplicate n-gram scan, skip n on hit. */
@@ -177,10 +225,8 @@ object FastRepetition {
       var repeatedChars = 0
       var idx = 0
       while (idx < limit) {
-        val a = offU(idx)
-        val b = offU(idx + n)
-        if (!seen.add(phU.hash1(a, b), phU.hash2(a, b))) {
-          repeatedChars += b - a
+        if (!seen.add(hU1(idx, idx + n), hU2(idx, idx + n))) {
+          repeatedChars += lenU(idx + n) - lenU(idx)
           idx += n
         } else idx += 1
       }
@@ -193,11 +239,18 @@ object FastRepetition {
       val limit = nWords - n + 1
       if (limit <= 0) return 0
       val counter = new PairCounter(limit)
+      val bn1 = bPow1(n) // B^(#separators in the window span)
+      val bn2 = bPow2(n)
       var idx = 0
       while (idx < limit) {
-        val a = offS(idx)
-        val b = offS(idx + n) - 1 // drop trailing separator
-        counter.addOcc(phS.hash1(a, b), phS.hash2(a, b), b - a)
+        val j = idx + n
+        // spaced window incl. trailing sep, then strip it: H = (H' − ' ')·B⁻¹
+        val hs1 = pS1(j) - pS1(idx) * (powU1(j) * ipowU1(idx) * bn1)
+        val hs2 = pS2(j) - pS2(idx) * (powU2(j) * ipowU2(idx) * bn2)
+        val h1 = (hs1 - ' '.toLong) * InvB1
+        val h2 = (hs2 - ' '.toLong) * InvB2
+        val charLen = lenU(j) - lenU(idx) + (n - 1)
+        counter.addOcc(h1, h2, charLen)
         idx += 1
       }
       counter.topProduct
