@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object ExtractStage {
 
+  /** The "golden extraction table" escape hatch (SURVEY.md §7.3): when
+    * byte-identical trafilatura parity is required on arbitrary WARC data,
+    * extraction is precomputed once by the reference offline and shipped as
+    * a (url, text) table; the engine-side stage is then a join. Broadcast
+    * when the golden table is small; at CC scale both sides are huge and
+    * the sort-merge join on url is the intended plan (AQE handles skew). */
+  def fromGoldenTable(df: DataFrame, golden: DataFrame,
+                      urlCol: String = "url", textCol: String = "text"): DataFrame = {
+    val g = golden.select(col(urlCol).as("__gurl"), col(textCol).as("__gtext"))
+    df.drop(textCol)
+      .join(g, df(urlCol) === col("__gurl"), "left")
+      .withColumn(textCol, coalesce(col("__gtext"), lit("")))
+      .withColumn("extract_ok", col("__gtext").isNotNull)
+      .drop("__gurl", "__gtext")
+  }
+
   def apply(df: DataFrame, htmlCol: String = "html", textCol: String = "text",
             timeoutMs: Long = 1000L)
            (implicit spark: SparkSession): DataFrame = {

@@ -131,6 +131,22 @@ class CoverageSpec extends SparkSpec {
     assert(StatsOps.topK(grouped, "k", "n", 3).count() == 3)
   }
 
+  test("SQL surface: registered graft_* functions usable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, "I am too small..."), (2L, Fixtures.TEXT_LF_1)).toDF("id", "text")
+      .createOrReplaceTempView("pages")
+    val out = spark.sql(
+      """SELECT id, graft_gopher_quality(text) AS reason,
+                graft_word_count(text) AS wc,
+                graft_lang(text) AS lang,
+                graft_pii_scrub(text || ' mail x@y.com') AS scrubbed
+         FROM pages ORDER BY id""").collect()
+    assert(out(0).getAs[String]("reason") == "gopher_short_doc")
+    assert(out(1).getAs[String]("reason") == "" && out(1).getAs[String]("lang") == "en")
+    assert(out(0).getAs[String]("scrubbed").contains("email@example.com"))
+    assert(spark.sql("SELECT graft_simplify('|$17.56||1|')").first().getString(0) == "0 0")
+  }
+
   test("stats: doc/word/line metric columns") {
     val df = Seq((1L, "Hello World. This has SOME words...\nshort\nand a longer line that goes on.")).toDF("id", "text")
     val d = StatsOps.docStats(df).collect().head

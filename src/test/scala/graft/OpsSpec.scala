@@ -43,6 +43,16 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == (("Second doc fine.", true)))
   }
 
+  test("ExtractStage.fromGoldenTable: per-url text join with miss flag") {
+    val pages = Seq(("u1", Array[Byte](1), "old"), ("u2", Array[Byte](2), "old"))
+      .toDF("url", "html", "text")
+    val golden = Seq(("u1", "golden text one")).toDF("url", "text")
+    val out = ExtractStage.fromGoldenTable(pages, golden).collect()
+      .map(r => r.getAs[String]("url") -> ((r.getAs[String]("text"), r.getAs[Boolean]("extract_ok")))).toMap
+    assert(out("u1") == (("golden text one", true)))
+    assert(out("u2") == (("", false)))
+  }
+
   test("Checkpoint: committed stage is not recomputed") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val ckpt = new Checkpoint(dir)
