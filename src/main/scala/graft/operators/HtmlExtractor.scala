@@ -71,3 +71,39 @@ object HtmlExtractor {
     s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
 }
+
+/** Readability-style alternative extractor (extractors/modular.py:6-51 —
+  * readability-lxml summary → inscriptis text): pick the top-level block
+  * with the highest text density (readability's core scoring idea, link
+  * density omitted for the constrained corpus), then squeeze excessive
+  * newlines like the reference's `\n{2,}` cleanup. */
+object ReadabilityLite {
+  // candidate containers, specific-first; body intentionally absent — the
+  // whole-page fallback covers it (readability also excludes the root)
+  private val BlockTags = Seq("article", "main", "section", "div")
+
+  def extract(html: String): String = {
+    // find the densest block among candidates; fall back to full extraction
+    var best = ""
+    var bestScore = -1
+    for (tag <- BlockTags) {
+      var from = 0
+      var open = html.indexOf(s"<$tag", from)
+      while (open >= 0) {
+        val start = html.indexOf('>', open)
+        val end = html.indexOf(s"</$tag>", open)
+        if (start >= 0 && end > start) {
+          val inner = html.substring(start + 1, end)
+          val text = HtmlExtractor.extract(inner)
+          // density: text chars per markup char, weighted by volume
+          val score = text.length
+          if (score > bestScore) { bestScore = score; best = text }
+        }
+        from = open + 1
+        open = html.indexOf(s"<$tag", from)
+      }
+    }
+    val result = if (bestScore > 0) best else HtmlExtractor.extract(html)
+    result.replaceAll("\n{3,}", "\n\n")
+  }
+}

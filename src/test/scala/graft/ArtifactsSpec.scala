@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.spark.sql.types._
+import graft.operators.{DocTokenizer, DocTokenizerConfig, TokenArtifacts}
+import graft.sources.IpcReader
+
+class ArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDs(dir: String, texts: Seq[String]): Unit = {
+    val df = texts.toDF("text").coalesce(1)
+    DocTokenizer.write(df, "text", dir, DocTokenizerConfig(shuffle = false))
+  }
+
+  test("merger: rank files merged under a token budget, docs preserved") {
+    val in = java.nio.file.Files.createTempDirectory("mg_in").toString
+    val out = java.nio.file.Files.createTempDirectory("mg_out").toString
+    writeDs(in, (1 to 20).map(i => s"document $i with a few words"))
+    val files = TokenArtifacts.merge(in, out, maxTokensPerFile = 30)
+    assert(files.length > 1)
+    val all = files.flatMap(f => DocTokenizer.readRank(f, wide = false))
+    assert(all.length == 20)
+    assert(all.forall(_.last == 0))
+    files.foreach { f =>
+      val toks = DocTokenizer.readRank(f, wide = false).map(_.length).sum
+      assert(toks <= 30 || DocTokenizer.readRank(f, wide = false).length == 1)
+    }
+  }
+
+  test("merger: seeded cross-rank shuffle is deterministic") {
+    val in = java.nio.file.Files.createTempDirectory("mgs_in").toString
+    writeDs(in, (1 to 10).map(i => s"doc $i content"))
+    val o1 = java.nio.file.Files.createTempDirectory("mgs1").toString
+    val o2 = java.nio.file.Files.createTempDirectory("mgs2").toString
+    TokenArtifacts.merge(in, o1, 1000000, shuffleSeed = Some(9L))
+    TokenArtifacts.merge(in, o2, 1000000, shuffleSeed = Some(9L))
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$o1/00000.ds"))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$o2/00000.ds"))
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("context shuffler: fixed windows, deterministic order, tail dropped") {
+    val in = java.nio.file.Files.createTempDirectory("cs_in").toString
+    writeDs(in, Seq(("word " * 100).trim))
+    val src = s"$in/00000.ds"
+    val out = s"$in/shuffled.ds"
+    val n = TokenArtifacts.contextShuffle(src, out, windowTokens = 16)
+    assert(n == 101 / 16) // 100 words + EOS = 101 tokens → 6 windows
+    val outBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(outBytes.length == n * 16 * 2)
+  }
+
+  test("megatron .bin/.idx: header magic + counts") {
+    val in = java.nio.file.Files.createTempDirectory("mt").toString
+    writeDs(in, Seq("first doc here", "second longer document with words"))
+    TokenArtifacts.writeMegatron(s"$in/00000.ds", s"$in/mega")
+    val idx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$in/mega.idx"))
+    assert(new String(idx, 0, 7, "ASCII") == "MMIDIDX")
+    assert(idx(7) == 0 && idx(8) == 0)
+    val bb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(9)
+    assert(bb.getLong == 1L) // version
+    assert(bb.get() == 8) // uint16 dtype
+    assert(bb.getLong == 2L) // sizes count
+    assert(bb.getLong == 3L) // doc index count
+    val bin = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$in/mega.bin"))
+    assert(bin.length > 0 && bin.length % 2 == 0)
+  }
+
+  test("arrow IPC reader round trip") {
+    val path = java.nio.file.Files.createTempFile("ipc", ".arrow").toString
+    // write a 2-column arrow file with the arrow java API
+    val allocator = new RootAllocator()
+    val idVec = new BigIntVector("id", allocator)
+    val textVec = new VarCharVector("text", allocator)
+    val root = new VectorSchemaRoot(java.util.List.of[org.apache.arrow.vector.FieldVector](idVec, textVec))
+    root.allocateNew()
+    idVec.setSafe(0, 1L); idVec.setSafe(1, 2L)
+    textVec.setSafe(0, "hello world".getBytes("UTF-8"))
+    textVec.setSafe(1, "second row".getBytes("UTF-8"))
+    root.setRowCount(2)
+    val ch = new java.io.FileOutputStream(path).getChannel
+    val writer = new ArrowFileWriter(root, null, ch)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close(); ch.close()
+    root.close(); allocator.close()
+
+    val schema = StructType(Seq(StructField("id", LongType), StructField("text", StringType)))
+    val df = IpcReader.read(spark, Seq(path), schema)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "hello world", 2L -> "second row"))
+  }
+}

@@ -22,6 +22,16 @@ class OpsSpec extends SparkSpec {
     assert(HtmlExtractor.extract(html) == "Keep this.\nAnd this.")
   }
 
+  test("readability-lite picks the densest block and squeezes newlines") {
+    val html = "<html><body><nav>menu items here</nav>" +
+      "<div><p>tiny sidebar.</p></div>" +
+      "<article><p>The main content paragraph is much longer than anything else.</p>" +
+      "<p>It has a second paragraph too.</p></article></body></html>"
+    val out = ReadabilityLite.extract(html)
+    assert(out.startsWith("The main content"))
+    assert(!out.contains("menu"))
+  }
+
   test("extract(html) == text invariant per url on the generated corpus") {
     val rows = (0L until 300L).map(id => WebCorpusGen.genRow(id, WebCorpusGen.DefaultSeed))
     for (r <- rows) {
