@@ -149,6 +149,14 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(lsh(100L) == 101L && lsh(101L) == 100L)
   }
 
+  test("sha1Hash64 matches the reference's sha1_hash64 (CPython-verified vectors)") {
+    // struct.unpack("<Q", sha1(utf8).digest()[:8]) — utils/hashes/sha1.py:17-26
+    assert(graft.functions.Hashes.sha1Hash64("abc") == 7674422142938552745L)
+    assert(graft.functions.Hashes.sha1Hash64("the quick brown fox") ==
+      java.lang.Long.parseUnsignedLong("13704825454146344910"))
+    assert(graft.functions.Hashes.sha1Hash64("") == 957977401221134810L)
+  }
+
   test("xxhash64 matches known reference vectors") {
     // vectors verified against the public XXH64 spec (seed 0)
     assert(graft.functions.Hashes.xxhash64("") == 0xEF46DB3751D8E999L)
