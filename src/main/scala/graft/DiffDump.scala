@@ -48,8 +48,18 @@ object DiffDump {
       Stages.piiFormatter)
 
     val result = new QualityPipeline(stages).run(corpus)
+    // minhash-input parity columns: cc-normalized text + the first 5-gram
+    // shingle hash (sha1_hash64 of the space-joined words of simplify_text)
+    val simplifyUdf = udf { t: String => graft.text.TextKernels.simplifyText(t) }
+    val sig0Udf = udf { t: String =>
+      val ws = graft.text.Tokenizer.words(graft.text.TextKernels.simplifyText(t))
+      if (ws.length < 5) -1L
+      else graft.functions.Hashes.sha1Hash64(ws.take(5).mkString(" "))
+    }
     result.toDF()
-      .select("url", "lang", "keep", "drop_reason", "drop_stage", "text")
+      .withColumn("simplified", simplifyUdf(col("text")))
+      .withColumn("sig0", sig0Udf(col("text")))
+      .select("url", "lang", "keep", "drop_reason", "drop_stage", "text", "simplified", "sig0")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/result")
     println(s"DIFF_DUMP_OK $outDir")

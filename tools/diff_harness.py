@@ -240,6 +240,32 @@ def main():
             if ref_reason != e["drop_reason"]:
                 reason_mismatches.append((row["url"], ref_reason, e["drop_reason"]))
 
+    # minhash-input parity: reference simplify_text + sha1_hash64 of the
+    # first 5-gram vs the engine's simplified/sig0 columns (on the FINAL
+    # engine text, i.e. post-C4-rewrite/PII — so compare on the same basis)
+    import hashlib
+    import struct as _struct
+    simp_mism = sig_mism = simp_total = 0
+    for row in corpus:
+        e = engine_by_url[row["url"]]
+        base = e["text"]  # engine's final text; both sides derive from it
+        simp_total += 1
+        ref_simplified = text_mod.simplify_text(base)
+        if ref_simplified != e["simplified"]:
+            simp_mism += 1
+            if simp_mism <= 3:
+                print(f"  SIMPLIFY MISMATCH: {row['url']}: "
+                      f"{ref_simplified[:60]!r} vs {e['simplified'][:60]!r}")
+        ws = tok_words(ref_simplified)
+        ref_sig = (-1 if len(ws) < 5 else _struct.unpack(
+            "<Q", hashlib.sha1(" ".join(ws[:5]).encode()).digest()[:8])[0])
+        eng = e["sig0"]
+        eng_sig = -1 if eng == -1 else (eng & 0xFFFFFFFFFFFFFFFF)
+        if ref_sig != eng_sig:
+            sig_mism += 1
+    print(f"simplify_text parity: {(simp_total - simp_mism) / simp_total:.6f}; "
+          f"first-shingle sha1 parity: {(simp_total - sig_mism) / simp_total:.6f}")
+
     precision = tp / (tp + fp) if tp + fp else 0
     recall = tp / (tp + fn) if tp + fn else 0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0
