@@ -30,5 +30,7 @@ run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // throughput GC for the string-heavy kernels at local[32]
+  "-XX:+UseParallelGC",
 )
