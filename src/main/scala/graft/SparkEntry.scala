@@ -238,6 +238,16 @@ object SparkEntry {
           "doc_id", "text", BloomDedupConfig(nGrams = 5))
         .select("doc_id", "bloom_keep").orderBy("doc_id")
     }),
+    "top2gram" -> ((s, dir) => {
+      // FastRepetition top-2-gram kernel (len(top)×count) cross-checked
+      // against a pure-SQL window formulation (tie-break = first occurrence)
+      val topUdf = udf { t: String =>
+        new graft.text.FastRepetition.Reps(graft.text.Tokenizer.words(t)).findTopDuplicate(2).toLong
+      }
+      documents(s, dir)
+        .select(col("doc_id"), topUdf(col("text")).as("top_product"))
+        .orderBy("doc_id")
+    }),
     "symbol_lines" -> ((s, dir) => {
       // symbol-only-line collapse; identity on this corpus — the oracle
       // checks exactly that
@@ -376,6 +386,22 @@ SELECT doc_id,
          ELSE 0.5 * (1.0 - running / CAST(total AS DOUBLE) + 0.2) END * 1000000) AS BIGINT) AS p_q
 FROM r ORDER BY doc_id""",
     "symbol_lines" ->
-      """SELECT doc_id, text AS formatted FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, text AS formatted FROM documents ORDER BY doc_id""",
+    "top2gram" ->
+      """WITH w AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS words FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(words[i:i+1], ' ') AS gram
+  FROM w, unnest(generate_series(1, len(words)-1)) AS t(i)
+  WHERE len(words) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt, min(pos) AS first_pos, length(gram) AS glen
+  FROM g GROUP BY doc_id, gram
+), r AS (
+  SELECT doc_id, CAST(glen * cnt AS BIGINT) AS top_product,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, first_pos ASC) AS rnk
+  FROM c
+)
+SELECT doc_id, top_product FROM r WHERE rnk = 1 ORDER BY doc_id"""
   )
 }
