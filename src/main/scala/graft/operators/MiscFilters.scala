@@ -53,10 +53,15 @@ final class UrlFilter(
       return Some("soft_blacklisted")
     if (bannedSubwords.nonEmpty) {
       val normalized = normalize(url)
-      if (bannedSubwords.exists(normalized.contains)) return Some("blacklisted_subword")
+      if (subwordMatcher.containsAny(normalized)) return Some("blacklisted_subword")
     }
     None
   }
+
+  // one pass over the url regardless of list size (url_filter.py:73-78
+  // builds the same automaton with pyahocorasick)
+  @transient private lazy val subwordMatcher =
+    graft.functions.AhoCorasick(bannedSubwords)
 }
 
 object UrlFilter {
@@ -119,37 +124,46 @@ final class BadWordsFilter(
     seed: Long = 0L)
     extends Serializable {
 
-  @transient private lazy val regexCache =
-    scala.collection.mutable.Map.empty[String, Option[Pattern]]
+  // substring-mode languages (ja/th/zh, c4_filters.py:259-263) use an
+  // Aho-Corasick pass instead of a giant regex alternation; word-boundary
+  // languages keep the reference's \W-flanked regex semantics
+  private sealed trait Matcher
+  private case class RegexMatcher(p: Pattern) extends Matcher
+  private case class SubstringMatcher(ac: graft.functions.AhoCorasick) extends Matcher
+  private case object NoMatcher extends Matcher
+
+  @transient private lazy val matcherCache =
+    scala.collection.mutable.Map.empty[String, Matcher]
   @transient private lazy val rng = new java.util.Random(seed)
 
-  private def regexFor(lang: String): Option[Pattern] =
-    regexCache.getOrElseUpdate(lang, {
+  private def matcherFor(lang: String): Matcher =
+    matcherCache.getOrElseUpdate(lang, {
       badwordsByLang.get(lang) match {
         case None =>
           if (failOnMissingLanguage)
             throw new IllegalArgumentException(s"no badwords list for '$lang'")
-          None
-        case Some(words) if words.isEmpty => None
+          NoMatcher
+        case Some(words) if words.isEmpty => NoMatcher
+        case Some(words) if lang == "ja" || lang == "th" || lang == "zh" =>
+          SubstringMatcher(graft.functions.AhoCorasick(words))
         case Some(words) =>
           val joined = words.map(Pattern.quote).mkString("|")
-          val pat =
-            if (lang == "ja" || lang == "th" || lang == "zh") joined
-            else s"(?:\\W|^)($joined)(?:\\W|$$)"
-          Some(Pattern.compile(pat, Pattern.UNICODE_CHARACTER_CLASS))
+          RegexMatcher(Pattern.compile(s"(?:\\W|^)($joined)(?:\\W|$$)",
+            Pattern.UNICODE_CHARACTER_CLASS))
       }
     })
 
   /** None = keep; Some(reason) = drop. */
   def check(text: String, language: Option[String]): Option[String] = {
     val lang = language.getOrElse(defaultLanguage)
-    regexFor(lang) match {
-      case None => None
-      case Some(re) =>
-        if (!re.matcher(PyText.pyLower(text)).find()) None
-        else if (keepFraction > 0.0 && rng.nextDouble() < keepFraction) None
-        else Some("document_removed_with_badwords")
+    val found = matcherFor(lang) match {
+      case NoMatcher => false
+      case RegexMatcher(re) => re.matcher(PyText.pyLower(text)).find()
+      case SubstringMatcher(ac) => ac.containsAny(PyText.pyLower(text))
     }
+    if (!found) None
+    else if (keepFraction > 0.0 && rng.nextDouble() < keepFraction) None
+    else Some("document_removed_with_badwords")
   }
 }
 

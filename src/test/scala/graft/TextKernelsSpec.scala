@@ -63,6 +63,16 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.preprocessForRepetition("1. hello|world\n- item") == "hello world\nitem")
   }
 
+  test("aho-corasick: multi-pattern substring matching with suffix hits") {
+    import graft.functions.AhoCorasick
+    val ac = AhoCorasick(Seq("he", "she", "his", "hers", "坏词"))
+    assert(ac.containsAny("ushers"))   // "she" + "hers" via suffix links
+    assert(ac.containsAny("there"))    // "he" inside
+    assert(ac.containsAny("这个坏词啊"))
+    assert(!ac.containsAny("big dog"))
+    assert(!ac.containsAny(""))
+  }
+
   test("sentence count approximation") {
     assert(Tokenizer.sentenceCount("One. Two! Three?") == 3)
     assert(Tokenizer.sentenceCount("No terminal punct") == 1)
