@@ -27,13 +27,33 @@ object ExactDedup {
   * url; ties break to the smallest id (the reference keeps the first in
   * heap order; ours is deterministic under any partitioning). */
 object UrlDedup {
-  def apply(df: DataFrame, urlCol: String, idCol: String, priorityCol: String): DataFrame = {
-    val w = Window.partitionBy(col(urlCol))
-    df.withColumn("__best",
+  /** Default url normalizer (url_dedup.py's `url_normalizer` seam): strip
+    * scheme, query/fragment, trailing slash; lowercase the host. */
+  def normalizeUrl(url: String): String = {
+    var u = url
+    val scheme = u.indexOf("://")
+    if (scheme >= 0) u = u.substring(scheme + 3)
+    val cut = u.indexWhere(c => c == '?' || c == '#')
+    if (cut >= 0) u = u.substring(0, cut)
+    u = u.stripSuffix("/")
+    val slash = u.indexOf('/')
+    if (slash >= 0) u.substring(0, slash).toLowerCase(java.util.Locale.ROOT) + u.substring(slash)
+    else u.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  private val normalizeUdf = udf(normalizeUrl _)
+
+  def apply(df: DataFrame, urlCol: String, idCol: String, priorityCol: String,
+            normalize: Boolean = false): DataFrame = {
+    val keyCol = if (normalize) normalizeUdf(col(urlCol)) else col(urlCol)
+    val keyed = df.withColumn("__ukey", keyCol)
+    val w = Window.partitionBy(col("__ukey"))
+    keyed.withColumn("__best",
         first(col(idCol)).over(w.orderBy(col(priorityCol).desc, col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("url_keep", col("__best") === col(idCol))
       .withColumnRenamed("__best", "url_dup_rep")
+      .drop("__ukey")
   }
 }
 

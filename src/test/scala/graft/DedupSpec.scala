@@ -82,6 +82,17 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("url dedup with normalization unifies scheme/query/case variants") {
+    assert(UrlDedup.normalizeUrl("https://Ex.COM/a/b?q=1#f") == "ex.com/a/b")
+    assert(UrlDedup.normalizeUrl("http://ex.com/a/b/") == "ex.com/a/b")
+    val df = Seq(
+      ("https://Ex.com/p?utm=1", 1L, 1), ("http://ex.com/p", 2L, 2)
+    ).toDF("url", "doc_id", "priority")
+    val out = UrlDedup(df, "url", "doc_id", "priority", normalize = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("url_keep")).toMap
+    assert(out == Map(1L -> false, 2L -> true)) // same normalized url, higher priority wins
+  }
+
   test("sentence dedup removes later duplicate 3-line spans (sentence_dedup.py semantics)") {
     val shared = "First shared line about the harbor.\nSecond shared line about the market.\nThird shared line about the bridge."
     val doc1 = shared + "\nUnique closing line one here with plenty of additional words to stay above the minimum threshold for documents " + ("pad " * 40)
