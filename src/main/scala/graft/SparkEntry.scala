@@ -238,6 +238,16 @@ object SparkEntry {
           "doc_id", "text", BloomDedupConfig(nGrams = 5))
         .select("doc_id", "bloom_keep").orderBy("doc_id")
     }),
+    "gopher_quality_sql" -> ((s, dir) => {
+      // same semantics as gopher_quality, but as pure column expressions
+      // (no UDF — whole plan stays in codegen); shares the same oracle
+      documents(s, dir)
+        .select(col("doc_id"),
+          SqlFilters.gopherQualityReason(col("text"),
+            minDocWords = 40, minStopWords = 1).as("reason"))
+        .withColumn("keep", col("reason") === "")
+        .orderBy("doc_id")
+    }),
     "top2gram" -> ((s, dir) => {
       // FastRepetition top-2-gram kernel (len(top)×count) cross-checked
       // against a pure-SQL window formulation (tie-break = first occurrence)
@@ -260,6 +270,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "gopher_quality" ->
+      s"""WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n,
+    list_aggregate(list_transform(words, x -> length(x)), 'sum') AS sumlen,
+    len(list_intersect(list_distinct(words), $stopList)) AS stops
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN n < 40 THEN 'gopher_short_doc'
+       WHEN n > 100000 THEN 'gopher_long_doc'
+       WHEN sumlen < 3*n THEN 'gopher_below_avg_threshold'
+       WHEN sumlen > 10*n THEN 'gopher_above_avg_threshold'
+       WHEN stops < 1 THEN 'gopher_enough_stop_words'
+       ELSE '' END AS reason,
+  (CASE WHEN n < 40 THEN 'gopher_short_doc'
+       WHEN n > 100000 THEN 'gopher_long_doc'
+       WHEN sumlen < 3*n THEN 'gopher_below_avg_threshold'
+       WHEN sumlen > 10*n THEN 'gopher_above_avg_threshold'
+       WHEN stops < 1 THEN 'gopher_enough_stop_words'
+       ELSE '' END) = '' AS keep
+FROM m ORDER BY doc_id""",
+    "gopher_quality_sql" ->
       s"""WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents
 ), m AS (

@@ -141,6 +141,23 @@ class CoverageSpec extends SparkSpec {
       assert(math.abs(a.getAs[Double](c) - b.getAs[Double](c)) < 1e-9, c)
   }
 
+  test("SqlFilters: declarative column cascade agrees with the kernel on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kernelUdf = udf { t: String =>
+      GopherQualityFilter.check(t,
+        GopherQualityConfig(minDocWords = Some(40), minStopWords = Some(1))).getOrElse("")
+    }
+    val both = docs.select(col("doc_id"),
+        kernelUdf(col("text")).as("k"),
+        SqlFilters.gopherQualityReason(col("text"), minDocWords = 40, minStopWords = 1).as("s"))
+      .where(col("k") =!= col("s"))
+    assert(both.count() == 0)
+    // and the plan contains no ScalaUDF for the declarative side
+    val plan = docs.select(SqlFilters.gopherQualityReason(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(400))
+  }
+
   test("SQL surface: registered graft_* functions usable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Seq((1L, "I am too small..."), (2L, Fixtures.TEXT_LF_1)).toDF("id", "text")
