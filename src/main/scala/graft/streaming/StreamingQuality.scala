@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.operators.{DocStage, PipeDoc, QualityPipeline}
 
 /** Structured-Streaming front-end for the quality pipeline.
@@ -19,6 +20,42 @@ object StreamingQuality {
   def run(stream: DataFrame, stages: Seq[DocStage])
          (implicit spark: SparkSession): Dataset[PipeDoc] =
     new QualityPipeline(stages).run(stream)
+
+  /** Streaming exact dedup across micro-batches: first occurrence of each
+    * text hash wins; later arrivals are dropped. Custom per-key state via
+    * flatMapGroupsWithState (the Spark-native replacement for the
+    * reference's stateful single-task bloom filter). State ages out via
+    * EVENT-time timeout against the watermark — a processing-time timeout
+    * would make the engine self-trigger empty batches forever; with event
+    * time, state for keys colder than watermark+ttl is dropped and memory
+    * stays bounded over an unbounded ingest. */
+  def streamingExactDedup(stream: Dataset[PipeDoc],
+                          watermarkDelay: String = "10 minutes",
+                          stateTtlMs: Long = 60L * 60 * 1000)
+                         (implicit spark: SparkSession): Dataset[PipeDoc] = {
+    import spark.implicits._
+    stream
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupByKey(d => graft.functions.Hashes.xxhash64(d.text))
+      .flatMapGroupsWithState[Boolean, PipeDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, docs: Iterator[PipeDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seenBefore = state.exists
+            val first = docs.next()
+            if (!seenBefore) {
+              state.update(true)
+              // TTL anchored to the doc's own event time (the watermark can
+              // lag arbitrarily at batch 0 — anchoring there would expire
+              // fresh state as soon as the watermark catches up)
+              state.setTimeoutTimestamp(first.warc_ts.getTime + stateTtlMs)
+            }
+            // first-ever doc for this hash passes; everything else drops
+            if (seenBefore) Iterator.empty else Iterator.single(first)
+          }
+      }
+  }
 
   /** Windowed drop-reason metrics with a watermark on event time —
     * per-window per-reason counts for monitoring a live ingest. */

@@ -106,6 +106,30 @@ class OpsSpec extends SparkSpec {
     assert(runWith(1) == runWith(7))
   }
 
+  test("streaming: stateful exact dedup across micro-batches (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WebPage]
+    val docs = StreamingQuality.run(mem.toDF(), Seq.empty) // no filters, just PipeDoc shape
+    val deduped = StreamingQuality.streamingExactDedup(docs)
+    val dir = java.nio.file.Files.createTempDirectory("sdd").toString
+    val query = deduped.writeStream.format("memory").queryName("sq_dedup")
+      .option("checkpointLocation", dir).outputMode("append").start()
+    try {
+      def page(u: String, t: String) = // non-epoch ts: rows at the epoch are watermark-late
+        WebPage(u, new java.sql.Timestamp(1700000000000L), Array.empty, t, "en")
+      mem.addData(page("u1", "alpha text"), page("u2", "beta text"), page("u3", "alpha text"))
+      query.processAllAvailable()
+      // second batch: a repeat of batch-1 text plus a new one
+      mem.addData(page("u4", "alpha text"), page("u5", "gamma text"))
+      query.processAllAvailable()
+      val urls = spark.table("sq_dedup").collect().map(_.getAs[String]("url")).toSet
+      assert(urls.contains("u2") && urls.contains("u5"))
+      assert(urls.intersect(Set("u1", "u3")).size == 1) // one alpha survivor in batch 1
+      assert(!urls.contains("u4")) // cross-batch duplicate dropped via state
+      assert(urls.size == 3)
+    } finally query.stop()
+  }
+
   test("streaming: windowed drop metrics with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[WebPage]
