@@ -160,6 +160,19 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(lsh(100L) == 101L && lsh(101L) == 100L)
   }
 
+  test("ann: lsh recall@1 vs brute force on the embeddings testdata") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor")).toMap
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", 1, bands = 16, bitsPerBand = 6).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor")).toMap
+    val recall = bf.count { case (q, n) => lsh.get(q).contains(n) }.toDouble / bf.size
+    // random gaussian-ish vectors are a worst case for LSH (no cluster
+    // structure); require a sane floor and report the measured value
+    info(f"lsh recall@1 = $recall%.3f over ${bf.size} queries")
+    assert(recall > 0.35, f"recall=$recall%.3f")
+  }
+
   test("sha1Hash64 matches the reference's sha1_hash64 (CPython-verified vectors)") {
     // struct.unpack("<Q", sha1(utf8).digest()[:8]) — utils/hashes/sha1.py:17-26
     assert(graft.functions.Hashes.sha1Hash64("abc") == 7674422142938552745L)
