@@ -15,30 +15,6 @@ object FastRepetition {
   private val B1 = 1000003L
   private val B2 = 0x100000001b3L
 
-  /** Char-prefix dual hashes + positions of a master string. */
-  final class PrefixHashes(master: String) {
-    val n: Int = master.length
-    val h1 = new Array[Long](n + 1)
-    val h2 = new Array[Long](n + 1)
-    val p1 = new Array[Long](n + 1)
-    val p2 = new Array[Long](n + 1)
-    locally {
-      p1(0) = 1L; p2(0) = 1L
-      var i = 0
-      while (i < n) {
-        val c = master.charAt(i).toLong
-        h1(i + 1) = h1(i) * B1 + c
-        h2(i + 1) = h2(i) * B2 + c
-        p1(i + 1) = p1(i) * B1
-        p2(i + 1) = p2(i) * B2
-        i += 1
-      }
-    }
-    /** dual hash of master[a,b) */
-    @inline def hash1(a: Int, b: Int): Long = h1(b) - h1(a) * p1(b - a)
-    @inline def hash2(a: Int, b: Int): Long = h2(b) - h2(a) * p2(b - a)
-  }
-
   /** Open-addressing set of 128-bit keys (two longs). */
   private final class PairSet(expected: Int) {
     private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
@@ -135,22 +111,6 @@ object FastRepetition {
     var z = a * 0x9e3779b97f4a7c15L + b
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     (z ^ (z >>> 27)).toInt
-  }
-
-  /** Word-start offsets of words within an unspaced master (no separator). */
-  private def offsetsUnspaced(words: Array[String]): Array[Int] = {
-    val off = new Array[Int](words.length + 1)
-    var i = 0
-    while (i < words.length) { off(i + 1) = off(i) + words(i).length; i += 1 }
-    off
-  }
-
-  /** Word-start offsets within a single-space-joined master. */
-  private def offsetsSpaced(words: Array[String]): Array[Int] = {
-    val off = new Array[Int](words.length + 1)
-    var i = 0
-    while (i < words.length) { off(i + 1) = off(i) + words(i).length + 1; i += 1 }
-    off
   }
 
   /** Modular inverse of odd x mod 2^64 (Newton-Hensel lifting). */
