@@ -60,6 +60,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup at the smallest SF: pays each query's one-off plan
+    // compile + whole-stage-codegen (janino) cost outside the timed section,
+    // so the measured numbers reflect execution, not first-plan JIT
+    val warmDir = sfDir.replace("sf0.1", "sf0.001").replace("sf0.01", "sf0.001")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -183,23 +183,21 @@ object SimHashDedup {
         col("simhash").bitwiseAND(
           lit(((1L << bandBits) - 1) << (b * bandBits))).as("key"))
     }
-    val candidates = withSim
+    // Candidate pairs via a self-join on the band key (NOT collect_list +
+    // double explode, which births O(group²) rows out of one array row and
+    // OOMs on a hot band — e.g. near-empty texts all hashing to simhash 0).
+    // A sort-merge self-join streams both sides and AQE skew-split applies;
+    // `a.doc < b.doc` halves the pair volume and dedups (a,b)/(b,a).
+    val banded = withSim
       .select(col(idCol).as("doc"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .groupBy("bk")
-      .agg(collect_list(struct(col("doc"), col("simhash"))).as("grp"))
-      .where(size(col("grp")) > 1)
-      .select(explode(col("grp")).as("a"), col("grp"))
-      .select(col("a.doc").as("doc"), col("a.simhash").as("h1"), explode(col("grp")).as("b"))
-      .select(col("doc"), col("h1"), col("b.doc").as("other"), col("b.simhash").as("h2"))
-      .where(col("doc") =!= col("other"))
+    val verified = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("b.doc").as("doc"), col("a.doc").as("rep"))
+      .distinct()
 
-    val verified = candidates
-      .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
-      .select(col("doc"), col("other"))
-      .groupBy("doc").agg(min(least(col("doc"), col("other"))).as("rep"))
-      .select(col("doc"), col("rep"))
-
-    val comps = MinhashDedup.components(verified.where(col("doc") =!= col("rep")))
+    val comps = MinhashDedup.components(verified)
     withSim.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
       .withColumn("simhash_cluster", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")

@@ -139,15 +139,22 @@ object MinhashDedup {
     df.select(col(idCol).as("doc"), posexplode(sigUdf(col(textCol))).as(Seq("bucket", "sig")))
   }
 
-  /** Duplicate pair edges as (doc → bucket-group representative). */
-  def duplicateEdges(sigs: DataFrame): DataFrame =
+  /** Duplicate pair edges as (doc → bucket-group representative).
+    *
+    * Scale note: a collect_list per (bucket, sig) group materializes one
+    * array row per group — a mass-duplicated boilerplate doc (millions of
+    * identical texts) would build one giant array and OOM an executor.
+    * A window-min streams the group instead (WindowExec spills oversized
+    * groups to disk rather than holding an array row), and `doc != rep`
+    * already implies group size > 1. */
+  def duplicateEdges(sigs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket", "sig")
     sigs
-      .groupBy("bucket", "sig")
-      .agg(collect_list("doc").as("docs"))
-      .where(size(col("docs")) > 1)
-      .select(explode(col("docs")).as("doc"), array_min(col("docs")).as("rep"))
+      .withColumn("rep", min("doc").over(w))
       .where(col("doc") =!= col("rep"))
+      .select("doc", "rep")
       .distinct()
+  }
 
   /** Connected components: iterative min-label propagation to fixpoint.
     * Each round every node takes the min label over itself + its neighbors

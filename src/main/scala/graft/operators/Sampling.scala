@@ -1,25 +1,89 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Score-driven sampling ops (fork's cdf_gc/eta_dacp, SURVEY.md §2.11):
-  * global sort by a quality score + running token-mass window. The global
-  * orderBy is a range-partition shuffle (Spark samples split points), and
-  * the running sum is a window over that ordering — both scale-out native.
+  * global sort by a quality score + running token-mass prefix sum.
+  *
+  * Scale note: a naive `Window.orderBy(...)` with no partitionBy moves the
+  * WHOLE dataset to one partition (WindowExec's single-reducer sort) — a
+  * one-executor bottleneck at 10^12 docs. Instead this uses the classic
+  * distributed running-sum shape:
+  *   1. range-partition + sort within partitions on (score desc, token asc)
+  *      — Spark samples split points, so partitions stay balanced;
+  *   2. one cheap pass collects per-partition token totals (one row per
+  *      partition) to the driver;
+  *   3. exclusive prefix offsets are broadcast and each partition adds its
+  *      offset to a local running sum — no global shuffle beyond the range
+  *      partitioning, no single-partition sort.
+  * Results are identical to the window formulation (token sums are exact
+  * Long arithmetic; ties in (score, token) get an arbitrary but
+  * partition-stable order, same as the window version).
   */
 object Sampling {
 
+  /** Append an exact Long running sum of `tokenCol` in (scoreCol desc,
+    * tokenCol asc) order as `__running` (the row's own tokens included),
+    * keeping a `__tok` long-cast copy of the token column. Returns the
+    * annotated frame plus the grand total. Two passes over a persisted
+    * range-partitioned dataset (the persist pins the partition assignment
+    * so both passes agree). */
+  private def withRunningSum(df0: DataFrame, scoreCol: String,
+                             tokenCol: String): (DataFrame, Long) = {
+    val spark = df0.sparkSession
+    val df = df0.withColumn("__tok", col(tokenCol).cast("long"))
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val parted = df
+      .repartitionByRange(n, desc(scoreCol), asc(tokenCol))
+      .sortWithinPartitions(desc(scoreCol), asc(tokenCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokIdx = parted.schema.fieldIndex("__tok")
+
+    // pass 1: per-partition totals — one tiny row per partition
+    val partSums: Array[(Int, Long)] = parted
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach(r => s += r.getLong(tokIdx))
+        Iterator.single((pid, s))
+      }(Encoders.product[(Int, Long)])
+      .collect()
+
+    val byPid = partSums.toMap
+    var acc = 0L
+    val offsets = Array.tabulate(n) { pid =>
+      val o = acc; acc += byPid.getOrElse(pid, 0L); o
+    }
+    val total = acc
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: local running sum + broadcast offset (narrow, no shuffle)
+    val outSchema = StructType(
+      parted.schema.fields :+ StructField("__running", LongType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val result = parted.mapPartitions { it =>
+      var run = bc.value(TaskContext.getPartitionId())
+      it.map { r =>
+        run += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }(enc)
+    (result, total)
+  }
+
   /** eta_dacp/hard_sampler.py:8-47 — keep the top-scored docs up to a
-    * token budget (doc budget: pass tokenCol = lit(1)). */
+    * token budget (doc budget: pass a tokens=1 column). */
   def hardTopByTokens(df: DataFrame, scoreCol: String, tokenCol: String,
                       tokenBudget: Long): DataFrame = {
-    val w = Window.orderBy(desc(scoreCol), asc(tokenCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__running", sum(col(tokenCol)).over(w))
-      .where(col("__running") - col(tokenCol) < tokenBudget)
-      .drop("__running")
+    val (withRun, _) = withRunningSum(df, scoreCol, tokenCol)
+    withRun
+      .where(col("__running") - col("__tok") < tokenBudget)
+      .drop("__running", "__tok")
   }
 
   /** cdf_gc/cdf_sampler.py:9-124 — ProbabilityCalculator + Sampler:
@@ -28,14 +92,13 @@ object Sampling {
     * then Bernoulli-sample with a seeded rand. */
   def cdfSample(df: DataFrame, scoreCol: String, tokenCol: String,
                 hardFraction: Double, rate: Double, seed: Long = 42L): DataFrame = {
-    val w = Window.orderBy(desc(scoreCol), asc(tokenCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = df.agg(sum(col(tokenCol))).first().getLong(0).toDouble
-    df.withColumn("__cdf", sum(col(tokenCol)).over(w) / total)
+    val (withRun, total) = withRunningSum(df, scoreCol, tokenCol)
+    withRun
+      .withColumn("__cdf", col("__running") / total.toDouble)
       .withColumn("sample_p",
         when(col("__cdf") <= hardFraction, lit(1.0))
           .otherwise(lit(rate) * (lit(1.0) - col("__cdf") + lit(hardFraction))))
       .withColumn("sampled", rand(seed) <= col("sample_p"))
-      .drop("__cdf")
+      .drop("__cdf", "__running", "__tok")
   }
 }

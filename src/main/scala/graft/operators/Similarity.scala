@@ -49,9 +49,16 @@ object Similarity {
     * materializes n² wide rows; this computes the identical cosine
     * (ordered double accumulation, /(qn·nn)) at memory cost O(n·d).
     * Returns (idCol, neighbor, cosine, rank). */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     maxRows: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // this path collects every vector to the driver — exact, but NOT the
+    // 100 TB path; refuse loudly instead of OOMing the driver
+    val cnt = df.limit((maxRows + 1).toInt).count()
+    require(cnt <= maxRows,
+      s"bruteForceTopK broadcasts the full table from the driver; >$maxRows rows " +
+      s"found — use lshTopK (LSH-bucketed) for large inputs, or raise maxRows explicitly")
     val items: Array[(Long, Array[Float])] = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Seq[Float])].collect()
@@ -151,24 +158,35 @@ object Similarity {
       }.toArray
     }
 
-    val bucketed = df
-      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
-        normCol(col(vecCol)).as("__qn"),
-        explode(bucketUdf(col(vecCol))).as("__bucket"))
+    // Shuffle discipline: the bucket self-join and the pair-dedup move IDS
+    // ONLY — the fat embedding arrays never ride through the n²-ish part of
+    // the plan. The id-bucket projection is persisted so both join sides
+    // reuse one computation (instead of re-hashing every vector twice), and
+    // vectors join back per unique candidate pair at the end (two id-key
+    // joins that AQE can broadcast when one side is small).
+    val base = df.select(col(idCol).as("__qid"),
+      col(vecCol).cast("array<float>").as("__qv"), normCol(col(vecCol)).as("__qn"))
+    val bucketed = base
+      .select(col("__qid"), explode(bucketUdf(col("__qv"))).as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = bucketed.as("a")
-      .join(bucketed.as("b"), col("a.__bucket") === col("b.__bucket"))
-      .where(col("a.__qid") =!= col("b.__qid"))
-      .select(col("a.__qid").as("__qid"), col("a.__qv").as("__qv"), col("a.__qn").as("__qn"),
-        col("b.__qid").as("neighbor"), col("b.__qv").as("__nv"), col("b.__qn").as("__nn"))
+    val pairs = bucketed
+      .join(bucketed.withColumnRenamed("__qid", "neighbor"), Seq("__bucket"))
+      .where(col("__qid") =!= col("neighbor"))
+      .select("__qid", "neighbor")
       .dropDuplicates("__qid", "neighbor")
 
+    val nside = base.select(col("__qid").as("neighbor"),
+      col("__qv").as("__nv"), col("__qn").as("__nn"))
     val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
-    candidates
+    val out = pairs
+      .join(base, Seq("__qid"))
+      .join(nside, Seq("neighbor"))
       .withColumn("cosine", dotUdf(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
+    out
   }
 
   /** Embedding near-duplicate detection: pairs with cosine ≥ threshold
