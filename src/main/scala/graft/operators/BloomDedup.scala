@@ -42,18 +42,24 @@ object BloomDedup {
           val shingles =
             if (words.length < n) Array.empty[Long]
             else (0 to words.length - n).map(i => Hashes.xxhash64(words.slice(i, i + n).mkString(" "))).toArray
+          // Two-phase like the reference's step() (bloom_filter.py): query
+          // ALL of the doc's shingles against the pre-doc filter state first,
+          // and only then set the missed bits — so a 13-gram repeated
+          // *within* one doc never counts as a duplicate against itself.
           var dups = 0
+          val missed = new scala.collection.mutable.ArrayBuffer[Int]()
           for (h <- shingles) {
             var allSet = true
             var j = 0
             while (j < k) {
               // double hashing: h_j = h + j * (h >>> 32)
               val idx = (((h + j.toLong * (h >>> 32)) % m + m) % m).toInt
-              if (!bits.get(idx)) { allSet = false; bits.set(idx) }
+              if (!bits.get(idx)) { allSet = false; missed += idx }
               j += 1
             }
             if (allSet) dups += 1
           }
+          missed.foreach(bits.set)
           val keep = shingles.isEmpty || dups.toDouble / shingles.length <= thr
           (id, keep)
         }

@@ -43,19 +43,27 @@ object DocTokenizer {
             cfg: DocTokenizerConfig = DocTokenizerConfig())
            (implicit spark: SparkSession): Seq[(String, Long, Long)] = {
     import spark.implicits._
-    new java.io.File(outDir).mkdirs()
+    // Write through the Hadoop FileSystem API against the configured
+    // filesystem: on a real cluster a driver-side java.io mkdir + executor
+    // FileOutputStream would land rank files on executor-local disks; this
+    // path works for file://, hdfs://, s3a:// alike.
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(hconf.value).mkdirs(outPath)
     val wide = cfg.vocabSize > 65536
     val vs = cfg.vocabSize
     val input =
       if (cfg.shuffle) df.select(col(textCol)).orderBy(rand(cfg.seed))
       else df.select(col(textCol))
     input.as[String].rdd.mapPartitionsWithIndex { (rank, it) =>
+      val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf.value)
       val dsPath = f"$outDir/$rank%05d.ds"
       val idxPath = f"$outDir/$rank%05d.ds.index"
       val ds = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(dsPath), 1 << 20))
+        fs.create(new org.apache.hadoop.fs.Path(dsPath), true), 1 << 20))
       val idx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(idxPath)))
+        fs.create(new org.apache.hadoop.fs.Path(idxPath), true)))
       var offset = 0L
       var docs = 0L
       var tokens = 0L

@@ -43,9 +43,14 @@ object ExtractStage {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
 
     df.mapPartitions { rows =>
-      val pool = Executors.newSingleThreadExecutor(r => {
+      def newPool() = Executors.newSingleThreadExecutor(r => {
         val t = new Thread(r, "extract-sandbox"); t.setDaemon(true); t
       })
+      var pool = newPool()
+      // shut the worker down when the task ends (success or failure) — a
+      // long-lived executor JVM must not accumulate one thread per partition
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       rows.map { row =>
         val html = row.get(htmlIdx) match {
           case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
@@ -58,7 +63,16 @@ object ExtractStage {
         val (text, ok) =
           try (task.get(timeoutMs, TimeUnit.MILLISECONDS), true)
           catch {
-            case _: TimeoutException => task.cancel(true); ("", false)
+            case _: TimeoutException =>
+              // cancel(true) can't stop a CPU-bound extract with no interrupt
+              // checks — discard the whole executor (the stuck daemon thread
+              // dies with the JVM / on its next safepoint) and start fresh so
+              // one pathological page doesn't serially time out the rest of
+              // the partition behind the busy lone worker
+              task.cancel(true)
+              pool.shutdownNow()
+              pool = newPool()
+              ("", false)
             case _: Exception => ("", false)
           }
         org.apache.spark.sql.Row.fromSeq(keepIdx.map(row.get).toSeq :+ text :+ ok)

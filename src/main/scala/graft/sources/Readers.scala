@@ -20,11 +20,21 @@ object Readers {
       idCol: Option[String] = None, // None → synthesize path-based id
       extra: Map[String, String] = Map.empty) // outputName → inputExpr
 
-  private def withId(df: DataFrame, adapter: Adapter): DataFrame = {
+  private def withId(df: DataFrame, adapter: Adapter,
+                     stableRowIndex: Boolean = false): DataFrame = {
     val base = adapter.idCol match {
       case Some(c) => df.withColumn("id", col(c).cast("string"))
+      case None if stableRowIndex =>
+        // readers/base.py:73 — id = f"{path}/{id_in_file}", derived from the
+        // scan's constant metadata columns: stable across stage retries and
+        // split-config changes (safe to use as a dedup join key / resume id)
+        df.withColumn("id", concat(col("_metadata.file_path"), lit("/"),
+          col("_metadata.row_index").cast("string")))
       case None =>
-        // readers/base.py:73 — id = f"{path}/{id_in_file}"
+        // Text formats expose no row_index metadata; this window-synthesized
+        // id is deterministic per (file, content order) but NOT stable under
+        // stage retries of a nondeterministic upstream — supply idCol for
+        // production dedup/resume over jsonl/csv (documented divergence).
         df.withColumn("__f", input_file_name())
           .withColumn("id", concat(col("__f"), lit("/"),
             (row_number().over(org.apache.spark.sql.expressions.Window
@@ -49,7 +59,7 @@ object Readers {
   def parquet(spark: SparkSession, path: String, adapter: Adapter = Adapter(),
               limit: Int = -1): DataFrame = {
     val df = spark.read.parquet(path)
-    val adapted = withId(df, adapter)
+    val adapted = withId(df, adapter, stableRowIndex = true)
     if (limit > 0) adapted.limit(limit) else adapted
   }
 

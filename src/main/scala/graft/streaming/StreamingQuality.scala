@@ -48,8 +48,13 @@ object StreamingQuality {
               state.update(true)
               // TTL anchored to the doc's own event time (the watermark can
               // lag arbitrarily at batch 0 — anchoring there would expire
-              // fresh state as soon as the watermark catches up)
-              state.setTimeoutTimestamp(first.warc_ts.getTime + stateTtlMs)
+              // fresh state as soon as the watermark catches up), clamped
+              // above the current watermark: a late-arriving key with old
+              // event time would otherwise make setTimeoutTimestamp throw
+              // (timestamp <= watermark) and fail the whole query
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max(first.warc_ts.getTime + stateTtlMs, wm + 1000L))
             }
             // first-ever doc for this hash passes; everything else drops
             if (seenBefore) Iterator.empty else Iterator.single(first)

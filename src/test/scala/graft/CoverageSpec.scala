@@ -112,6 +112,20 @@ class CoverageSpec extends SparkSpec {
     assert(!out(2L) || !out(1L) == false)
   }
 
+  test("bloom dedup: intra-doc repetition does not count against itself (two-phase query)") {
+    // doc 1 repeats its own 5-grams heavily but is unique corpus-wide —
+    // the reference queries all shingles before updating, so it's kept
+    val selfRep = ("alpha beta gamma delta epsilon " * 10).trim
+    val df = Seq((1L, selfRep), (2L, selfRep),
+        (3L, "another unique document with completely fresh words throughout"))
+      .toDF("id", "text").coalesce(1).sortWithinPartitions("id")
+    val out = BloomDedup(df, "id", "text", BloomDedupConfig(nGrams = 5)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("bloom_keep")).toMap
+    assert(out(1L), "internally-repetitive unique doc must be kept")
+    assert(!out(2L), "true duplicate of doc 1 must drop")
+    assert(out(3L))
+  }
+
   test("fingerprint: identical content → same hash; winnow sketch overlaps for near-dups") {
     val a = "the quiet market watched the golden river and then the ancient bridge appeared near the harbor today"
     val b = a.replace("today", "yesterday")
