@@ -40,6 +40,55 @@ object SparkEntry {
     FineWebQualityFilter.check(text).getOrElse("")
   }
 
+  private val gopherRepLinesUdf = udf { text: String =>
+    // line/paragraph duplicate rules only — the SQL-expressible subset of
+    // the repetition filter (n-gram rules stay in `gopher_repetition`)
+    GopherRepetitionFilter.check(text,
+      GopherRepetitionConfig(topNGrams = Seq.empty, dupNGrams = Seq.empty)).getOrElse("")
+  }
+
+  /** Planted multi-line text that exercises every FineWeb rule: keep /
+    * no-terminal-punct / short lines / duplicated lines / list-like. The
+    * same construction is mirrored in the DuckDB oracle so the rule
+    * arithmetic (not the construction) is what gets verified. */
+  private def fineWebPlantedText: Column = {
+    val zz = "z" * 32
+    val tinyLines = "\ntiny line one ok.\ntiny line two ok.\ntiny line six ok.\ntiny line ten ok."
+    val listLines = concat_ws("\n", (1 to 8).map(i =>
+      concat(lit("qq"), col("doc_id"), lit(zz + i + "."))): _*)
+    when(col("doc_id") % 5 === 0, concat(col("text"), lit(".")))
+      .when(col("doc_id") % 5 === 1, col("text"))
+      .when(col("doc_id") % 5 === 2, concat(col("text"), lit("."), lit(tinyLines)))
+      .when(col("doc_id") % 5 === 3,
+        concat(col("text"), lit(".\n"), col("text"), lit(".\n"), col("text"), lit(".")))
+      .otherwise(listLines)
+  }
+
+  /** Planted text for the repetition filter's line/para duplicate rules. */
+  private def gopherRepPlantedText: Column = {
+    when(col("doc_id") % 5 === 0, col("text"))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("para one body.\n\npara one body.\n\n"), col("text")))
+      .when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit("\n\nxx.\n\nyy.\n\n"), col("text")))
+      .when(col("doc_id") % 5 === 3,
+        concat(col("text"), lit("\ndup line body\ndup line body\ndup line body")))
+      .otherwise(concat(col("text"), lit("\naa.\nbb.\n"), col("text")))
+  }
+
+  /** Synthetic exact-duplicate corpus for the planted-outcome dedup oracles:
+    * 8 letter-only 4-char words derived from md5(doc_id % 100) — groups of
+    * 5 byte-identical docs whose survivors/clusters are derivable in SQL,
+    * while distinct groups share no shingles (md5 diffusion; digits are
+    * translated to letters so simplify_text's digit normalization cannot
+    * alias two groups). */
+  private def syntheticDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val h = translate(md5((col("doc_id") % 100).cast("string")),
+      "0123456789", "ghijklmnop")
+    documents(s, dir).select(col("doc_id"),
+      concat_ws(" ", (0 until 8).map(i => substring(h, i * 4 + 1, 4)): _*).as("text"))
+  }
+
   private val langUdf = udf { text: String =>
     val (lang, score, _) = graft.functions.HeuristicLid.predict(text)
     lang + ":" + (score * 1000).toLong // integer-quantized for stable hashing
@@ -111,8 +160,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "fineweb_quality" -> ((s, dir) => {
+      // planted multi-line structure so every FineWeb rule fires somewhere
+      // and the DuckDB oracle can verify the rule arithmetic
       documents(s, dir)
-        .select(col("doc_id"), fineWebReasonUdf(col("text")).as("reason"))
+        .select(col("doc_id"), fineWebReasonUdf(fineWebPlantedText).as("reason"))
+        .orderBy("doc_id")
+    }),
+    "gopher_repetition_lines" -> ((s, dir) => {
+      // dup-line/dup-paragraph rules over planted structure (SQL-expressible
+      // subset; n-gram rules stay rows-only in gopher_repetition)
+      documents(s, dir)
+        .select(col("doc_id"), gopherRepLinesUdf(gopherRepPlantedText).as("reason"))
         .orderBy("doc_id")
     }),
     "language_id" -> ((s, dir) => {
@@ -122,11 +180,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "minhash_dedup" -> ((s, dir) => {
-      // MinHash+LSH near-dup (shuffling operator; rows-only check)
+      // MinHash+LSH near-dup (shuffling operator; rows-only check — the
+      // corpus plants fuzzy near-dups whose clustering is not SQL-derivable)
       implicit val sp: SparkSession = s
       MinhashDedup.dedup(documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
         .orderBy("doc_id")
+    }),
+    "minhash_dedup_exact" -> ((s, dir) => {
+      // planted-outcome oracle: exact duplicates share all buckets by
+      // construction, so keep/cluster is derivable in SQL per dup group
+      implicit val sp: SparkSession = s
+      MinhashDedup.dedup(syntheticDupDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
+        .orderBy("doc_id")
+    }),
+    "simhash_dedup_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      SimHashDedup(syntheticDupDocs(s, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("doc_id"), col("simhash_cluster"), col("simhash_keep"))
+        .orderBy("doc_id")
+    }),
+    "sentence_dedup_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val threeLine = syntheticDupDocs(s, dir)
+        .withColumn("text", concat(col("text"), lit("\nmid "), col("text"),
+          lit("\n"), col("text"), lit(" end")))
+      SentenceDedup(threeLine, "doc_id", "text")
+        .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
+        .orderBy("doc_id")
+    }),
+    "bloom_dedup_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      BloomDedup(syntheticDupDocs(s, dir).coalesce(1).sortWithinPartitions("doc_id"),
+          "doc_id", "text", BloomDedupConfig(nGrams = 5))
+        .select("doc_id", "bloom_keep").orderBy("doc_id")
     }),
     "sentence_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -259,10 +347,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "symbol_lines" -> ((s, dir) => {
-      // symbol-only-line collapse; identity on this corpus — the oracle
-      // checks exactly that
+      // plant symbol-run lines so the oracle verifies the collapse (not
+      // identity): %3==0 gets a 2-line symbol run mid-doc, %3==1 a leading
+      // symbol line, %3==2 stays unchanged
       val fmtUdf = udf { t: String => new SymbolLinesFormatter().format(t) }
-      documents(s, dir).select(col("doc_id"), fmtUdf(col("text")).as("formatted")).orderBy("doc_id")
+      val planted = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\n! ! ! !\n- - -\ntail line ok")))
+        .when(col("doc_id") % 3 === 1, concat(lit("* * *\n"), col("text")))
+        .otherwise(col("text"))
+      documents(s, dir).select(col("doc_id"), fmtUdf(planted).as("formatted")).orderBy("doc_id")
     })
   )
 
@@ -420,7 +513,115 @@ SELECT doc_id,
          ELSE 0.5 * (1.0 - running / CAST(total AS DOUBLE) + 0.2) END * 1000000) AS BIGINT) AS p_q
 FROM r ORDER BY doc_id""",
     "symbol_lines" ->
-      """SELECT doc_id, text AS formatted FROM documents ORDER BY doc_id""",
+      """WITH t AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 3 = 0 THEN text || chr(10) || '! ! ! !' || chr(10) || '- - -' || chr(10) || 'tail line ok'
+    WHEN doc_id % 3 = 1 THEN '* * *' || chr(10) || text
+    ELSE text END AS t2 FROM documents
+)
+SELECT doc_id,
+  array_to_string(list_filter(string_split(t2, chr(10)), x -> regexp_matches(x, '[a-z0-9]')), chr(10)) AS formatted
+FROM t ORDER BY doc_id""",
+    "fineweb_quality" ->
+      """WITH t AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 5 = 0 THEN text || '.'
+    WHEN doc_id % 5 = 1 THEN text
+    WHEN doc_id % 5 = 2 THEN text || '.' || chr(10) || 'tiny line one ok.' || chr(10) || 'tiny line two ok.' || chr(10) || 'tiny line six ok.' || chr(10) || 'tiny line ten ok.'
+    WHEN doc_id % 5 = 3 THEN text || '.' || chr(10) || text || '.' || chr(10) || text || '.'
+    ELSE array_to_string(list_transform(generate_series(1,8), i -> 'qq' || doc_id || 'zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz' || i || '.'), chr(10))
+  END AS t2 FROM documents
+), l AS (
+  SELECT doc_id, t2, list_filter(string_split(t2, chr(10)), x -> trim(x) <> '') AS lines FROM t
+), d AS (
+  SELECT doc_id, sum((cnt - 1) * length(line)) AS dup_chars FROM (
+    SELECT doc_id, line, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(lines) AS line FROM l) GROUP BY doc_id, line
+  ) GROUP BY doc_id
+), m AS (
+  SELECT l.doc_id,
+    len(lines) AS nl,
+    len(list_filter(lines, x -> ends_with(x, '.'))) AS pl,
+    len(list_filter(lines, x -> length(x) <= 30)) AS sl,
+    COALESCE(d.dup_chars, 0) AS dc,
+    length(replace(t2, chr(10), '')) AS denom,
+    length(t2) - length(replace(t2, chr(10), '')) AS nn,
+    len(list_filter(string_split_regex(t2, '[ \n]'), x -> x <> '')) + (length(t2) - length(replace(t2, '.', ''))) AS nw
+  FROM l LEFT JOIN d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, CASE
+  WHEN pl * 100 < 12 * nl THEN 'line_punct_ratio'
+  WHEN sl * 100 > 67 * nl THEN 'short_line_ratio'
+  WHEN dc * 100 > denom THEN 'char_dup_ratio'
+  WHEN nn * 10 > 3 * nw THEN 'list_ratio'
+  ELSE '' END AS reason
+FROM m ORDER BY doc_id""",
+    "gopher_repetition_lines" ->
+      """WITH t AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 5 = 0 THEN text
+    WHEN doc_id % 5 = 1 THEN 'para one body.' || chr(10) || chr(10) || 'para one body.' || chr(10) || chr(10) || text
+    WHEN doc_id % 5 = 2 THEN text || chr(10) || chr(10) || 'xx.' || chr(10) || chr(10) || 'yy.' || chr(10) || chr(10) || text
+    WHEN doc_id % 5 = 3 THEN text || chr(10) || 'dup line body' || chr(10) || 'dup line body' || chr(10) || 'dup line body'
+    ELSE text || chr(10) || 'aa.' || chr(10) || 'bb.' || chr(10) || text
+  END AS t2 FROM documents
+), p AS (
+  SELECT doc_id, t2,
+    string_split_regex(t2, '\n{2,}') AS paras,
+    string_split_regex(t2, '\n+') AS lns
+  FROM t
+), pd AS (
+  SELECT doc_id, sum(cnt - 1) AS de, sum((cnt - 1) * length(e)) AS dch FROM (
+    SELECT doc_id, e, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(paras) AS e FROM p) GROUP BY doc_id, e
+  ) GROUP BY doc_id
+), ld AS (
+  SELECT doc_id, sum(cnt - 1) AS de, sum((cnt - 1) * length(e)) AS dch FROM (
+    SELECT doc_id, e, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(lns) AS e FROM p) GROUP BY doc_id, e
+  ) GROUP BY doc_id
+), m AS (
+  SELECT p.doc_id, length(t2) AS tl, len(paras) AS np, len(lns) AS nlns,
+    COALESCE(pd.de, 0) AS pde, COALESCE(pd.dch, 0) AS pdc,
+    COALESCE(ld.de, 0) AS lde, COALESCE(ld.dch, 0) AS ldc
+  FROM p LEFT JOIN pd ON p.doc_id = pd.doc_id LEFT JOIN ld ON p.doc_id = ld.doc_id
+)
+SELECT doc_id, CASE
+  WHEN pde * 10 > 3 * np THEN 'dup_para_frac'
+  WHEN pdc * 5 > tl THEN 'dup_para_char_frac'
+  WHEN lde * 10 > 3 * nlns THEN 'dup_line_frac'
+  WHEN ldc * 5 > tl THEN 'dup_line_char_frac'
+  ELSE '' END AS reason
+FROM m ORDER BY doc_id""",
+    "minhash_dedup_exact" ->
+      """WITH a AS (
+  SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
+  FROM documents
+), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
+SELECT doc_id, rep AS minhash_cluster, doc_id = rep AS minhash_keep
+FROM g ORDER BY doc_id""",
+    "simhash_dedup_exact" ->
+      """WITH a AS (
+  SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
+  FROM documents
+), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
+SELECT doc_id, rep AS simhash_cluster, doc_id = rep AS simhash_keep
+FROM g ORDER BY doc_id""",
+    "sentence_dedup_exact" ->
+      """WITH a AS (
+  SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
+  FROM documents
+), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
+SELECT doc_id, doc_id = rep AS sentence_dedup_keep,
+  CASE WHEN doc_id = rep THEN 0 ELSE 3 END AS removed_sentences
+FROM g ORDER BY doc_id""",
+    "bloom_dedup_exact" ->
+      """WITH a AS (
+  SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
+  FROM documents
+), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
+SELECT doc_id, doc_id = rep AS bloom_keep
+FROM g ORDER BY doc_id""",
     "top2gram" ->
       """WITH w AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS words FROM documents
