@@ -89,6 +89,17 @@ object SparkEntry {
       concat_ws(" ", (0 until 8).map(i => substring(h, i * 4 + 1, 4)): _*).as("text"))
   }
 
+  /** 56-word variant (7 md5 blocks × 8 words) for the ExactSubstr spans
+    * (which need ≥ spanWords=50 words per doc). */
+  private def syntheticLongDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val words = (0 until 7).flatMap { j =>
+      val h = translate(md5(concat((col("doc_id") % 100).cast("string"), lit("x" + j))),
+        "0123456789", "ghijklmnop")
+      (0 until 8).map(i => substring(h, i * 4 + 1, 4))
+    }
+    documents(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
   private val langUdf = udf { text: String =>
     val (lang, score, _) = graft.functions.HeuristicLid.predict(text)
     lang + ":" + (score * 1000).toLong // integer-quantized for stable hashing
@@ -215,6 +226,29 @@ object SparkEntry {
       BloomDedup(syntheticDupDocs(s, dir).coalesce(1).sortWithinPartitions("doc_id"),
           "doc_id", "text", BloomDedupConfig(nGrams = 5))
         .select("doc_id", "bloom_keep").orderBy("doc_id")
+    }),
+    "exact_substr" -> ((s, dir) => {
+      // word-span ExactSubstr approximation over planted exact-dup groups of
+      // 56-word docs: later copies lose every 50-word span -> dropped
+      implicit val sp: SparkSession = s
+      ExactSubstrDedup(syntheticLongDupDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("exact_substr_keep"), col("n_removed_words"))
+        .orderBy("doc_id")
+    }),
+    "gc_normalize" -> ((s, dir) => {
+      // GcCombiner (id join of two metric tables) + GcNormalizer (global
+      // min-max), quantized to integers for the oracle hash
+      val docs = documents(s, dir)
+      val lex = docs.select(col("doc_id"), tokenCountUdf(col("text")).as("n_words"),
+        size(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).cast("long").as("n_distinct"))
+      val syn = docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      GcOps.normalize(GcOps.combine(lex, syn, "doc_id"),
+          Seq("n_words", "n_distinct", "n_chars"))
+        .select(col("doc_id"),
+          floor(col("norm_n_words") * 1000000).cast("long").as("q_words"),
+          floor(col("norm_n_distinct") * 1000000).cast("long").as("q_distinct"),
+          floor(col("norm_n_chars") * 1000000).cast("long").as("q_chars"))
+        .orderBy("doc_id")
     }),
     "sentence_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -622,6 +656,32 @@ FROM g ORDER BY doc_id""",
 ), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
 SELECT doc_id, doc_id = rep AS bloom_keep
 FROM g ORDER BY doc_id""",
+    "exact_substr" ->
+      """WITH a AS (
+  SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR) || 'x0'), '0123456789', 'ghijklmnop') AS hx
+  FROM documents
+), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
+SELECT doc_id, doc_id = rep AS exact_substr_keep,
+  CASE WHEN doc_id = rep THEN 0 ELSE 56 END AS n_removed_words
+FROM g ORDER BY doc_id""",
+    "gc_normalize" ->
+      """WITH w AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_distinct,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), mm AS (
+  SELECT min(n_words) AS w0, max(n_words) AS w1,
+         min(n_distinct) AS d0, max(n_distinct) AS d1,
+         min(n_chars) AS c0, max(n_chars) AS c1
+  FROM w
+)
+SELECT doc_id,
+  CAST(floor(CASE WHEN w1 = w0 THEN 0.0 ELSE (n_words - w0) / CAST(w1 - w0 AS DOUBLE) END * 1000000) AS BIGINT) AS q_words,
+  CAST(floor(CASE WHEN d1 = d0 THEN 0.0 ELSE (n_distinct - d0) / CAST(d1 - d0 AS DOUBLE) END * 1000000) AS BIGINT) AS q_distinct,
+  CAST(floor(CASE WHEN c1 = c0 THEN 0.0 ELSE (n_chars - c0) / CAST(c1 - c0 AS DOUBLE) END * 1000000) AS BIGINT) AS q_chars
+FROM w, mm ORDER BY doc_id""",
     "top2gram" ->
       """WITH w AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS words FROM documents

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+import graft.text.Tokenizer
+
+/** Spark-native approximation of ExactSubstr dedup
+  * (dedup/exact_substrings.py:35-343). The reference shells out to an
+  * external Rust suffix-array tool over the byte-concatenated corpus and
+  * removes every duplicated byte range ≥ a length threshold
+  * (ESRangeRemover, exact_substrings.py:149-343, min_doc_words=50).
+  *
+  * This approximation works at WORD granularity with fixed-length spans:
+  *   - every window of `spanWords` consecutive words is hashed (polynomial
+  *     rolling hash over per-word xxhash64 — O(words) per doc);
+  *   - a span occurrence is a duplicate when an earlier occurrence of the
+  *     same hash exists anywhere in the corpus (first occurrence by
+  *     (doc id, position) wins — one copy survives);
+  *   - duplicate span ranges [pos, pos+spanWords) are cut from the doc's
+  *     words; docs left with fewer than `minDocWords` words are dropped
+  *     (the reference's min_doc_words re-drop).
+  *
+  * Documented divergences from the true suffix-array semantics: matches
+  * shorter than `spanWords` words are not found even if ≥ the reference's
+  * byte threshold; removal is word- not byte-aligned; the reference's tool
+  * can remove ALL occurrences (self-similar mode) whereas here the first
+  * occurrence survives deterministically.
+  *
+  * Spark shape: one narrow span-hash pass → explode (ids + positions only,
+  * the text never rides the shuffle) → one groupBy-window on the span hash
+  * → per-doc range cut. Hot span hashes (mass-duplicated boilerplate) are
+  * a single window partition streamed with spill, not an array row.
+  */
+final case class ExactSubstrConfig(
+    spanWords: Int = 50,
+    minDocWords: Int = 50)
+
+object ExactSubstrDedup {
+
+  /** (pos, spanHash) for every `spanWords`-word window of `text`. */
+  def spanHashes(text: String, spanWords: Int): Array[(Int, Long)] = {
+    val words = Tokenizer.words(text)
+    if (words.length < spanWords) return Array.empty
+    val h = words.map(Hashes.xxhash64)
+    // polynomial rolling hash: H(i) = sum h(i+j) * P^(spanWords-1-j)
+    val P = 0x100000001b3L // FNV prime — odd, good diffusion under mod 2^64
+    var pow = 1L
+    var j = 1
+    while (j < spanWords) { pow *= P; j += 1 } // P^(spanWords-1)
+    val out = new Array[(Int, Long)](words.length - spanWords + 1)
+    var acc = 0L
+    var i = 0
+    while (i < spanWords) { acc = acc * P + h(i); i += 1 }
+    out(0) = (0, acc)
+    i = spanWords
+    while (i < words.length) {
+      acc = (acc - h(i - spanWords) * pow) * P + h(i)
+      out(i - spanWords + 1) = (i - spanWords + 1, acc)
+      i += 1
+    }
+    out
+  }
+
+  /** Annotate each row with (text rewritten to surviving words,
+    * exact_substr_keep, n_removed_words). */
+  def apply(df: DataFrame, idCol: String, textCol: String,
+            cfg: ExactSubstrConfig = ExactSubstrConfig())
+           (implicit spark: SparkSession): DataFrame = {
+    val sw = cfg.spanWords
+    val spanUdf = udf { text: String => spanHashes(text, sw) }
+
+    val spans = df
+      .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
+      .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__h"))
+
+    // first occurrence (min doc, then min pos) of each span hash survives
+    val w = Window.partitionBy("__h").orderBy(col("__doc").asc, col("__pos").asc)
+    val dupPos = spans
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") > 1)
+      .groupBy("__doc")
+      .agg(sort_array(collect_list(col("__pos"))).as("__dupPos"))
+
+    val rewrite = udf { (text: String, dup: Seq[Int]) =>
+      val words = Tokenizer.words(text)
+      val covered = new Array[Boolean](words.length)
+      for (p <- dup) {
+        var i = p
+        val end = math.min(words.length, p + sw)
+        while (i < end) { covered(i) = true; i += 1 }
+      }
+      val kept = words.indices.filterNot(covered).map(words)
+      (kept.mkString(" "), words.length - kept.length, kept.length)
+    }
+
+    df.join(dupPos.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .withColumn("__r", rewrite(col(textCol),
+        coalesce(col("__dupPos"), array().cast("array<int>"))))
+      .withColumn("n_removed_words", col("__r._2"))
+      // the reference drops ANY doc under min_doc_words after removal,
+      // including untouched ones (exact_substrings.py:309)
+      .withColumn("exact_substr_keep", col("__r._3") >= cfg.minDocWords)
+      .withColumn(textCol, col("__r._1"))
+      .drop("__dupPos", "__r")
+  }
+}

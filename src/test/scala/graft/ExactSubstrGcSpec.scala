@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class ExactSubstrGcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(n: Int, seed: Int): Array[String] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(5)(('a' + rng.nextInt(26)).toChar).mkString)
+  }
+
+  test("exact_substr: full duplicate drops, first occurrence survives untouched") {
+    val base = words(60, 1).mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, words(60, 2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = ExactSubstrDedup(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_substr_keep"), r.getAs[Int]("n_removed_words"), r.getAs[String]("text")))).toMap
+    assert(out(1L) == ((true, 0, base)))
+    assert(out(2L)._1 == false && out(2L)._2 == 60)
+    assert(out(3L)._1 == true && out(3L)._2 == 0)
+  }
+
+  test("exact_substr: partial 50-word overlap cuts only the shared range") {
+    val shared = words(50, 10)
+    val aOwn = words(30, 11)
+    val bOwn = words(30, 12)
+    val a = (aOwn ++ shared).mkString(" ") // doc 1: own 30 + shared 50
+    val b = (shared ++ bOwn).mkString(" ") // doc 2: shared 50 + own 30
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = ExactSubstrDedup(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_substr_keep"), r.getAs[Int]("n_removed_words"), r.getAs[String]("text")))).toMap
+    // doc 1 is first (min doc id): untouched
+    assert(out(1L) == ((true, 0, a)))
+    // doc 2 loses exactly the shared 50-word prefix; 30 own words remain (<50 -> drop)
+    assert(out(2L)._2 == 50 && out(2L)._3 == bOwn.mkString(" "))
+    assert(out(2L)._1 == false)
+  }
+
+  test("exact_substr: short docs (< spanWords) have no spans; < minDocWords drops") {
+    val df = Seq((1L, words(20, 20).mkString(" ")), (2L, words(55, 21).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = ExactSubstrDedup(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("exact_substr_keep")).toMap
+    assert(!out(1L)) // 20 words < min_doc_words=50 — reference drops it too
+    assert(out(2L))
+  }
+
+  test("exact_substr: intra-doc repeated span is removed at later positions") {
+    val block = words(50, 30)
+    val mid = words(10, 31)
+    val text = (block ++ mid ++ block).mkString(" ") // 110 words, block repeats
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = ExactSubstrDedup(df, "doc_id", "text").collect().head
+    // second occurrence of the block (positions 60..109) is covered
+    assert(r.getAs[Int]("n_removed_words") == 50)
+    assert(r.getAs[Boolean]("exact_substr_keep")) // 60 words remain
+    assert(r.getAs[String]("text") == (block ++ mid).mkString(" "))
+  }
+
+  test("gc combine + normalize: min-max to [0,1], constant column to 0") {
+    val lex = Seq((1L, 10.0, 5L), (2L, 20.0, 5L), (3L, 15.0, 5L)).toDF("id", "pos_ent", "flat")
+    val syn = Seq((1L, 2L), (2L, 6L), (3L, 4L)).toDF("id", "dep")
+    val out = GcOps.normalize(GcOps.combine(lex, syn, "id"), Seq("pos_ent", "flat", "dep"))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Double]("norm_pos_ent")).toSeq == Seq(0.0, 1.0, 0.5))
+    assert(out.map(_.getAs[Double]("norm_flat")).toSeq == Seq(0.0, 0.0, 0.0))
+    assert(out.map(_.getAs[Double]("norm_dep")).toSeq == Seq(0.0, 1.0, 0.5))
+  }
+
+  test("exact_substr: hot span hash (boilerplate) streams through window, no collect of texts") {
+    val block = words(50, 40).mkString(" ")
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, if (i < 1500) block else words(55, 100 + i).mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val out = ExactSubstrDedup(docs, "doc_id", "text")
+    assert(out.where(col("exact_substr_keep")).count() == 501) // survivor + 500 unique
+  }
+}
