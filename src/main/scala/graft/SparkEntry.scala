@@ -235,6 +235,17 @@ object SparkEntry {
         .select(col("doc_id"), col("exact_substr_keep"), col("n_removed_words"))
         .orderBy("doc_id")
     }),
+    "token_count_bpe" -> ((s, dir) => {
+      // real corpus-trained BPE (distributed word-freq agg -> driver train
+      // -> broadcast encode); engine-specific ids, rows-only check
+      val docs = documents(s, dir)
+      val freqs = docs.select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = s.sparkContext.broadcast(graft.text.Bpe.train(freqs, 64))
+      val cnt = udf { t: String => graft.text.Bpe.encode(t, bc.value).length.toLong }
+      docs.select(col("doc_id"), cnt(col("text")).as("n_bpe_tokens")).orderBy("doc_id")
+    }),
     "gc_normalize" -> ((s, dir) => {
       // GcCombiner (id join of two metric tables) + GcNormalizer (global
       // min-max), quantized to integers for the oracle hash

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{GopherQualityConfig, GopherQualityFilter, GopherRepetitionFilter}
+import graft.text.ZhSegmenter
+
+/** zh differential dump: a seeded synthetic Chinese corpus (dict words
+  * concatenated without separators, sentence marks, symbol noise) plus the
+  * engine's Gopher quality/repetition verdicts under zh tokenization.
+  * tools/zh_diff.py replays the REFERENCE's filter code over the same
+  * parquet with an independent Python port of the DAG segmenter and reports
+  * keep/drop + reason agreement (the zh analogue of tools/diff_harness.py).
+  */
+object ZhDiffDump {
+
+  val StopWordsZh: Set[String] = Set("的", "了", "是", "在", "和")
+
+  val ZhGopherConfig: GopherQualityConfig = GopherQualityConfig(
+    minDocWords = Some(10),
+    minAvgWordLength = Some(1), // zh words average ~1.5 chars
+    minStopWords = Some(1),
+    stopWords = StopWordsZh,
+    alphaOnPreprocessed = true) // fork semantics — the harness runs fork code
+
+  def genCorpus(n: Int): Seq[(Long, String)] = {
+    val words = ZhSegmenter.freq.filter(_._2 > 0).keys.toSeq.sorted
+    val nonStop = words.filterNot(StopWordsZh)
+    (0 until n).map { id =>
+      var s = id.toLong * 0x9e3779b97f4a7c15L + 0x1234567L
+      def next(): Long = {
+        s += 0x9e3779b97f4a7c15L
+        var z = s
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val len = 4 + java.lang.Math.floorMod(next(), 42L).toInt
+      val pool = if (id % 7 == 0) nonStop else words
+      val sb = new StringBuilder
+      var k = 0
+      while (k < len) {
+        sb.append(pool(java.lang.Math.floorMod(next(), pool.length.toLong).toInt))
+        if (k % 8 == 7) sb.append('。')
+        if (id % 11 == 0 && k % 5 == 4) sb.append('#')
+        k += 1
+      }
+      (id.toLong, sb.toString)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_zh_diff"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val qualUdf = udf { t: String =>
+      GopherQualityFilter.check(t, ZhGopherConfig).getOrElse("")
+    }
+    val repUdf = udf { t: String =>
+      GopherRepetitionFilter.check(t).getOrElse("")
+    }
+    genCorpus(4000).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        qualUdf(col("text")).as("reason_quality"),
+        repUdf(col("text")).as("reason_repetition"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/zh")
+    println(s"[zh-diff] wrote $outDir/zh")
+    spark.stop()
+  }
+}

@@ -19,7 +19,10 @@ import graft.text.Tokenizer
 final case class DocTokenizerConfig(
     vocabSize: Int = 50257,
     shuffle: Boolean = true,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    /** When set, encode with a real (corpus-trained) BPE instead of the
+      * hash-bucket stand-in — see graft.text.Bpe. */
+    bpe: Option[graft.text.Bpe.Model] = None)
 
 object DocTokenizer {
 
@@ -51,8 +54,14 @@ object DocTokenizer {
       spark.sparkContext.hadoopConfiguration)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     outPath.getFileSystem(hconf.value).mkdirs(outPath)
-    val wide = cfg.vocabSize > 65536
+    val effVocab = cfg.bpe.map(_.vocab.size + 1).getOrElse(cfg.vocabSize)
+    val wide = effVocab > 65536
     val vs = cfg.vocabSize
+    val bpe = cfg.bpe
+    val encodeFn: String => Array[Int] = bpe match {
+      case Some(m) => t => graft.text.Bpe.encode(t, m)
+      case None => t => encode(t, vs)
+    }
     val input =
       if (cfg.shuffle) df.select(col(textCol)).orderBy(rand(cfg.seed))
       else df.select(col(textCol))
@@ -69,7 +78,7 @@ object DocTokenizer {
       var tokens = 0L
       try {
         for (text <- it) {
-          val ids = encode(text, vs)
+          val ids = encodeFn(text)
           var i = 0
           while (i < ids.length) {
             if (wide) ds.writeInt(Integer.reverseBytes(ids(i)))

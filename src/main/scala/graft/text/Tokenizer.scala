@@ -11,9 +11,11 @@ import scala.collection.mutable.ArrayBuffer
   *     token (jieba finalseg re_skip = `\d+\.\d+|[a-zA-Z0-9]+`),
   *   - every other non-space char is its own single-char token,
   *   - whitespace tokens are dropped (strip_strings, word_tokenizers.py:15).
-  * On CJK text jieba uses a dictionary; we approximate with one token per
-  * CJK code point (documented divergence — validation corpora are scoped to
-  * Latin-script languages, SURVEY.md §7.3).
+  * On CJK text jieba segments with a dictionary DAG + max-prob route; CJK
+  * runs here go through the same algorithm over a committed frequency dict
+  * (ZhSegmenter). Divergence from the real jieba: different dictionary and
+  * no HMM for unknown words (single-char fallback) — cross-checked against
+  * an independent Python port in tools/zh_diff.py.
   *
   * This is a pure function so it can run inside whole-stage-codegen-adjacent
   * UDFs and mapPartitions without any per-row model state.
@@ -48,6 +50,13 @@ object Tokenizer {
           while (i < n && isDigit(text.charAt(i))) i += 1
         }
         out += text.substring(start, i)
+      } else if (isCjk(c)) {
+        // dictionary segmentation of the whole CJK run (jieba DAG/max-prob
+        // over the committed dict — see ZhSegmenter; unknown chars fall back
+        // to singles, matching jieba-without-HMM)
+        val start = i
+        while (i < n && isCjk(text.charAt(i))) i += 1
+        out ++= ZhSegmenter.cut(text.substring(start, i))
       } else if (Character.isHighSurrogate(c) && i + 1 < n &&
                  Character.isLowSurrogate(text.charAt(i + 1))) {
         out += text.substring(i, i + 2)

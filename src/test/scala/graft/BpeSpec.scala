@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Bpe
+
+class BpeSpec extends AnyFunSuite {
+
+  test("train: classic low/lower/lowest corpus learns multi-char merges") {
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "lowest" -> 2L, "newer" -> 6L, "wider" -> 3L)
+    val m = Bpe.train(freqs, 10)
+    assert(m.merges.nonEmpty)
+    // 'e','r' is the most frequent pair (newer×2? -> e+r appears in newer,
+    // wider, lower = 6+3+2 = 11) — some multi-char symbol must exist
+    assert(m.vocab.keys.exists(s => s.length > 1 && s != Bpe.EndOfWord && !s.endsWith(Bpe.EndOfWord)))
+    // encoding uses merges: "newer" must compress below chars+1 symbols
+    assert(Bpe.encodeWord("newer", m).length < "newer".length + 1)
+  }
+
+  test("encode/decode round trip") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps again and again",
+      "lazy dogs sleep while quick foxes jump")
+    val m = Bpe.trainFromTexts(texts.iterator, 50)
+    for (t <- texts) {
+      val ids = Bpe.encode(t, m)
+      assert(ids.last == 0) // EOS
+      assert(Bpe.decode(ids, m) == t, t)
+    }
+  }
+
+  test("determinism: same corpus -> identical model") {
+    val texts = Seq("alpha beta gamma beta alpha", "gamma gamma beta")
+    val a = Bpe.trainFromTexts(texts.iterator, 20)
+    val b = Bpe.trainFromTexts(texts.iterator, 20)
+    assert(a.merges == b.merges && a.vocab == b.vocab)
+  }
+
+  test("DocTokenizer .ds round trip with a real BPE model (non-trivial merges)") {
+    val spark = SparkTestSession.session
+    import spark.implicits._
+    val texts = Seq.tabulate(40)(i => s"shared prefix words number ${('a' + i % 7).toChar} tail tokens repeat repeat")
+    val m = Bpe.trainFromTexts(texts.iterator, 40)
+    assert(m.merges.length > 10)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_ds").toString
+    val df = texts.toDF("text").coalesce(1)
+    val written = graft.operators.DocTokenizer.write(df, "text", dir,
+      graft.operators.DocTokenizerConfig(shuffle = false, bpe = Some(m)))(spark)
+    assert(written.map(_._2).sum == 40)
+    val docs = graft.operators.DocTokenizer.readRank(written.head._1, wide = false)
+    assert(docs.length == 40)
+    val decoded = docs.map(ids => Bpe.decode(ids, m))
+    assert(decoded.toSeq == texts)
+  }
+}

@@ -19,6 +19,8 @@ reference's verbatim source, exec'd from /root/reference.
 
 Usage: python3 tools/diff_harness.py /tmp/graft_diff
 """
+import math
+import os
 import re
 import sys
 import types
@@ -35,6 +37,79 @@ def py_is_space(c):
         return True
     import unicodedata
     return unicodedata.category(c) in ("Zs", "Zl", "Zp")
+
+
+# jieba-style DAG/max-prob segmentation over the committed dict — an
+# independent port of graft.text.ZhSegmenter (same algorithm, same dict,
+# written from the published algorithm rather than from the Scala)
+ZH_DICT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "../src/main/resources/graft/zh_dict.tsv")
+
+
+def _load_zh_dict():
+    words = {}
+    with open(ZH_DICT_PATH, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 2:
+                words[parts[0]] = int(parts[1])
+    freq = dict(words)
+    for w in words:
+        for i in range(1, len(w)):
+            if w[:i] not in freq:
+                freq[w[:i]] = 0
+    return freq, math.log(float(sum(words.values())))
+
+
+ZH_FREQ, ZH_LOG_TOTAL = _load_zh_dict()
+
+
+def zh_qlog(f):
+    # mirrors Scala: rint((log(max(f,1)) - logTotal) * 1e6) / 1e6
+    return round((math.log(float(f) if f > 0 else 1.0) - ZH_LOG_TOTAL) * 1e6) / 1e6
+
+
+def zh_cut(run):
+    n = len(run)
+    if n == 0:
+        return []
+    if n == 1:
+        return [run]
+    dag = []
+    for i in range(n):
+        ends = []
+        k = i
+        frag = run[i:k + 1]
+        while k < n and frag in ZH_FREQ:
+            if ZH_FREQ[frag] > 0:
+                ends.append(k)
+            k += 1
+            frag = run[i:k + 1]
+        if not ends:
+            ends.append(i)
+        dag.append(ends)
+    route_p = [0.0] * (n + 1)
+    route_x = [0] * (n + 1)
+    for idx in range(n - 1, -1, -1):
+        best_p, best_x = float("-inf"), idx
+        for x in dag[idx]:
+            p = zh_qlog(ZH_FREQ.get(run[idx:x + 1], 0)) + route_p[x + 1]
+            if p > best_p or (p == best_p and x > best_x):
+                best_p, best_x = p, x
+        route_p[idx] = best_p
+        route_x[idx] = best_x
+    out = []
+    x = 0
+    while x < n:
+        y = route_x[x] + 1
+        out.append(run[x:y])
+        x = y
+    return out
+
+
+def is_cjk(c):
+    o = ord(c)
+    return 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
 
 
 def tok_words(text):
@@ -56,6 +131,11 @@ def tok_words(text):
                 while i < n and text[i].isascii() and text[i].isdigit():
                     i += 1
             out.append(text[start:i])
+        elif is_cjk(c):
+            start = i
+            while i < n and is_cjk(text[i]):
+                i += 1
+            out.extend(zh_cut(text[start:i]))
         else:
             out.append(c)
             i += 1
