@@ -246,6 +246,44 @@ object SparkEntry {
       val cnt = udf { t: String => graft.text.Bpe.encode(t, bc.value).length.toLong }
       docs.select(col("doc_id"), cnt(col("text")).as("n_bpe_tokens")).orderBy("doc_id")
     }),
+    "cosine_near_dup" -> ((s, dir) => {
+      // embedding near-dup via LSH candidates + cosine threshold +
+      // connected components, over planted identical-vector groups of 10
+      // (64-dim uniform vectors keep cross-group cosine << threshold)
+      implicit val sp: SparkSession = s
+      val vecUdf = udf { g: Long =>
+        var st = g * 0x9e3779b97f4a7c15L + 7L
+        def next(): Long = {
+          st += 0x9e3779b97f4a7c15L
+          var z = st
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
+      }
+      val df = documents(s, dir)
+        .select(col("doc_id"), vecUdf(col("doc_id") % 50).as("embedding"))
+      Similarity.cosineNearDupes(df, "doc_id", "embedding", threshold = 0.95)
+        .select(col("doc_id"), col("cosine_cluster"), col("cosine_keep"))
+        .orderBy("doc_id")
+    }),
+    "lexical_diversity" -> ((s, dir) => {
+      // POS tagger-lite + content-word counters (entropies are float ->
+      // unit-tested; the integer counters are the oracle surface). Planted
+      // suffix words exercise the RB/VBG/VBD/JJ/NNS rules.
+      val planted = concat(col("text"),
+        lit(" quickly running jumped joyful tables of it and"),
+        when(col("doc_id") % 3 === 0, lit(" walking slowly")).otherwise(lit("")))
+      val u = udf { t: String =>
+        val r = LexicalDiversity.compute(t, "en")
+        (r.nContent.toLong, r.nDistinctContent.toLong, r.nTags.toLong)
+      }
+      documents(s, dir).select(col("doc_id"), u(planted).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_content"),
+          col("r._2").as("n_distinct_content"), col("r._3").as("n_distinct_tags"))
+        .orderBy("doc_id")
+    }),
     "gc_normalize" -> ((s, dir) => {
       // GcCombiner (id join of two metric tables) + GcNormalizer (global
       // min-max), quantized to integers for the oracle hash
@@ -675,6 +713,39 @@ FROM g ORDER BY doc_id""",
 SELECT doc_id, doc_id = rep AS exact_substr_keep,
   CASE WHEN doc_id = rep THEN 0 ELSE 56 END AS n_removed_words
 FROM g ORDER BY doc_id""",
+    "cosine_near_dup" ->
+      """SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY doc_id % 50) AS cosine_cluster,
+  doc_id = min(doc_id) OVER (PARTITION BY doc_id % 50) AS cosine_keep
+FROM documents ORDER BY doc_id""",
+    "lexical_diversity" ->
+      """WITH t AS (
+  SELECT doc_id, text || ' quickly running jumped joyful tables of it and' ||
+    CASE WHEN doc_id % 3 = 0 THEN ' walking slowly' ELSE '' END AS t2
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(list_filter(string_split(t2, ' '), x -> x <> '')) AS word FROM t
+), g AS (
+  SELECT doc_id, word,
+    CASE WHEN word IN ('the','a','an','this','that','these','those') THEN 'DT'
+         WHEN word IN ('i','you','he','she','it','we','they','me','him','her','us','them') THEN 'PRP'
+         WHEN word IN ('of','in','to','on','at','by','for','with','from','as','into','over','under') THEN 'IN'
+         WHEN word IN ('and','or','but') THEN 'CC'
+         WHEN word IN ('can','could','will','would','may','might','must','shall','should') THEN 'MD'
+         WHEN word IN ('is','are','was','were','be','been','am') THEN 'VB'
+         WHEN ends_with(word, 'ly') THEN 'RB'
+         WHEN ends_with(word, 'ing') THEN 'VBG'
+         WHEN ends_with(word, 'ed') THEN 'VBD'
+         WHEN ends_with(word, 'ous') OR ends_with(word, 'ful') OR ends_with(word, 'ive') OR ends_with(word, 'able') THEN 'JJ'
+         WHEN ends_with(word, 's') AND NOT ends_with(word, 'ss') AND length(word) > 3 THEN 'NNS'
+         ELSE 'NN' END AS tag
+  FROM w
+)
+SELECT doc_id,
+  CAST(count(*) FILTER (WHERE tag IN ('NN','NNS','NNP','NNPS','VB','VBD','VBG','VBN','VBP','VBZ','JJ','JJR','JJS','RB','RBR','RBS')) AS BIGINT) AS n_content,
+  CAST(count(DISTINCT word) FILTER (WHERE tag IN ('NN','NNS','NNP','NNPS','VB','VBD','VBG','VBN','VBP','VBZ','JJ','JJR','JJS','RB','RBR','RBS')) AS BIGINT) AS n_distinct_content,
+  CAST(count(DISTINCT tag) AS BIGINT) AS n_distinct_tags
+FROM g GROUP BY doc_id ORDER BY doc_id""",
     "gc_normalize" ->
       """WITH w AS (
   SELECT doc_id,

@@ -19,15 +19,25 @@ package graft.text
   */
 object ZhSegmenter {
 
-  /** freq for every dict word; 0L marks prefix-only entries (jieba's FREQ). */
-  lazy val (freq: Map[String, Long], logTotal: Double) = {
+  /** (word → freq, word → POS tag) from the committed 3-column dict
+    * (word \t freq \t jieba-style tag — the same format as jieba's
+    * dict.txt, self-authored content). */
+  lazy val (wordFreqs: Map[String, Long], posTags: Map[String, String]) = {
     val in = getClass.getResourceAsStream("/graft/zh_dict.tsv")
     require(in != null, "zh_dict.tsv missing from classpath")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    val words = try src.getLines().flatMap { line =>
+    val rows = try src.getLines().flatMap { line =>
       val parts = line.split("\t")
-      if (parts.length == 2) Some(parts(0) -> parts(1).toLong) else None
-    }.toMap finally src.close()
+      if (parts.length >= 2)
+        Some((parts(0), parts(1).toLong, if (parts.length >= 3) parts(2) else "n"))
+      else None
+    }.toVector finally src.close()
+    (rows.map(r => r._1 -> r._2).toMap, rows.map(r => r._1 -> r._3).toMap)
+  }
+
+  /** freq for every dict word; 0L marks prefix-only entries (jieba's FREQ). */
+  lazy val (freq: Map[String, Long], logTotal: Double) = {
+    val words = wordFreqs
     val withPrefixes = scala.collection.mutable.HashMap.empty[String, Long]
     for ((w, f) <- words) {
       withPrefixes.put(w, f)

@@ -51,7 +51,7 @@ def _load_zh_dict():
     with open(ZH_DICT_PATH, encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
-            if len(parts) == 2:
+            if len(parts) >= 2:  # word \t freq [\t pos-tag]
                 words[parts[0]] = int(parts[1])
     freq = dict(words)
     for w in words:
