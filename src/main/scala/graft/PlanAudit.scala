@@ -20,6 +20,19 @@ object PlanAudit {
     println("=== FILTER-PUSHDOWN (expect PushedFilters on lang) ===")
     println(corpus.where(col("lang") === "en").select("url").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(1800))
+
+    println("=== SAMPLER PLAN (expect NO Window operator — distributed prefix sums) ===")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("score", col("doc_id")).withColumn("tokens", lit(10L))
+    val samplerPlan = Sampling.hardTopByTokens(docs, "score", "tokens", 1000L)
+      .queryExecution.executedPlan.toString
+    println(if (samplerPlan.contains("Window")) "FAIL: Window found" else "OK: no Window")
+
+    println("=== MINHASH EDGES (expect window-min, NO collect_list) ===")
+    val edges = MinhashDedup.duplicateEdges(
+      MinhashDedup.signatures(docs, "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    println(if (edges.toLowerCase.contains("collect_list")) "FAIL: collect_list" else "OK: no collect_list")
     spark.stop()
   }
 }

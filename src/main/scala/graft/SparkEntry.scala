@@ -246,6 +246,30 @@ object SparkEntry {
       val cnt = udf { t: String => graft.text.Bpe.encode(t, bc.value).length.toLong }
       docs.select(col("doc_id"), cnt(col("text")).as("n_bpe_tokens")).orderBy("doc_id")
     }),
+    "ann_lsh_topk_exact" -> ((s, dir) => {
+      // planted identical-vector groups make the LSH top-1 deterministic:
+      // identical vectors share every bucket and tie on cosine, so the
+      // asc-neighbor tie-break returns the group's min id (or second-min
+      // for the min itself) — SQL-derivable end-to-end check of the
+      // bucket -> pair -> cosine -> rank path
+      implicit val sp: SparkSession = s
+      val vecUdf = udf { g: Long =>
+        var st = g * 0x9e3779b97f4a7c15L + 7L
+        def next(): Long = {
+          st += 0x9e3779b97f4a7c15L
+          var z = st
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
+      }
+      val df = documents(s, dir)
+        .select(col("doc_id"), vecUdf(col("doc_id") % 50).as("embedding"))
+      Similarity.lshTopK(df, "doc_id", "embedding", 1)
+        .select(col("doc_id"), col("neighbor"))
+        .orderBy("doc_id")
+    }),
     "cosine_near_dup" -> ((s, dir) => {
       // embedding near-dup via LSH candidates + cosine threshold +
       // connected components, over planted identical-vector groups of 10
@@ -713,6 +737,19 @@ FROM g ORDER BY doc_id""",
 SELECT doc_id, doc_id = rep AS exact_substr_keep,
   CASE WHEN doc_id = rep THEN 0 ELSE 56 END AS n_removed_words
 FROM g ORDER BY doc_id""",
+    "ann_lsh_topk_exact" ->
+      """WITH g AS (
+  SELECT doc_id, doc_id % 50 AS grp FROM documents
+), m AS (
+  SELECT grp, min(doc_id) AS m1 FROM g GROUP BY grp
+), m2 AS (
+  SELECT g.grp, min(g.doc_id) AS second_min
+  FROM g JOIN m ON g.grp = m.grp WHERE g.doc_id <> m.m1 GROUP BY g.grp
+)
+SELECT g.doc_id,
+  CASE WHEN g.doc_id = m.m1 THEN m2.second_min ELSE m.m1 END AS neighbor
+FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
+ORDER BY g.doc_id""",
     "cosine_near_dup" ->
       """SELECT doc_id,
   min(doc_id) OVER (PARTITION BY doc_id % 50) AS cosine_cluster,
