@@ -13,11 +13,17 @@ object ExactDedup {
     * surviving doc id (min id per identical text) and a keep flag.
     * One shuffle; at scale, group on a 64-bit text hash first and only
     * compare full text within hash groups (collision-safe two-level key). */
+  /** Scale shape: groupBy-min (map-side partial agg absorbs a hot text —
+    * millions of identical boilerplate docs never concentrate on one
+    * reducer) + join back (AQE skew-join splits the hot key); a
+    * Window.partitionBy would sort the whole hot group on one reducer. */
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df.withColumn("__th", xxhash64(col(textCol)))
-    val w = Window.partitionBy(col("__th"), col(textCol))
+    val reps = hashed.groupBy(col("__th"), col(textCol).as("__tt"))
+      .agg(min(col(idCol)).as("exact_dup_rep"))
     hashed
-      .withColumn("exact_dup_rep", min(col(idCol)).over(w))
+      .join(reps, hashed("__th") === reps("__th") && col(textCol) === col("__tt"))
+      .drop(reps("__th")).drop("__tt")
       .withColumn("exact_keep", col("exact_dup_rep") === col(idCol))
       .drop("__th")
   }
@@ -43,16 +49,20 @@ object UrlDedup {
 
   private val normalizeUdf = udf(normalizeUrl _)
 
+  /** Scale shape: a hot normalized url (mass-crawled page) would make a
+    * Window.partitionBy sort its whole group on one reducer; the groupBy
+    * min-struct aggregates map-side and the join back is AQE-skew-splittable.
+    * Priority must be numeric (the reference's is an int). */
   def apply(df: DataFrame, urlCol: String, idCol: String, priorityCol: String,
             normalize: Boolean = false): DataFrame = {
     val keyCol = if (normalize) normalizeUdf(col(urlCol)) else col(urlCol)
     val keyed = df.withColumn("__ukey", keyCol)
-    val w = Window.partitionBy(col("__ukey"))
-    keyed.withColumn("__best",
-        first(col(idCol)).over(w.orderBy(col(priorityCol).desc, col(idCol).asc)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("url_keep", col("__best") === col(idCol))
-      .withColumnRenamed("__best", "url_dup_rep")
+    // min over (-priority, id) = highest priority, ties to the smallest id
+    val best = keyed.groupBy("__ukey")
+      .agg(min(struct((-col(priorityCol)).as("np"), col(idCol).as("bid"))).as("__b"))
+      .select(col("__ukey"), col("__b.bid").as("url_dup_rep"))
+    keyed.join(best, Seq("__ukey"))
+      .withColumn("url_keep", col("url_dup_rep") === col(idCol))
       .drop("__ukey")
   }
 }
@@ -97,11 +107,17 @@ object SentenceDedup {
       .select(col(idCol).as("__doc"), explode(windowHashes(col(textCol))).as("w"))
       .select(col("__doc"), col("w._1").as("__sent"), col("w._2").as("__hash"))
 
-    // first occurrence per hash wins; all others are duplicate spans
-    val w = Window.partitionBy("__hash").orderBy(col("__doc").asc, col("__sent").asc)
+    // first occurrence per hash wins; all others are duplicate spans.
+    // Scale shape: groupBy-min + join-back instead of a row_number window —
+    // a ubiquitous boilerplate window (one hash, millions of rows) is
+    // absorbed by map-side partial aggregation, and the join back gets AQE
+    // skew-splitting; WindowExec would sort the whole hot group on one
+    // reducer with no mitigation.
+    val firsts = sigs.groupBy("__hash")
+      .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
     val dups = sigs
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") > 1)
+      .join(firsts, Seq("__hash"))
+      .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
 

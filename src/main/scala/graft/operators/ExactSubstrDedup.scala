@@ -75,11 +75,15 @@ object ExactSubstrDedup {
       .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
       .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__h"))
 
-    // first occurrence (min doc, then min pos) of each span hash survives
-    val w = Window.partitionBy("__h").orderBy(col("__doc").asc, col("__pos").asc)
+    // first occurrence (min doc, then min pos) of each span hash survives.
+    // groupBy-min + join-back (not a row_number window): the min aggregates
+    // map-side so a mass-duplicated boilerplate span never concentrates on
+    // one reducer, and AQE skew-splits the join probe.
+    val firsts = spans.groupBy("__h")
+      .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
     val dupPos = spans
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") > 1)
+      .join(firsts, Seq("__h"))
+      .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__pos"))).as("__dupPos"))
 

@@ -83,6 +83,35 @@ class ScaleShapeSpec extends SparkSpec {
     assert(dupGroup.where(col("simhash_cluster") === 0).count() == 100)
   }
 
+  test("no Window in exact/url/sentence dedup plans (groupBy-min + AQE-splittable join)") {
+    val docs = Seq((1L, "a b c", "u1", 0L), (2L, "a b c", "u1", 1L), (3L, "x y z", "u2", 0L))
+      .toDF("doc_id", "text", "url", "prio")
+    assert(!planOf(ExactDedup(docs, "doc_id", "text")).contains("Window"))
+    assert(!planOf(UrlDedup(docs, "url", "doc_id", "prio")).contains("Window"))
+    val threeLine = docs.withColumn("text",
+      concat(col("text"), lit("\nmid "), col("text"), lit("\n"), col("text"), lit(" end")))
+    assert(!planOf(SentenceDedup(threeLine, "doc_id", "text")).contains("Window"))
+    assert(!planOf(ExactSubstrDedup(docs, "doc_id", "text")).contains("Window"))
+  }
+
+  test("sentence dedup: hot window hash (boilerplate 3-liner x 3k docs) completes correctly") {
+    val boiler = "all rights reserved\ncontact the webmaster here\nthanks for visiting today"
+    val docs = Seq.tabulate(3200) { i =>
+      val text =
+        if (i < 3000) boiler
+        else {
+          val rng = new scala.util.Random(i)
+          def line() = Array.fill(8)(Array.fill(5)(('a' + rng.nextInt(26)).toChar).mkString).mkString(" ")
+          s"${line()}\n${line()}\n${line()}"
+        }
+      (i.toLong, text)
+    }.toDF("doc_id", "text").repartition(4)
+    val out = SentenceDedup(docs, "doc_id", "text")(spark)
+    // doc 0 keeps the boilerplate; 2999 copies lose their one window
+    assert(out.where(col("sentence_dedup_keep")).count() == 201) // 1 + 200 unique
+    assert(out.where(col("removed_sentences") === 3).count() == 2999)
+  }
+
   test("lshTopK: recall@1 >= 0.9 on planted clusters; ids-only through the pair join") {
     // 60 clusters × 5 members: base gaussian vectors, members = base + small
     // noise (cosine ≈ 0.99) — the distribution LSH is designed for
