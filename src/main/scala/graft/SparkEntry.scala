@@ -239,8 +239,12 @@ object SparkEntry {
       // real corpus-trained BPE (distributed word-freq agg -> driver train
       // -> broadcast encode); engine-specific ids, rows-only check
       val docs = documents(s, dir)
+      // bounded vocab collect: top-60k words by frequency (deterministic
+      // tie-break) — at web scale distinct words are unbounded, a BPE
+      // training vocab is not
       val freqs = docs.select(explode(split(col("text"), " ")).as("w"))
         .where(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w")).limit(60000)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val bc = s.sparkContext.broadcast(graft.text.Bpe.train(freqs, 64))
       val cnt = udf { t: String => graft.text.Bpe.encode(t, bc.value).length.toLong }

@@ -130,6 +130,33 @@ class OpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: deeply-late key does not kill the query (timeout clamped above watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WebPage]
+    val docs = StreamingQuality.run(mem.toDF(), Seq.empty)
+    // tiny TTL so a late key's (eventTime + ttl) lands below the watermark
+    val deduped = StreamingQuality.streamingExactDedup(docs,
+      watermarkDelay = "1 minute", stateTtlMs = 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("sdd_late").toString
+    val query = deduped.writeStream.format("memory").queryName("sq_late")
+      .option("checkpointLocation", dir).outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def page(u: String, t: String, ts: Long) =
+        WebPage(u, new java.sql.Timestamp(ts), Array.empty, t, "en")
+      mem.addData(page("w1", "fresh text", t0 + 3600000L)) // advances watermark to ~t0+1h-1m
+      query.processAllAvailable()
+      // a brand-new key 2h older than the watermark: setTimeoutTimestamp on
+      // (eventTime + 1s) would be below the watermark without the clamp
+      mem.addData(page("w2", "ancient text", t0 - 3600000L))
+      query.processAllAvailable() // must not throw
+      mem.addData(page("w3", "after text", t0 + 3610000L))
+      query.processAllAvailable()
+      val urls = spark.table("sq_late").collect().map(_.getAs[String]("url")).toSet
+      assert(urls.contains("w1") && urls.contains("w3"))
+    } finally query.stop()
+  }
+
   test("streaming: windowed drop metrics with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[WebPage]
