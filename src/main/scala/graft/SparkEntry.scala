@@ -765,28 +765,31 @@ FROM documents ORDER BY doc_id""",
     CASE WHEN doc_id % 3 = 0 THEN ' walking slowly' ELSE '' END AS t2
   FROM documents
 ), w AS (
-  SELECT doc_id, unnest(list_filter(string_split(t2, ' '), x -> x <> '')) AS word FROM t
+  SELECT doc_id, unnest(list_filter(string_split(t2, ' '),
+    x -> x <> '' AND regexp_matches(x, '[A-Za-z]'))) AS word0 FROM t
 ), g AS (
+  SELECT doc_id, word0 AS word, lower(word0) AS wl FROM w
+), tg AS (
   SELECT doc_id, word,
-    CASE WHEN word IN ('the','a','an','this','that','these','those') THEN 'DT'
-         WHEN word IN ('i','you','he','she','it','we','they','me','him','her','us','them') THEN 'PRP'
-         WHEN word IN ('of','in','to','on','at','by','for','with','from','as','into','over','under') THEN 'IN'
-         WHEN word IN ('and','or','but') THEN 'CC'
-         WHEN word IN ('can','could','will','would','may','might','must','shall','should') THEN 'MD'
-         WHEN word IN ('is','are','was','were','be','been','am') THEN 'VB'
-         WHEN ends_with(word, 'ly') THEN 'RB'
-         WHEN ends_with(word, 'ing') THEN 'VBG'
-         WHEN ends_with(word, 'ed') THEN 'VBD'
-         WHEN ends_with(word, 'ous') OR ends_with(word, 'ful') OR ends_with(word, 'ive') OR ends_with(word, 'able') THEN 'JJ'
-         WHEN ends_with(word, 's') AND NOT ends_with(word, 'ss') AND length(word) > 3 THEN 'NNS'
+    CASE WHEN wl IN ('the','a','an','this','that','these','those') THEN 'DT'
+         WHEN wl IN ('i','you','he','she','it','we','they','me','him','her','us','them') THEN 'PRP'
+         WHEN wl IN ('of','in','to','on','at','by','for','with','from','as','into','over','under') THEN 'IN'
+         WHEN wl IN ('and','or','but') THEN 'CC'
+         WHEN wl IN ('can','could','will','would','may','might','must','shall','should') THEN 'MD'
+         WHEN wl IN ('is','are','was','were','be','been','am') THEN 'VB'
+         WHEN ends_with(wl, 'ly') THEN 'RB'
+         WHEN ends_with(wl, 'ing') THEN 'VBG'
+         WHEN ends_with(wl, 'ed') THEN 'VBD'
+         WHEN ends_with(wl, 'ous') OR ends_with(wl, 'ful') OR ends_with(wl, 'ive') OR ends_with(wl, 'able') THEN 'JJ'
+         WHEN ends_with(wl, 's') AND NOT ends_with(wl, 'ss') AND length(wl) > 3 THEN 'NNS'
          ELSE 'NN' END AS tag
-  FROM w
+  FROM g
 )
 SELECT doc_id,
   CAST(count(*) FILTER (WHERE tag IN ('NN','NNS','NNP','NNPS','VB','VBD','VBG','VBN','VBP','VBZ','JJ','JJR','JJS','RB','RBR','RBS')) AS BIGINT) AS n_content,
   CAST(count(DISTINCT word) FILTER (WHERE tag IN ('NN','NNS','NNP','NNPS','VB','VBD','VBG','VBN','VBP','VBZ','JJ','JJR','JJS','RB','RBR','RBS')) AS BIGINT) AS n_distinct_content,
   CAST(count(DISTINCT tag) AS BIGINT) AS n_distinct_tags
-FROM g GROUP BY doc_id ORDER BY doc_id""",
+FROM tg GROUP BY doc_id ORDER BY doc_id""",
     "gc_normalize" ->
       """WITH w AS (
   SELECT doc_id,

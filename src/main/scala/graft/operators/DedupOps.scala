@@ -22,7 +22,9 @@ object ExactDedup {
     val reps = hashed.groupBy(col("__th"), col(textCol).as("__tt"))
       .agg(min(col(idCol)).as("exact_dup_rep"))
     hashed
-      .join(reps, hashed("__th") === reps("__th") && col(textCol) === col("__tt"))
+      // null-safe keys: rows with null text form their own group and must
+      // survive the join (a plain === would silently drop them)
+      .join(reps, hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"))
       .drop(reps("__th")).drop("__tt")
       .withColumn("exact_keep", col("exact_dup_rep") === col(idCol))
       .drop("__th")
@@ -57,13 +59,19 @@ object UrlDedup {
             normalize: Boolean = false): DataFrame = {
     val keyCol = if (normalize) normalizeUdf(col(urlCol)) else col(urlCol)
     val keyed = df.withColumn("__ukey", keyCol)
-    // min over (-priority, id) = highest priority, ties to the smallest id
+    // min over (priority-is-null, -priority, id) = highest non-null priority,
+    // nulls last (matching the old orderBy(desc) semantics), ties to the
+    // smallest id. Negation assumes a sane numeric priority (the reference's
+    // is a small int); Long.MinValue priorities are out of contract.
     val best = keyed.groupBy("__ukey")
-      .agg(min(struct((-col(priorityCol)).as("np"), col(idCol).as("bid"))).as("__b"))
-      .select(col("__ukey"), col("__b.bid").as("url_dup_rep"))
-    keyed.join(best, Seq("__ukey"))
+      .agg(min(struct(col(priorityCol).isNull.as("pn"),
+        (-col(priorityCol)).as("np"), col(idCol).as("bid"))).as("__b"))
+      .select(col("__ukey").as("__bkey"), col("__b.bid").as("url_dup_rep"))
+    keyed
+      // null-safe key join: null-url rows keep flowing through the operator
+      .join(best, col("__ukey") <=> col("__bkey"))
       .withColumn("url_keep", col("url_dup_rep") === col(idCol))
-      .drop("__ukey")
+      .drop("__ukey", "__bkey")
   }
 }
 

@@ -106,7 +106,11 @@ object ExactSubstrDedup {
       // the reference drops ANY doc under min_doc_words after removal,
       // including untouched ones (exact_substrings.py:309)
       .withColumn("exact_substr_keep", col("__r._3") >= cfg.minDocWords)
-      .withColumn(textCol, col("__r._1"))
+      // only docs that actually lost a span get rewritten (word-level
+      // re-join, a documented divergence); untouched docs keep their
+      // original text byte-for-byte
+      .withColumn(textCol,
+        when(col("__dupPos").isNotNull, col("__r._1")).otherwise(col(textCol)))
       .drop("__dupPos", "__r")
   }
 }

@@ -64,11 +64,13 @@ object ExtractStage {
           try (task.get(timeoutMs, TimeUnit.MILLISECONDS), true)
           catch {
             case _: TimeoutException =>
-              // cancel(true) can't stop a CPU-bound extract with no interrupt
-              // checks — discard the whole executor (the stuck daemon thread
-              // dies with the JVM / on its next safepoint) and start fresh so
-              // one pathological page doesn't serially time out the rest of
-              // the partition behind the busy lone worker
+              // cancel(true) interrupts the worker; HtmlExtractor checks
+              // Thread.interrupted() in its scan loop, so the built-in
+              // extractor stops promptly. A third-party extractor plugged
+              // into this seam may ignore interrupts — replace the executor
+              // so the NEXT doc gets a fresh worker either way (the old
+              // thread, if truly stuck, is abandoned: a documented JVM
+              // limitation vs the reference's killable child process)
               task.cancel(true)
               pool.shutdownNow()
               pool = newPool()

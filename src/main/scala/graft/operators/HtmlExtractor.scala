@@ -36,7 +36,17 @@ object HtmlExtractor {
       current.clear()
     }
 
+    var sinceCheck = 0
     while (i < n) {
+      // cooperative cancellation: the ExtractStage sandbox cancels via
+      // Thread.interrupt on timeout; checking here lets cancel(true)
+      // actually stop a pathological page instead of abandoning the thread
+      sinceCheck += 1
+      if (sinceCheck >= 4096) {
+        sinceCheck = 0
+        if (Thread.interrupted())
+          throw new InterruptedException("extract cancelled")
+      }
       val c = html.charAt(i)
       if (c == '<') {
         if (html.startsWith("<!--", i)) {

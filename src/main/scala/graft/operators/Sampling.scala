@@ -38,10 +38,10 @@ object Sampling {
     val spark = df0.sparkSession
     val df = df0.withColumn("__tok", col(tokenCol).cast("long"))
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val parted = df
+    val parted = CacheRegistry.swap("sampling.runningSum", df
       .repartitionByRange(n, desc(scoreCol), asc(tokenCol))
       .sortWithinPartitions(desc(scoreCol), asc(tokenCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val tokIdx = parted.schema.fieldIndex("__tok")
 
     // pass 1: per-partition totals — one tiny row per partition
@@ -93,6 +93,8 @@ object Sampling {
   def cdfSample(df: DataFrame, scoreCol: String, tokenCol: String,
                 hardFraction: Double, rate: Double, seed: Long = 42L): DataFrame = {
     val (withRun, total) = withRunningSum(df, scoreCol, tokenCol)
+    // fail loudly instead of silently emitting NaN probabilities
+    require(total > 0, s"cdfSample: total token mass of '$tokenCol' is 0")
     withRun
       .withColumn("__cdf", col("__running") / total.toDouble)
       .withColumn("sample_p",

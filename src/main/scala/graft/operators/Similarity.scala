@@ -55,7 +55,11 @@ object Similarity {
     import spark.implicits._
     // this path collects every vector to the driver — exact, but NOT the
     // 100 TB path; refuse loudly instead of OOMing the driver
-    val cnt = df.limit((maxRows + 1).toInt).count()
+    // (limit() takes an Int — fall back to a full count for huge maxRows so
+    // a raised cap can't overflow the guard into a false pass)
+    val cnt =
+      if (maxRows >= Int.MaxValue - 1) df.count()
+      else df.limit((maxRows + 1).toInt).count()
     require(cnt <= maxRows,
       s"bruteForceTopK broadcasts the full table from the driver; >$maxRows rows " +
       s"found — use lshTopK (LSH-bucketed) for large inputs, or raise maxRows explicitly")
@@ -166,9 +170,9 @@ object Similarity {
     // joins that AQE can broadcast when one side is small).
     val base = df.select(col(idCol).as("__qid"),
       col(vecCol).cast("array<float>").as("__qv"), normCol(col(vecCol)).as("__qn"))
-    val bucketed = base
+    val bucketed = CacheRegistry.swap("similarity.lshBuckets", base
       .select(col("__qid"), explode(bucketUdf(col("__qv"))).as("__bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val pairs = bucketed
       .join(bucketed.withColumnRenamed("__qid", "neighbor"), Seq("__bucket"))

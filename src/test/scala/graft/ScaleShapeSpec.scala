@@ -94,6 +94,31 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!planOf(ExactSubstrDedup(docs, "doc_id", "text")).contains("Window"))
   }
 
+  test("exact/url dedup: null text, null url, and null priority rows survive the join") {
+    val rows = Seq(
+      (1L, "same text", "u1", java.lang.Long.valueOf(5L)),
+      (2L, "same text", "u1", null.asInstanceOf[java.lang.Long]),
+      (3L, null.asInstanceOf[String], "u2", java.lang.Long.valueOf(1L)),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String], java.lang.Long.valueOf(2L)))
+    val df = rows.toDF("doc_id", "text", "url", "prio")
+    val ex = ExactDedup(df, "doc_id", "text")
+    assert(ex.count() == 4, "null-text rows must not vanish")
+    assert(ex.where(col("doc_id").isin(3L, 4L) && col("exact_dup_rep") === 3L).count() == 2)
+    val ud = UrlDedup(df, "url", "doc_id", "prio")
+    assert(ud.count() == 4, "null-url rows must not vanish")
+    // group u1: id=1 has priority 5, id=2 has null -> non-null priority wins
+    assert(ud.where(col("doc_id") === 1L).head().getAs[Boolean]("url_keep"))
+    assert(!ud.where(col("doc_id") === 2L).head().getAs[Boolean]("url_keep"))
+  }
+
+  test("exact_substr: untouched docs keep their original text byte-for-byte") {
+    val punctuated = "Hello, world.\nSecond line with punctuation! And more."
+    val df = Seq((1L, punctuated)).toDF("doc_id", "text")
+    val r = ExactSubstrDedup(df, "doc_id", "text")(spark).head()
+    assert(r.getAs[String]("text") == punctuated)
+    assert(r.getAs[Int]("n_removed_words") == 0)
+  }
+
   test("sentence dedup: hot window hash (boilerplate 3-liner x 3k docs) completes correctly") {
     val boiler = "all rights reserved\ncontact the webmaster here\nthanks for visiting today"
     val docs = Seq.tabulate(3200) { i =>
