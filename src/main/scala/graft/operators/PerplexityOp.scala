@@ -26,3 +26,31 @@ object PerplexityOp {
             (implicit spark: SparkSession): DataFrame =
     annotate(df, textCol, model).where(col("perplexity") <= maxPerplexity)
 }
+
+/** Perplexity Encoder (pipeline/perplexity/encoder.py:12-35): per-doc token
+  * ids truncated to max_model_len-1, written as one jsonl file of JSON int
+  * arrays per partition (≙ the reference's per-rank files). The reference
+  * loads a pretrained HF tokenizer from the hub (no egress here); a
+  * corpus-trained `graft.text.Bpe.Model` plugs the same seam with real
+  * multi-symbol merges. */
+object PerplexityEncoder {
+  import org.apache.spark.sql.functions._
+
+  /** Annotate with `token_ids` (BPE ids, EOS-terminated, truncated). */
+  def annotate(df: org.apache.spark.sql.DataFrame, textCol: String,
+               model: graft.text.Bpe.Model, maxModelLen: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val enc = udf { t: String =>
+      val ids = graft.text.Bpe.encode(t, model)
+      if (ids.length > maxModelLen - 1) ids.take(maxModelLen - 1) else ids
+    }
+    df.withColumn("token_ids", enc(col(textCol)))
+  }
+
+  /** encoder.py run(): one jsonl file per partition, each line a JSON array
+    * of token ids — written through Spark's text sink (any filesystem). */
+  def write(df: org.apache.spark.sql.DataFrame, textCol: String, outDir: String,
+            model: graft.text.Bpe.Model, maxModelLen: Int = 4096): Unit =
+    annotate(df, textCol, model, maxModelLen)
+      .select(to_json(col("token_ids")).as("value"))
+      .write.mode("overwrite").text(outDir)
+}

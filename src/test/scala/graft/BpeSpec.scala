@@ -36,6 +36,24 @@ class BpeSpec extends AnyFunSuite {
     assert(a.merges == b.merges && a.vocab == b.vocab)
   }
 
+  test("PerplexityEncoder: token_ids truncated to max_model_len-1, jsonl per partition") {
+    val spark = SparkTestSession.session
+    import spark.implicits._
+    val texts = Seq("alpha beta gamma " * 50, "short doc here")
+    val m = Bpe.trainFromTexts(texts.iterator, 30)
+    val df = texts.toDF("text")
+    val out = graft.operators.PerplexityEncoder.annotate(df, "text", m, maxModelLen = 17)
+      .select("token_ids").as[Seq[Int]].collect()
+    assert(out.forall(_.length <= 16))
+    assert(out.exists(_.length == 16)) // the long doc truncates
+    val dir = java.nio.file.Files.createTempDirectory("pplenc").toString
+    graft.operators.PerplexityEncoder.write(df.coalesce(1), "text", dir, m, 17)
+    val lines = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".txt"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toList)
+    assert(lines.length == 2 && lines.forall(l => l.startsWith("[") && l.endsWith("]")))
+  }
+
   test("DocTokenizer .ds round trip with a real BPE model (non-trivial merges)") {
     val spark = SparkTestSession.session
     import spark.implicits._
