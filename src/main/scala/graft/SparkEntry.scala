@@ -269,7 +269,7 @@ object SparkEntry {
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
       val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(col("doc_id") % 50).as("embedding"))
+        .select(col("doc_id"), vecUdf(col("doc_id") % 200).as("embedding"))
       Similarity.lshTopK(df, "doc_id", "embedding", 1)
         .select(col("doc_id"), col("neighbor"))
         .orderBy("doc_id")
@@ -291,7 +291,7 @@ object SparkEntry {
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
       val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(col("doc_id") % 50).as("embedding"))
+        .select(col("doc_id"), vecUdf(col("doc_id") % 200).as("embedding"))
       Similarity.cosineNearDupes(df, "doc_id", "embedding", threshold = 0.95)
         .select(col("doc_id"), col("cosine_cluster"), col("cosine_keep"))
         .orderBy("doc_id")
@@ -743,7 +743,7 @@ SELECT doc_id, doc_id = rep AS exact_substr_keep,
 FROM g ORDER BY doc_id""",
     "ann_lsh_topk_exact" ->
       """WITH g AS (
-  SELECT doc_id, doc_id % 50 AS grp FROM documents
+  SELECT doc_id, doc_id % 200 AS grp FROM documents
 ), m AS (
   SELECT grp, min(doc_id) AS m1 FROM g GROUP BY grp
 ), m2 AS (
@@ -756,8 +756,8 @@ FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
 ORDER BY g.doc_id""",
     "cosine_near_dup" ->
       """SELECT doc_id,
-  min(doc_id) OVER (PARTITION BY doc_id % 50) AS cosine_cluster,
-  doc_id = min(doc_id) OVER (PARTITION BY doc_id % 50) AS cosine_keep
+  min(doc_id) OVER (PARTITION BY doc_id % 200) AS cosine_cluster,
+  doc_id = min(doc_id) OVER (PARTITION BY doc_id % 200) AS cosine_keep
 FROM documents ORDER BY doc_id""",
     "lexical_diversity" ->
       """WITH t AS (

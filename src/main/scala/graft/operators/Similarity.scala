@@ -194,15 +194,37 @@ object Similarity {
   }
 
   /** Embedding near-duplicate detection: pairs with cosine ≥ threshold
-    * (via LSH candidates), connected-components, min-id survivor. */
+    * (via LSH candidates), connected-components, min-id survivor.
+    * k bounds neighbors per vector — clustering only needs CONNECTIVITY
+    * (components close the transitive hull), so a mass-duplicated embedding
+    * cluster doesn't need its full clique materialized; k=16 links even a
+    * huge duplicate group into one component with high probability while
+    * capping the window/edge volume. */
   def cosineNearDupes(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double = 0.95, bands: Int = 16, bitsPerBand: Int = 8)
+                      threshold: Double = 0.95, bands: Int = 16, bitsPerBand: Int = 8,
+                      k: Int = 16)
                      (implicit spark: SparkSession): DataFrame = {
-    val top = lshTopK(df, idCol, vecCol, k = 50, bands = bands, bitsPerBand = bitsPerBand)
-    val edges = top.where(col("cosine") >= threshold)
+    // Collapse byte-identical vectors FIRST: they are near-dups by
+    // definition (cosine 1 ≥ any threshold), and a mass-duplicated
+    // embedding would otherwise regenerate its full clique in every LSH
+    // band — the dominant degenerate case at web scale. LSH then runs over
+    // DISTINCT vectors only.
+    val v = col(vecCol).cast("array<float>")
+    val hashed = df.withColumn("__vh", xxhash64(v))
+    val reps = hashed.groupBy(col("__vh").as("__rh"), v.as("__vv"))
+      .agg(min(col(idCol)).as("__rep"))
+    val withRep = hashed
+      .join(reps, col("__vh") <=> col("__rh") && (v <=> col("__vv")))
+      .drop("__rh", "__vv")
+    val exactEdges = withRep.where(col(idCol) =!= col("__rep"))
+      .select(col(idCol).as("doc"), col("__rep").as("rep"))
+    val uniques = withRep.where(col(idCol) === col("__rep"))
+      .select(col(idCol), col(vecCol))
+    val top = lshTopK(uniques, idCol, vecCol, k = k, bands = bands, bitsPerBand = bitsPerBand)
+    val lshEdges = top.where(col("cosine") >= threshold)
       .select(col(idCol).as("doc"), col("neighbor").as("rep"))
       .where(col("doc") =!= col("rep"))
-    val comps = MinhashDedup.components(edges)
+    val comps = MinhashDedup.components(exactEdges.union(lshEdges))
     df.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
       .withColumn("cosine_cluster", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")
