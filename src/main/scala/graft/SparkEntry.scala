@@ -24,9 +24,10 @@ object SparkEntry {
     GopherQualityFilter.check(text, oracleGopherCfg).getOrElse("")
   }
 
-  private val tokenCountUdf = udf { text: String =>
-    graft.text.Tokenizer.words(text).length.toLong
-  }
+  // native codegen word count (no ScalaUDF in the plan) — equivalence with
+  // Tokenizer.words().length is property-tested
+  private val tokenCountCol: Column => Column =
+    graft.functions.WordCountExpression.wordCount _
 
   private val piiScrubUdf = udf { text: String =>
     new PiiScrubber(resetPerDoc = true).scrub(text)
@@ -130,7 +131,7 @@ object SparkEntry {
     }),
     "token_count" -> ((s, dir) => {
       documents(s, dir)
-        .select(col("doc_id"), tokenCountUdf(col("text")).as("n_tokens"))
+        .select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     }),
     "exact_dedup" -> ((s, dir) => {
@@ -316,7 +317,7 @@ object SparkEntry {
       // GcCombiner (id join of two metric tables) + GcNormalizer (global
       // min-max), quantized to integers for the oracle hash
       val docs = documents(s, dir)
-      val lex = docs.select(col("doc_id"), tokenCountUdf(col("text")).as("n_words"),
+      val lex = docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_words"),
         size(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).cast("long").as("n_distinct"))
       val syn = docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       GcOps.normalize(GcOps.combine(lex, syn, "doc_id"),
@@ -360,7 +361,7 @@ object SparkEntry {
       documents(s, dir).select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
-          tokenCountUdf(col("text")).as("n_words"),
+          tokenCountCol(col("text")).as("n_words"),
           (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_spaces"))
         .orderBy("doc_id")
     }),
@@ -368,7 +369,7 @@ object SparkEntry {
       // stats/word_stats.py analog: word totals + type-token counts
       documents(s, dir).select(
           col("doc_id"),
-          tokenCountUdf(col("text")).as("n_words"),
+          tokenCountCol(col("text")).as("n_words"),
           aggregate(filter(split(col("text"), " "), w => w =!= ""),
             lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
           size(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).cast("long").as("n_distinct"))
@@ -412,7 +413,7 @@ object SparkEntry {
       // top-score docs up to a token budget (eta_dacp hard sampler)
       documents(s, dir)
         .withColumn("score", col("doc_id"))
-        .withColumn("tokens", tokenCountUdf(col("text")))
+        .withColumn("tokens", tokenCountCol(col("text")))
         .transform(df => Sampling.hardTopByTokens(df, "score", "tokens", 5000L))
         .select("doc_id").orderBy("doc_id")
     }),
@@ -421,7 +422,7 @@ object SparkEntry {
       // engine-seeded and not comparable)
       documents(s, dir)
         .withColumn("score", col("doc_id"))
-        .withColumn("tokens", tokenCountUdf(col("text")))
+        .withColumn("tokens", tokenCountCol(col("text")))
         .transform(df => Sampling.cdfSample(df, "score", "tokens", 0.2, 0.5))
         .select(col("doc_id"), floor(col("sample_p") * 1000000).cast("long").as("p_q"))
         .orderBy("doc_id")

@@ -69,6 +69,44 @@ object Tokenizer {
     out.toArray
   }
 
+  /** words(text).length without materializing the tokens — the hot path
+    * for the native WordCountExpression (codegen calls this directly).
+    * Must stay exactly equivalent to words(); the equivalence is
+    * property-tested across Latin/CJK/decimal/surrogate inputs. */
+  def wordCount(text: String): Int = {
+    var count = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (PyText.pyIsSpace(c)) {
+        i += 1
+      } else if (isAlnum(c)) {
+        val start = i
+        while (i < n && isAlnum(text.charAt(i))) i += 1
+        if (i < n && text.charAt(i) == '.' && i > start &&
+            isDigit(text.charAt(i - 1)) && i + 1 < n && isDigit(text.charAt(i + 1)) &&
+            allDigits(text, start, i)) {
+          i += 1
+          while (i < n && isDigit(text.charAt(i))) i += 1
+        }
+        count += 1
+      } else if (isCjk(c)) {
+        val start = i
+        while (i < n && isCjk(text.charAt(i))) i += 1
+        count += ZhSegmenter.cut(text.substring(start, i)).length
+      } else if (Character.isHighSurrogate(c) && i + 1 < n &&
+                 Character.isLowSurrogate(text.charAt(i + 1))) {
+        count += 1
+        i += 2
+      } else {
+        count += 1
+        i += 1
+      }
+    }
+    count
+  }
+
   private def allDigits(s: String, from: Int, until: Int): Boolean = {
     var i = from
     while (i < until) { if (!isDigit(s.charAt(i))) return false; i += 1 }
