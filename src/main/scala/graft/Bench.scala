@@ -63,13 +63,15 @@ object Bench {
     // untimed warmup at the smallest SF: pays each query's one-off plan
     // compile + whole-stage-codegen (janino) cost outside the timed section,
     // so the measured numbers reflect execution, not first-plan JIT
-    val warmDir = sfDir.replace("sf0.1", "sf0.001").replace("sf0.01", "sf0.001")
-    if (warmDir != sfDir && new java.io.File(warmDir).exists()) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
-    } // unknown sf layouts: skip rather than warming (and page-caching) at full scale
+    // prefer the smallest SF for warmup; fall back to the bench dir itself
+    // (JIT exclusion matters more than the extra pass) when no small
+    // sibling exists
+    val small = sfDir.replace("sf0.1", "sf0.001").replace("sf0.01", "sf0.001")
+    val warmDir = if (new java.io.File(small).exists()) small else sfDir
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -22,10 +22,15 @@ object ExactDedup {
     val reps = hashed.groupBy(col("__th"), col(textCol).as("__tt"))
       .agg(min(col(idCol)).as("exact_dup_rep"))
     hashed
-      // null-safe keys: rows with null text form their own group and must
-      // survive the join (a plain === would silently drop them)
+      // null-safe keys: rows with null text must survive the join (a plain
+      // === would silently drop them)
       .join(reps, hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"))
       .drop(reps("__th")).drop("__tt")
+      // null text is UNKNOWN content, not identical content — pass such rows
+      // through as their own survivors instead of deduping them against
+      // each other (which would silently drop all but one)
+      .withColumn("exact_dup_rep",
+        when(col(textCol).isNull, col(idCol)).otherwise(col("exact_dup_rep")))
       .withColumn("exact_keep", col("exact_dup_rep") === col(idCol))
       .drop("__th")
   }
@@ -38,6 +43,7 @@ object UrlDedup {
   /** Default url normalizer (url_dedup.py's `url_normalizer` seam): strip
     * scheme, query/fragment, trailing slash; lowercase the host. */
   def normalizeUrl(url: String): String = {
+    if (url == null) return null
     var u = url
     val scheme = u.indexOf("://")
     if (scheme >= 0) u = u.substring(scheme + 3)
@@ -70,6 +76,9 @@ object UrlDedup {
     keyed
       // null-safe key join: null-url rows keep flowing through the operator
       .join(best, col("__ukey") <=> col("__bkey"))
+      // a null url is an unknown page, not THE SAME page — pass through
+      .withColumn("url_dup_rep",
+        when(col("__ukey").isNull, col(idCol)).otherwise(col("url_dup_rep")))
       .withColumn("url_keep", col("url_dup_rep") === col(idCol))
       .drop("__ukey", "__bkey")
   }

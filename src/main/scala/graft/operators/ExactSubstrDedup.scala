@@ -41,6 +41,7 @@ object ExactSubstrDedup {
 
   /** (pos, spanHash) for every `spanWords`-word window of `text`. */
   def spanHashes(text: String, spanWords: Int): Array[(Int, Long)] = {
+    if (text == null) return Array.empty
     val words = Tokenizer.words(text)
     if (words.length < spanWords) return Array.empty
     val h = words.map(Hashes.xxhash64)
@@ -87,7 +88,7 @@ object ExactSubstrDedup {
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__pos"))).as("__dupPos"))
 
-    val rewrite = udf { (text: String, dup: Seq[Int]) =>
+    def rewriteWords(text: String, dup: Seq[Int]): (String, Int, Int) = {
       val words = Tokenizer.words(text)
       val covered = new Array[Boolean](words.length)
       for (p <- dup) {
@@ -97,6 +98,11 @@ object ExactSubstrDedup {
       }
       val kept = words.indices.filterNot(covered).map(words)
       (kept.mkString(" "), words.length - kept.length, kept.length)
+    }
+
+    val rewrite = udf { (text: String, dup: Seq[Int]) =>
+      if (text == null) ("", 0, 0) // null text: wordless -> min_doc_words drop
+      else rewriteWords(text, dup)
     }
 
     df.join(dupPos.withColumnRenamed("__doc", idCol), Seq(idCol), "left")

@@ -40,8 +40,13 @@ object PerplexityEncoder {
   def annotate(df: org.apache.spark.sql.DataFrame, textCol: String,
                model: graft.text.Bpe.Model, maxModelLen: Int = 4096): org.apache.spark.sql.DataFrame = {
     val enc = udf { t: String =>
-      val ids = graft.text.Bpe.encode(t, model)
-      if (ids.length > maxModelLen - 1) ids.take(maxModelLen - 1) else ids
+      if (t == null) Array(0) // null text -> empty doc (EOS only)
+      else {
+        val ids = graft.text.Bpe.encode(t, model)
+        // truncation must not cut the EOS doc separator off the end —
+        // downstream consumers find doc boundaries by id 0
+        if (ids.length > maxModelLen - 1) ids.take(maxModelLen - 2) :+ 0 else ids
+      }
     }
     df.withColumn("token_ids", enc(col(textCol)))
   }

@@ -34,7 +34,7 @@ object Sampling {
     * range-partitioned dataset (the persist pins the partition assignment
     * so both passes agree). */
   private def withRunningSum(df0: DataFrame, scoreCol: String,
-                             tokenCol: String): (DataFrame, Long) = {
+                             tokenCol: String): (DataFrame, Long, Long) = {
     val spark = df0.sparkSession
     val df = df0.withColumn("__tok", col(tokenCol).cast("long"))
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
@@ -44,43 +44,66 @@ object Sampling {
       .persist(StorageLevel.MEMORY_AND_DISK))
     val tokIdx = parted.schema.fieldIndex("__tok")
 
-    // pass 1: per-partition totals — one tiny row per partition
-    val partSums: Array[(Int, Long)] = parted
+    // pass 1: per-partition (rows, token total) — one tiny row per partition
+    val partSums: Array[(Int, Long, Long)] = parted
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         var s = 0L
-        it.foreach(r => s += r.getLong(tokIdx))
-        Iterator.single((pid, s))
-      }(Encoders.product[(Int, Long)])
+        var rows = 0L
+        it.foreach { r => s += r.getLong(tokIdx); rows += 1 }
+        Iterator.single((pid, rows, s))
+      }(Encoders.product[(Int, Long, Long)])
       .collect()
 
-    val byPid = partSums.toMap
+    val sumByPid = partSums.map(p => p._1 -> p._3).toMap
     var acc = 0L
     val offsets = Array.tabulate(n) { pid =>
-      val o = acc; acc += byPid.getOrElse(pid, 0L); o
+      val o = acc; acc += sumByPid.getOrElse(pid, 0L); o
     }
     val total = acc
-    val bc = spark.sparkContext.broadcast(offsets)
+    val totalRows = partSums.map(_._2).sum
+    val expectedSums = Array.tabulate(n)(pid => sumByPid.getOrElse(pid, 0L))
+    val bc = spark.sparkContext.broadcast((offsets, expectedSums))
 
-    // pass 2: local running sum + broadcast offset (narrow, no shuffle)
+    // pass 2: local running sum + broadcast offset (narrow, no shuffle).
+    // Validation at iterator end: if the persisted partitioning was lost and
+    // a recompute under a nondeterministically-ordered lineage re-sampled
+    // different range boundaries, the partition's token sum no longer
+    // matches pass 1 — fail LOUDLY instead of emitting silently wrong
+    // running sums (the same precondition Spark's own task retry puts on
+    // any two-pass computation over a nondeterministic source).
     val outSchema = StructType(
       parted.schema.fields :+ StructField("__running", LongType, nullable = false))
     val enc = RowEncoder.encoderFor(outSchema)
     val result = parted.mapPartitions { it =>
-      var run = bc.value(TaskContext.getPartitionId())
-      it.map { r =>
+      val (offs, expected) = bc.value
+      val pid = TaskContext.getPartitionId()
+      var run = offs(pid)
+      val out = it.map { r =>
         run += r.getLong(tokIdx)
         Row.fromSeq(r.toSeq :+ run)
       }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && run - offs(pid) != expected(pid))
+            throw new IllegalStateException(
+              s"Sampling.withRunningSum: partition $pid token sum ${run - offs(pid)} " +
+              s"!= pass-1 sum ${expected(pid)} — cached partitioning was lost and the " +
+              "input lineage is not deterministic; persist the input or make it deterministic")
+          h
+        }
+        def next(): Row = out.next()
+      }
     }(enc)
-    (result, total)
+    (result, total, totalRows)
   }
 
   /** eta_dacp/hard_sampler.py:8-47 — keep the top-scored docs up to a
     * token budget (doc budget: pass a tokens=1 column). */
   def hardTopByTokens(df: DataFrame, scoreCol: String, tokenCol: String,
                       tokenBudget: Long): DataFrame = {
-    val (withRun, _) = withRunningSum(df, scoreCol, tokenCol)
+    val (withRun, _, _) = withRunningSum(df, scoreCol, tokenCol)
     withRun
       .where(col("__running") - col("__tok") < tokenBudget)
       .drop("__running", "__tok")
@@ -92,9 +115,12 @@ object Sampling {
     * then Bernoulli-sample with a seeded rand. */
   def cdfSample(df: DataFrame, scoreCol: String, tokenCol: String,
                 hardFraction: Double, rate: Double, seed: Long = 42L): DataFrame = {
-    val (withRun, total) = withRunningSum(df, scoreCol, tokenCol)
-    // fail loudly instead of silently emitting NaN probabilities
-    require(total > 0, s"cdfSample: total token mass of '$tokenCol' is 0")
+    val (withRun, total, totalRows) = withRunningSum(df, scoreCol, tokenCol)
+    // fail loudly instead of silently emitting NaN probabilities — but an
+    // EMPTY input is legitimate (a shard may filter to nothing) and returns
+    // the empty frame
+    require(totalRows == 0 || total > 0,
+      s"cdfSample: $totalRows rows but total token mass of '$tokenCol' is 0")
     withRun
       .withColumn("__cdf", col("__running") / total.toDouble)
       .withColumn("sample_p",

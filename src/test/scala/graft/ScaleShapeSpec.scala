@@ -103,12 +103,26 @@ class ScaleShapeSpec extends SparkSpec {
     val df = rows.toDF("doc_id", "text", "url", "prio")
     val ex = ExactDedup(df, "doc_id", "text")
     assert(ex.count() == 4, "null-text rows must not vanish")
-    assert(ex.where(col("doc_id").isin(3L, 4L) && col("exact_dup_rep") === 3L).count() == 2)
+    // null text = unknown content: each row is its own survivor (pass-through)
+    assert(ex.where(col("doc_id").isin(3L, 4L) && col("exact_keep")).count() == 2)
+    assert(ex.where(col("doc_id") === 4L).head().getAs[Long]("exact_dup_rep") == 4L)
     val ud = UrlDedup(df, "url", "doc_id", "prio")
     assert(ud.count() == 4, "null-url rows must not vanish")
     // group u1: id=1 has priority 5, id=2 has null -> non-null priority wins
     assert(ud.where(col("doc_id") === 1L).head().getAs[Boolean]("url_keep"))
     assert(!ud.where(col("doc_id") === 2L).head().getAs[Boolean]("url_keep"))
+    // null url passes through (and the normalize path must not NPE)
+    assert(ud.where(col("doc_id") === 4L).head().getAs[Boolean]("url_keep"))
+    val udn = UrlDedup(df, "url", "doc_id", "prio", normalize = true)
+    assert(udn.count() == 4)
+    // null text through ExactSubstrDedup: no crash, wordless -> dropped
+    val es = ExactSubstrDedup(df.select("doc_id", "text"), "doc_id", "text")(spark)
+    assert(es.count() == 4)
+    assert(!es.where(col("doc_id") === 3L).head().getAs[Boolean]("exact_substr_keep"))
+    // null text through the perplexity encoder: EOS-only doc, no crash
+    val m = graft.text.Bpe.trainFromTexts(Iterator("same text words"), 5)
+    val enc = PerplexityEncoder.annotate(df.select("doc_id", "text"), "text", m)
+    assert(enc.count() == 4)
   }
 
   test("exact_substr: untouched docs keep their original text byte-for-byte") {
