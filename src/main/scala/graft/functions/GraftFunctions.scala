@@ -35,5 +35,10 @@ object GraftFunctions {
     u.register("graft_jaccard", (a: String, b: String) => NgramJaccard.jaccard(a, b))
     u.register("graft_sentence_count", (t: String) => Tokenizer.sentenceCount(t).toLong)
     u.register("graft_extract_html", (h: String) => HtmlExtractor.extract(h))
+    // native (codegen) expression — same result as graft_word_count, no
+    // ScalaUDF in the plan; also injectable at session build via
+    // GraftExtensions for spark-submit users
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(
+      spark, "graft_word_count_native", exprs => WordCountExpression(exprs.head))
   }
 }

@@ -31,6 +31,22 @@ class WordCountExprSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("SQL surface: graft_word_count_native registered, no ScalaUDF, matches UDF twin") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq("three little words", "one").toDF("text").createOrReplaceTempView("wc_pages")
+    val out = spark.sql(
+      """SELECT graft_word_count_native(text) AS a, graft_word_count(text) AS b
+         FROM wc_pages""").collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+    val plan = spark.sql("SELECT graft_word_count_native(text) FROM wc_pages")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    // the extensions entry point builds the same expression
+    val exprs = Seq(org.apache.spark.sql.GraftSqlBridge.expression(col("text")))
+    val viaExt = graft.functions.WordCountExpression(exprs.head)
+    assert(viaExt.prettyName == "graft_word_count")
+  }
+
   test("null input yields null, wrong type fails analysis") {
     val df = Seq(Some("two words"), None).toDF("text")
     val out = df.select(WordCountExpression.wordCount(col("text")).as("n"))
