@@ -275,6 +275,28 @@ object SparkEntry {
         .select(col("doc_id"), col("neighbor"))
         .orderBy("doc_id")
     }),
+    "ann_ivf_topk_exact" -> ((s, dir) => {
+      // IVF-flat variant over the same planted identical-vector groups —
+      // same deterministic top-1 as the LSH-exact query (identical vectors
+      // share a cell; cosine ties break to the asc neighbor)
+      implicit val sp: SparkSession = s
+      val vecUdf = udf { g: Long =>
+        var st = g * 0x9e3779b97f4a7c15L + 7L
+        def next(): Long = {
+          st += 0x9e3779b97f4a7c15L
+          var z = st
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
+      }
+      val df = documents(s, dir)
+        .select(col("doc_id"), vecUdf(col("doc_id") % 200).as("embedding"))
+      Similarity.ivfTopK(df, "doc_id", "embedding", 1, nLists = 32, nProbe = 4)
+        .select(col("doc_id"), col("neighbor"))
+        .orderBy("doc_id")
+    }),
     "cosine_near_dup" -> ((s, dir) => {
       // embedding near-dup via LSH candidates + cosine threshold +
       // connected components, over planted identical-vector groups of 10
@@ -742,6 +764,19 @@ FROM g ORDER BY doc_id""",
 SELECT doc_id, doc_id = rep AS exact_substr_keep,
   CASE WHEN doc_id = rep THEN 0 ELSE 56 END AS n_removed_words
 FROM g ORDER BY doc_id""",
+    "ann_ivf_topk_exact" ->
+      """WITH g AS (
+  SELECT doc_id, doc_id % 200 AS grp FROM documents
+), m AS (
+  SELECT grp, min(doc_id) AS m1 FROM g GROUP BY grp
+), m2 AS (
+  SELECT g.grp, min(g.doc_id) AS second_min
+  FROM g JOIN m ON g.grp = m.grp WHERE g.doc_id <> m.m1 GROUP BY g.grp
+)
+SELECT g.doc_id,
+  CASE WHEN g.doc_id = m.m1 THEN m2.second_min ELSE m.m1 END AS neighbor
+FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
+ORDER BY g.doc_id""",
     "ann_lsh_topk_exact" ->
       """WITH g AS (
   SELECT doc_id, doc_id % 200 AS grp FROM documents

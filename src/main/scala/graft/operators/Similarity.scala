@@ -193,6 +193,108 @@ object Similarity {
     out
   }
 
+  /** Deterministic driver-side Lloyd k-means over a bounded sample — the
+    * coarse quantizer for ivfTopK. Seeding: evenly spaced sample points
+    * (deterministic, no RNG state dependence); empty cells keep their
+    * previous centroid. Sample bias only affects cell BALANCE, never
+    * correctness (every vector is searched within its assigned cells). */
+  private[operators] def trainCentroids(sample: Array[Array[Float]], nLists: Int,
+                                        iters: Int): Array[Array[Float]] = {
+    val n = sample.length
+    val kk = math.min(nLists, math.max(1, n))
+    val dim = if (n == 0) 1 else sample(0).length
+    val cents = Array.tabulate(kk)(i => sample((i.toLong * n / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        val c = nearestCentroid(sample(i), cents)
+        var d = 0
+        while (d < dim) { sums(c)(d) += sample(i)(d); d += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { cents(c)(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private[operators] def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d2 = 0.0
+      var d = 0
+      val cc = cents(c)
+      val len = math.min(v.length, cc.length)
+      while (d < len) { val x = v(d) - cc(d); d2 += x * x; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[operators] def nearestCells(v: Array[Float], cents: Array[Array[Float]],
+                                      nProbe: Int): Array[Int] = {
+    val ds = cents.indices.map { c =>
+      var d2 = 0.0
+      var d = 0
+      val cc = cents(c)
+      val len = math.min(v.length, cc.length)
+      while (d < len) { val x = v(d) - cc(d); d2 += x * x; d += 1 }
+      (d2, c)
+    }
+    ds.sortBy(p => (p._1, p._2)).take(nProbe).map(_._2).toArray
+  }
+
+  /** IVF-flat approximate top-k: a coarse k-means quantizer partitions the
+    * vectors into `nLists` cells; each query probes its `nProbe` nearest
+    * cells and computes exact cosine only there. The scale path when LSH's
+    * hyperplane bucketing fits poorly (clustered embeddings): candidates ∝
+    * nProbe/nLists of the data per query, one cell-key shuffle join, AQE
+    * skew-split on hot cells. Centroids train driver-side on a bounded
+    * deterministic sample and broadcast (the classic IVF layout). */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nLists: Int = 64, nProbe: Int = 8, kmeansIters: Int = 5,
+              sampleSize: Int = 8192)
+             (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sample: Array[Array[Float]] = df
+      .select(col(vecCol).cast("array<float>")).limit(sampleSize)
+      .as[Seq[Float]].collect().map(_.toArray)
+    val cents = spark.sparkContext.broadcast(trainCentroids(sample, nLists, kmeansIters))
+    val np = nProbe
+
+    val cellUdf = udf { v: Seq[Float] => nearestCentroid(v.toArray, cents.value) }
+    val probeUdf = udf { v: Seq[Float] => nearestCells(v.toArray, cents.value, np) }
+
+    val base = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<float>").as("__v"), normCol(col(vecCol)).as("__n"))
+    val data = base.select(col("__id").as("neighbor"), col("__v").as("__nv"),
+      col("__n").as("__nn"), cellUdf(col("__v")).as("__cell"))
+    val queries = base.select(col("__id").as("__qid"), col("__v").as("__qv"),
+      col("__n").as("__qn"), explode(probeUdf(col("__v"))).as("__cell"))
+
+    val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
+    queries.join(data, Seq("__cell"))
+      .where(col("__qid") =!= col("neighbor"))
+      .withColumn("cosine", dotUdf(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate detection: pairs with cosine ≥ threshold
     * (via LSH candidates), connected-components, min-id survivor.
     * k bounds neighbors per vector — clustering only needs CONNECTIVITY

@@ -177,6 +177,32 @@ class ScaleShapeSpec extends SparkSpec {
     assert(hits.toDouble / n >= 0.9, s"recall@1 ${hits.toDouble / n}")
   }
 
+  test("ivfTopK: recall@1 >= 0.9 on planted clusters (coarse quantizer + probe)") {
+    val rng = new scala.util.Random(19)
+    def gauss(): Double = {
+      var s = 0.0; var i = 0
+      while (i < 12) { s += rng.nextDouble(); i += 1 }
+      s - 6.0
+    }
+    val dim = 16
+    val rows = (0 until 60).flatMap { c =>
+      val base = Array.fill(dim)(gauss())
+      (0 until 5).map { m =>
+        ((c * 5 + m).toLong, c, base.map(x => (x + 0.05 * gauss()).toFloat).toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "cluster", "embedding")
+    val top1 = Similarity.ivfTopK(df, "vec_id", "embedding", k = 1, nLists = 16, nProbe = 4)
+    val joined = top1.join(df.select(col("vec_id"), col("cluster").as("qc")), Seq("vec_id"))
+      .join(df.select(col("vec_id").as("neighbor"), col("cluster").as("nc")), Seq("neighbor"))
+    val hits = joined.where(col("qc") === col("nc")).count()
+    assert(hits.toDouble / rows.size >= 0.9, s"recall@1 ${hits.toDouble / rows.size}")
+    // determinism: same input -> same neighbors
+    val again = Similarity.ivfTopK(df, "vec_id", "embedding", k = 1, nLists = 16, nProbe = 4)
+    assert(top1.select("vec_id", "neighbor").collect().toSet ==
+      again.select("vec_id", "neighbor").collect().toSet)
+  }
+
   test("bruteForceTopK: row-count guard refuses oversized input") {
     val df = spark.range(0, 50).select(col("id").as("vec_id"),
       array(lit(1.0f), (col("id") % 7).cast("float")).as("embedding"))
