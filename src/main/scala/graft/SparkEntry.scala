@@ -293,7 +293,12 @@ object SparkEntry {
       }
       val df = documents(s, dir)
         .select(col("doc_id"), vecUdf(col("doc_id") % 200).as("embedding"))
-      Similarity.ivfTopK(df, "doc_id", "embedding", 1, nLists = 32, nProbe = 4)
+      // nProbe=1 is sufficient AND exact for this construction: a query's
+      // identical siblings share its cell, and their cosine (the max
+      // possible) dominates any cross-group candidate. Uniform random
+      // vectors are IVF's worst case (no cluster structure -> fat cells),
+      // so the probe fan stays minimal here.
+      Similarity.ivfTopK(df, "doc_id", "embedding", 1, nLists = 64, nProbe = 1)
         .select(col("doc_id"), col("neighbor"))
         .orderBy("doc_id")
     }),

@@ -290,6 +290,9 @@ object Similarity {
     queries.join(data, Seq("__cell"))
       .where(col("__qid") =!= col("neighbor"))
       .withColumn("cosine", dotUdf(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")))
+      // ids+cosine only through the window sort — the fat vectors must not
+      // ride the per-query ranking shuffle
+      .select(col("__qid"), col("neighbor"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
