@@ -20,4 +20,28 @@ private[operators] object CacheRegistry {
     }
     df
   }
+
+  private val rotating =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayDeque[DataFrame]]()
+
+  /** Like `swap`, but keeps the `keep` most recent caches under `prefix`
+    * live before unpersisting the oldest. For operators whose cached
+    * intermediate must survive until a DEFERRED action (e.g. the sampler's
+    * pass-2 result consumed after a second sampler is built): footprint
+    * stays bounded at `keep` datasets per prefix while adjacent
+    * invocations can't evict each other's pinned partitioning. */
+  def swapRotating(prefix: String, df: DataFrame, keep: Int = 4): DataFrame = {
+    val dq = rotating.computeIfAbsent(prefix, _ => new java.util.ArrayDeque[DataFrame]())
+    dq.synchronized {
+      dq.addLast(df)
+      while (dq.size > keep) {
+        val old = dq.removeFirst()
+        if (old ne df) {
+          try old.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        }
+      }
+    }
+    df
+  }
 }

@@ -211,6 +211,20 @@ object SimHashDedup {
     val bandBits = 64 / bands
     val withSim = df.withColumn("simhash", simhashUdf(col(textCol)))
 
+    // Identical fingerprints are distance-0 duplicates by definition:
+    // collapse each simhash value to a min-id representative FIRST and emit
+    // exact star edges, then band-join only DISTINCT fingerprints. Without
+    // this, a hot band key (mass-duplicated text, or near-empty texts all
+    // hashing to simhash 0) makes the self-join output O(group²) rows
+    // *before* the hamming filter can drop anything — AQE redistributes but
+    // cannot shrink that volume. Mirrors Similarity.cosineNearDupes'
+    // exact-collapse. Connectivity (and thus min-id cluster labels) is
+    // unchanged: star-to-rep connects exactly what the full clique did.
+    val reps = withSim.groupBy("simhash").agg(min(col(idCol)).as("__rep"))
+    val exactEdges = withSim.join(reps, Seq("simhash"))
+      .where(col(idCol) =!= col("__rep"))
+      .select(col(idCol).as("doc"), col("__rep").as("rep"))
+
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         col("simhash").bitwiseAND(
@@ -218,19 +232,19 @@ object SimHashDedup {
     }
     // Candidate pairs via a self-join on the band key (NOT collect_list +
     // double explode, which births O(group²) rows out of one array row and
-    // OOMs on a hot band — e.g. near-empty texts all hashing to simhash 0).
-    // A sort-merge self-join streams both sides and AQE skew-split applies;
-    // `a.doc < b.doc` halves the pair volume and dedups (a,b)/(b,a).
-    val banded = withSim
-      .select(col(idCol).as("doc"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-    val verified = banded.as("a")
+    // OOMs on a hot band). A sort-merge self-join streams both sides and
+    // AQE skew-split applies; `a.doc < b.doc` halves the pair volume and
+    // dedups (a,b)/(b,a).
+    val banded = reps
+      .select(col("__rep").as("doc"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+    val repEdges = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
       .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("b.doc").as("doc"), col("a.doc").as("rep"))
       .distinct()
 
-    val comps = MinhashDedup.components(verified)
+    val comps = MinhashDedup.components(exactEdges.union(repEdges))
     withSim.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
       .withColumn("simhash_cluster", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")

@@ -13,8 +13,9 @@ import graft.text.Tokenizer
   * (ESRangeRemover, exact_substrings.py:149-343, min_doc_words=50).
   *
   * This approximation works at WORD granularity with fixed-length spans:
-  *   - every window of `spanWords` consecutive words is hashed (polynomial
-  *     rolling hash over per-word xxhash64 — O(words) per doc);
+  *   - every window of `spanWords` consecutive words is hashed (a 128-bit
+  *     pair of polynomial rolling hashes over per-word xxhash64 — O(words)
+  *     per doc; see spanHashes for the collision/false-removal analysis);
   *   - a span occurrence is a duplicate when an earlier occurrence of the
   *     same hash exists anywhere in the corpus (first occurrence by
   *     (doc id, position) wins — one copy survives);
@@ -39,26 +40,36 @@ final case class ExactSubstrConfig(
 
 object ExactSubstrDedup {
 
-  /** (pos, spanHash) for every `spanWords`-word window of `text`. */
-  def spanHashes(text: String, spanWords: Int): Array[(Int, Long)] = {
+  /** (pos, spanHash1, spanHash2) for every `spanWords`-word window of
+    * `text`. Span identity is the 128-bit pair (h1, h2): two polynomial
+    * rolling hashes with independent odd multipliers over the same per-word
+    * xxhash64 stream. A single 64-bit key hits the birthday bound at
+    * ~2^32 spans — guaranteed cross-span collisions at the 100TB posture,
+    * each one silently deleting a non-duplicate 50-word range from an
+    * innocent doc. The pair pushes the bound to ~2^64 spans (collision
+    * needs both independent linear combinations to agree mod 2^64);
+    * expected false removals at 10^12 docs × ~10^3 spans: ≪ 1. */
+  def spanHashes(text: String, spanWords: Int): Array[(Int, Long, Long)] = {
     if (text == null) return Array.empty
     val words = Tokenizer.words(text)
     if (words.length < spanWords) return Array.empty
     val h = words.map(Hashes.xxhash64)
     // polynomial rolling hash: H(i) = sum h(i+j) * P^(spanWords-1-j)
-    val P = 0x100000001b3L // FNV prime — odd, good diffusion under mod 2^64
-    var pow = 1L
+    val P1 = 0x100000001b3L       // FNV prime — odd, good diffusion mod 2^64
+    val P2 = 0x9E3779B97F4A7C15L  // 2^64/φ — odd, independent multiplier
+    var pow1 = 1L; var pow2 = 1L
     var j = 1
-    while (j < spanWords) { pow *= P; j += 1 } // P^(spanWords-1)
-    val out = new Array[(Int, Long)](words.length - spanWords + 1)
-    var acc = 0L
+    while (j < spanWords) { pow1 *= P1; pow2 *= P2; j += 1 } // P^(spanWords-1)
+    val out = new Array[(Int, Long, Long)](words.length - spanWords + 1)
+    var acc1 = 0L; var acc2 = 0L
     var i = 0
-    while (i < spanWords) { acc = acc * P + h(i); i += 1 }
-    out(0) = (0, acc)
+    while (i < spanWords) { acc1 = acc1 * P1 + h(i); acc2 = acc2 * P2 + h(i); i += 1 }
+    out(0) = (0, acc1, acc2)
     i = spanWords
     while (i < words.length) {
-      acc = (acc - h(i - spanWords) * pow) * P + h(i)
-      out(i - spanWords + 1) = (i - spanWords + 1, acc)
+      acc1 = (acc1 - h(i - spanWords) * pow1) * P1 + h(i)
+      acc2 = (acc2 - h(i - spanWords) * pow2) * P2 + h(i)
+      out(i - spanWords + 1) = (i - spanWords + 1, acc1, acc2)
       i += 1
     }
     out
@@ -74,16 +85,17 @@ object ExactSubstrDedup {
 
     val spans = df
       .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
-      .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__h"))
+      .select(col("__doc"), col("s._1").as("__pos"),
+        col("s._2").as("__h1"), col("s._3").as("__h2"))
 
     // first occurrence (min doc, then min pos) of each span hash survives.
     // groupBy-min + join-back (not a row_number window): the min aggregates
     // map-side so a mass-duplicated boilerplate span never concentrates on
     // one reducer, and AQE skew-splits the join probe.
-    val firsts = spans.groupBy("__h")
+    val firsts = spans.groupBy("__h1", "__h2")
       .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
     val dupPos = spans
-      .join(firsts, Seq("__h"))
+      .join(firsts, Seq("__h1", "__h2"))
       .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__pos"))).as("__dupPos"))

@@ -31,11 +31,14 @@ object GcOps {
           max(col(c).cast("double")).as(s"__max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     components.foldLeft(df) { (d, c) =>
-      val lo = row.getAs[Double](s"__min_$c")
-      val hi = row.getAs[Double](s"__max_$c")
+      // Extrema are null on an empty input — treat like the constant-column
+      // case (reference's `val = 0` guard) instead of NPE-ing on unboxing.
+      val lo = row.getAs[java.lang.Double](s"__min_$c")
+      val hi = row.getAs[java.lang.Double](s"__max_$c")
       val norm =
-        if (hi == lo) lit(0.0)
-        else (col(c).cast("double") - lit(lo)) / lit(hi - lo)
+        if (lo == null || hi == null || hi.doubleValue == lo.doubleValue) lit(0.0)
+        else (col(c).cast("double") - lit(lo.doubleValue)) /
+          lit(hi.doubleValue - lo.doubleValue)
       d.withColumn(outPrefix + c, norm)
     }
   }

@@ -195,7 +195,11 @@ object MinhashDedup {
                  driverEdgeLimit: Long = 5000000L): DataFrame = {
     val spark = edges0.sparkSession
     val edges = edges0.cache()
-    val edgeCount = edges.limit((driverEdgeLimit + 1).toInt).count()
+    // (limit+1).toInt would overflow for a caller-raised limit near
+    // Long.MaxValue — same guard shape as Similarity.bruteForceTopK
+    val edgeCount =
+      if (driverEdgeLimit >= Int.MaxValue - 1) edges.count()
+      else edges.limit(driverEdgeLimit.toInt + 1).count()
     if (edgeCount == 0) { // no duplicate pairs at all — skip the whole loop
       edges.unpersist()
       return edges0.select(col("doc"), col("rep").as("cluster"))

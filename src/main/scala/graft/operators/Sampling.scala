@@ -38,7 +38,10 @@ object Sampling {
     val spark = df0.sparkSession
     val df = df0.withColumn("__tok", col(tokenCol).cast("long"))
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val parted = CacheRegistry.swap("sampling.runningSum", df
+    // Rotating key: building sampler B must not evict sampler A's pinned
+    // range-partitioning before A's deferred pass-2 action runs (pass-2
+    // correctness depends on the persisted partition assignment).
+    val parted = CacheRegistry.swapRotating("sampling.runningSum", df
       .repartitionByRange(n, desc(scoreCol), asc(tokenCol))
       .sortWithinPartitions(desc(scoreCol), asc(tokenCol))
       .persist(StorageLevel.MEMORY_AND_DISK))

@@ -273,6 +273,11 @@ object Similarity {
     val sample: Array[Array[Float]] = df
       .select(col(vecCol).cast("array<float>")).limit(sampleSize)
       .as[Seq[Float]].collect().map(_.toArray)
+    // Empty shards are a legitimate pipeline state: short-circuit with an
+    // empty result (trainCentroids would index into the empty sample).
+    if (sample.isEmpty)
+      return df.select(col(idCol), col(idCol).as("neighbor"),
+        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
     val cents = spark.sparkContext.broadcast(trainCentroids(sample, nLists, kmeansIters))
     val np = nProbe
 

@@ -83,6 +83,44 @@ class ScaleShapeSpec extends SparkSpec {
     assert(dupGroup.where(col("simhash_cluster") === 0).count() == 100)
   }
 
+  test("simhash: hot band (50k docs sharing one fingerprint among 56k) completes via exact pre-collapse") {
+    // Mass-duplicated text: 50k identical docs all share one simhash, so
+    // every band key is hot. Pre-collapse must shrink the band self-join to
+    // DISTINCT fingerprints (~6k rows) — the old plan would birth
+    // 50k²/2 ≈ 1.25e9 join rows before the hamming filter and hang.
+    val docs = spark.range(0, 56000).select(col("id").as("doc_id"),
+      when(col("id") < 50000,
+        lit("the same mass duplicated boilerplate body with plenty of words to hash stably"))
+        .otherwise(concat(lit("unique doc "), col("id"), lit(" tokens "),
+          col("id") * 31, lit(" plus "), col("id") * 17, lit(" more filler words here"))).as("text"))
+      .repartition(8)
+    val out = SimHashDedup(docs, "doc_id", "text", maxHamming = 3)
+    val hot = out.where(col("doc_id") < 50000)
+    assert(hot.where(col("simhash_keep")).count() == 1)
+    assert(hot.where(col("simhash_cluster") === 0).count() == 50000)
+  }
+
+  test("ivfTopK and GcOps.normalize: empty input frames pass through (no crash)") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val r = Similarity.ivfTopK(empty, "vec_id", "embedding", k = 3)
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("vec_id", "neighbor", "cosine", "rank"))
+    val emptyMetrics = Seq.empty[(Long, Double)].toDF("doc_id", "m")
+    val g = GcOps.normalize(emptyMetrics, Seq("m"))
+    assert(g.count() == 0 && g.columns.contains("norm_m"))
+  }
+
+  test("two interleaved samplers: building B does not evict A's pinned partitioning") {
+    val rowsA = Seq.tabulate(200)(i => (i.toLong, i.toLong, 5L))
+    val rowsB = Seq.tabulate(200)(i => (i.toLong, (200 - i).toLong, 3L))
+    val a = Sampling.hardTopByTokens(rowsA.toDF("id", "score", "tokens"), "score", "tokens", 100L)
+    val b = Sampling.hardTopByTokens(rowsB.toDF("id", "score", "tokens"), "score", "tokens", 60L)
+    // consume A only AFTER B was built — the old shared cache key unpersisted
+    // A's range partitioning here and tripped the pass-2 validation
+    assert(a.count() == 20)
+    assert(b.count() == 20)
+  }
+
   test("no Window in exact/url/sentence dedup plans (groupBy-min + AQE-splittable join)") {
     val docs = Seq((1L, "a b c", "u1", 0L), (2L, "a b c", "u1", 1L), (3L, "x y z", "u2", 0L))
       .toDF("doc_id", "text", "url", "prio")
