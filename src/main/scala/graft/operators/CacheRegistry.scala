@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
   * unpersists the PREVIOUS cache under the same key — the steady-state
   * footprint is at most one cached dataset per operator, regardless of how
   * many times a driver session invokes it. */
-private[operators] object CacheRegistry {
+object CacheRegistry {
   private val last = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def swap(key: String, df: DataFrame): DataFrame = {
@@ -43,5 +43,29 @@ private[operators] object CacheRegistry {
       }
     }
     df
+  }
+
+  /** Unpersist every registered cache (both keyed and rotating). For
+    * harnesses (Bench) that need a pristine-memory state between sections —
+    * leftover persisted LSH projections / sampler partitions from earlier
+    * queries otherwise occupy storage memory and skew later timings. */
+  def clearAll(): Unit = {
+    val it = last.values().iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = true)
+      catch { case _: Exception => () }
+    }
+    last.clear()
+    val rit = rotating.values().iterator()
+    while (rit.hasNext) {
+      val dq = rit.next()
+      dq.synchronized {
+        while (!dq.isEmpty) {
+          try dq.removeFirst().unpersist(blocking = true)
+          catch { case _: Exception => () }
+        }
+      }
+    }
+    rotating.clear()
   }
 }
