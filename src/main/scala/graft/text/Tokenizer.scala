@@ -11,11 +11,12 @@ import scala.collection.mutable.ArrayBuffer
   *     token (jieba finalseg re_skip = `\d+\.\d+|[a-zA-Z0-9]+`),
   *   - every other non-space char is its own single-char token,
   *   - whitespace tokens are dropped (strip_strings, word_tokenizers.py:15).
-  * On CJK text jieba segments with a dictionary DAG + max-prob route; CJK
-  * runs here go through the same algorithm over a committed frequency dict
+  * On CJK text jieba segments with a dictionary DAG + max-prob route plus
+  * a B/M/E/S HMM over unknown runs; CJK runs here go through the same
+  * algorithms over a committed frequency dict and a dict-derived HMM
   * (ZhSegmenter). Divergence from the real jieba: different dictionary and
-  * no HMM for unknown words (single-char fallback) — cross-checked against
-  * an independent Python port in tools/zh_diff.py.
+  * a dict-derived (not corpus-trained) emission model — cross-checked
+  * against an independent Python port in tools/zh_diff.py.
   *
   * This is a pure function so it can run inside whole-stage-codegen-adjacent
   * UDFs and mapPartitions without any per-row model state.
@@ -52,8 +53,8 @@ object Tokenizer {
         out += text.substring(start, i)
       } else if (isCjk(c)) {
         // dictionary segmentation of the whole CJK run (jieba DAG/max-prob
-        // over the committed dict — see ZhSegmenter; unknown chars fall back
-        // to singles, matching jieba-without-HMM)
+        // over the committed dict + finalseg-style HMM on unknown runs —
+        // see ZhSegmenter)
         val start = i
         while (i < n && isCjk(text.charAt(i))) i += 1
         out ++= ZhSegmenter.cut(text.substring(start, i))

@@ -12,14 +12,33 @@ class ZhSpec extends AnyFunSuite {
     assert(ZhSegmenter.cut("中国的发展") == Seq("中国", "的", "发展"))
   }
 
-  test("unknown characters fall back to singles (no HMM)") {
-    assert(ZhSegmenter.cut("魔焰") == Seq("魔", "焰"))
-    assert(ZhSegmenter.cut("我们魔焰学习") == Seq("我们", "魔", "焰", "学习"))
+  test("unknown runs go through the finalseg-style HMM (joined, not singles)") {
+    assert(ZhSegmenter.cut("魔焰") == Seq("魔焰"))
+    assert(ZhSegmenter.cut("我们魔焰学习") == Seq("我们", "魔焰", "学习"))
+    // raw DAG route (no HMM) still splits to singles
+    assert(ZhSegmenter.cutNoHmm("魔焰") == Seq("魔", "焰"))
+  }
+
+  test("HMM emits B..E / S spans and partitions losslessly") {
+    // 4 fully-unseen chars: flat emissions, transitions prefer 2-char words
+    val oov = "鹿鸣魔焰" // 鹿鸣魔焰 — none in dict
+    val cut = ZhSegmenter.Hmm.cut(oov)
+    assert(cut.mkString == oov)
+    assert(cut == Seq("鹿鸣", "魔焰"))
+  }
+
+  test("buffered single-char dict words only HMM-join when the buffer has no dict freq") {
+    // 去+了 are consecutive single-char route pieces; 去了 is not a dict
+    // word, so jieba's __cut_DAG buffering sends the pair through the HMM
+    val got = ZhSegmenter.cut("我们去了北京")
+    assert(got.mkString == "我们去了北京")
+    assert(got.contains("北京"))
   }
 
   test("prefix-only fragments do not emit zero-frequency words") {
-    // 北京大 is a prefix of 北京大学 (freq 0 entry) — must not be emitted
-    assert(ZhSegmenter.cut("北京大楼") == Seq("北京", "大", "楼"))
+    // 北京大 is a prefix of 北京大学 (freq 0 entry) — must not be emitted;
+    // 大楼 is a dict word in the expanded dictionary
+    assert(ZhSegmenter.cut("北京大楼") == Seq("北京", "大楼"))
   }
 
   test("Tokenizer routes CJK runs through the segmenter, mixed with Latin") {

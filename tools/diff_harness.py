@@ -58,10 +58,10 @@ def _load_zh_dict():
         for i in range(1, len(w)):
             if w[:i] not in freq:
                 freq[w[:i]] = 0
-    return freq, math.log(float(sum(words.values())))
+    return freq, math.log(float(sum(words.values()))), words
 
 
-ZH_FREQ, ZH_LOG_TOTAL = _load_zh_dict()
+ZH_FREQ, ZH_LOG_TOTAL, ZH_WORDS = _load_zh_dict()
 
 
 def zh_qlog(f):
@@ -69,7 +69,7 @@ def zh_qlog(f):
     return round((math.log(float(f) if f > 0 else 1.0) - ZH_LOG_TOTAL) * 1e6) / 1e6
 
 
-def zh_cut(run):
+def zh_cut_no_hmm(run):
     n = len(run)
     if n == 0:
         return []
@@ -104,6 +104,123 @@ def zh_cut(run):
         y = route_x[x] + 1
         out.append(run[x:y])
         x = y
+    return out
+
+
+# --- B/M/E/S HMM for unknown runs: independent port of graft
+# ZhSegmenter.Hmm (jieba finalseg's published Viterbi; self-authored model
+# DERIVED from the committed dict — see the Scala scaladoc for the spec) ---
+_B, _M, _E, _S = 0, 1, 2, 3
+_NEG = -1e9
+_UNSEEN = -20.0
+
+
+def _q(x):
+    return round(x * 1e6) / 1e6
+
+
+ZH_HMM_START = [_q(math.log(0.6)), _NEG, _NEG, _q(math.log(0.4))]
+
+ZH_HMM_TRANS = [[_NEG] * 4 for _ in range(4)]
+ZH_HMM_TRANS[_B][_M] = _q(math.log(0.3)); ZH_HMM_TRANS[_B][_E] = _q(math.log(0.7))
+ZH_HMM_TRANS[_M][_M] = _q(math.log(0.4)); ZH_HMM_TRANS[_M][_E] = _q(math.log(0.6))
+ZH_HMM_TRANS[_E][_B] = _q(math.log(0.55)); ZH_HMM_TRANS[_E][_S] = _q(math.log(0.45))
+ZH_HMM_TRANS[_S][_B] = _q(math.log(0.55)); ZH_HMM_TRANS[_S][_S] = _q(math.log(0.45))
+
+# candidate predecessors, jieba tuple-max tie winner (larger state letter)
+# first under strict >
+ZH_HMM_PREV = [[_S, _E], [_M, _B], [_M, _B], [_S, _E]]
+
+
+def _zh_hmm_emit():
+    counts = [{}, {}, {}, {}]
+    for w, f in ZH_WORDS.items():
+        if f <= 0:
+            continue
+        if len(w) == 1:
+            counts[_S][w[0]] = counts[_S].get(w[0], 0) + f
+        else:
+            counts[_B][w[0]] = counts[_B].get(w[0], 0) + f
+            counts[_E][w[-1]] = counts[_E].get(w[-1], 0) + f
+            for c in w[1:-1]:
+                counts[_M][c] = counts[_M].get(c, 0) + f
+    out = []
+    for m in counts:
+        total = float(sum(m.values()))
+        out.append({c: _q(math.log(float(n)) - math.log(total)) for c, n in m.items()})
+    return out
+
+
+ZH_HMM_EMIT = _zh_hmm_emit()
+
+
+def zh_hmm_cut(run):
+    n = len(run)
+    if n == 0:
+        return []
+    if n == 1:
+        return [run]
+
+    def emit(s, c):
+        return ZH_HMM_EMIT[s].get(c, _UNSEEN)
+
+    v = [[0.0] * 4 for _ in range(n)]
+    back = [[0] * 4 for _ in range(n)]
+    for s in range(4):
+        v[0][s] = ZH_HMM_START[s] + emit(s, run[0])
+    for t in range(1, n):
+        for s in range(4):
+            best_p, best_prev = float("-inf"), ZH_HMM_PREV[s][0]
+            for prev in ZH_HMM_PREV[s]:
+                p = (v[t - 1][prev] + ZH_HMM_TRANS[prev][s]) + emit(s, run[t])
+                if p > best_p:
+                    best_p, best_prev = p, prev
+            v[t][s] = best_p
+            back[t][s] = best_prev
+    last = _S
+    if v[n - 1][_E] > v[n - 1][_S]:
+        last = _E
+    states = [0] * n
+    states[n - 1] = last
+    for t in range(n - 1, 0, -1):
+        states[t - 1] = back[t][states[t]]
+    out, begin = [], 0
+    for i, st in enumerate(states):
+        if st == _B:
+            begin = i
+        elif st == _E:
+            out.append(run[begin:i + 1])
+        elif st == _S:
+            out.append(run[i])
+    return out
+
+
+def _zh_flush(buf, out):
+    if not buf:
+        return
+    if len(buf) == 1:
+        out.append(buf)
+    elif ZH_FREQ.get(buf, 0) == 0:
+        out.extend(zh_hmm_cut(buf))
+    else:
+        out.extend(list(buf))
+
+
+def zh_cut(run):
+    """jieba __cut_DAG buffering: consecutive single-char route pieces are
+    buffered; a flushed buffer of length >= 2 with no positive dict freq
+    goes through the HMM, else chars emit singly."""
+    out, buf = [], ""
+    for w in zh_cut_no_hmm(run):
+        if len(w) == 1:
+            buf += w
+        else:
+            if buf:
+                _zh_flush(buf, out)
+                buf = ""
+            out.append(w)
+    if buf:
+        _zh_flush(buf, out)
     return out
 
 

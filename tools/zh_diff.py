@@ -75,6 +75,17 @@ def main():
     # distribution sanity: the corpus must exercise multiple outcomes
     from collections import Counter
     print("quality reasons:", dict(Counter(r["reason_quality"] for r in rows)))
+    # out-of-dict share: tokens with no positive dict frequency (the HMM
+    # unknown-word path) — the agreement claim requires >= 30% OOV tokens
+    total_tok = oov_tok = 0
+    for row in rows:
+        for t in diff_harness.tok_words(row["text"]):
+            if diff_harness.is_cjk(t[0]):
+                total_tok += 1
+                if diff_harness.ZH_FREQ.get(t, 0) == 0:
+                    oov_tok += 1
+    oov_share = oov_tok / max(total_tok, 1)
+    print(f"oov token share: {oov_share:.3f} ({oov_tok}/{total_tok})")
     ok = q_agree / n >= 0.99 and r_agree / n >= 0.99
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
