@@ -222,6 +222,24 @@ object SparkEntry {
         .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
         .orderBy("doc_id")
     }),
+    "sentence_dedup_sent" -> ((s, dir) => {
+      // sentence mode (split_sentences=True): 3 planted sentences per doc
+      // (md5-block words joined with '. ') — groups of 5 identical docs, the
+      // min-id copy survives untouched, later copies lose their single
+      // 3-sentence window and drop to empty
+      implicit val sp: SparkSession = s
+      val blocks = (0 until 3).map { j =>
+        val h = translate(md5(concat((col("doc_id") % 100).cast("string"), lit("s" + j))),
+          "0123456789", "ghijklmnop")
+        concat_ws(" ", (0 until 8).map(i => substring(h, i * 4 + 1, 4)): _*)
+      }
+      val sentDocs = documents(s, dir).select(col("doc_id"),
+        concat(concat_ws(". ", blocks: _*), lit(".")).as("text"))
+      SentenceDedup(sentDocs, "doc_id", "text",
+        SentenceDedupConfig(splitSentences = true))
+        .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
+        .orderBy("doc_id")
+    }),
     "bloom_dedup_exact" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       BloomDedup(syntheticDupDocs(s, dir).coalesce(1).sortWithinPartitions("doc_id"),
@@ -747,6 +765,14 @@ FROM g ORDER BY doc_id""",
 SELECT doc_id, rep AS simhash_cluster, doc_id = rep AS simhash_keep
 FROM g ORDER BY doc_id""",
     "sentence_dedup_exact" ->
+      """WITH a AS (
+  SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
+  FROM documents
+), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
+SELECT doc_id, doc_id = rep AS sentence_dedup_keep,
+  CASE WHEN doc_id = rep THEN 0 ELSE 3 END AS removed_sentences
+FROM g ORDER BY doc_id""",
+    "sentence_dedup_sent" ->
       """WITH a AS (
   SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
   FROM documents

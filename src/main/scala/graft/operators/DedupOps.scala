@@ -85,19 +85,26 @@ object UrlDedup {
 }
 
 /** Sentence-level dedup (dedup/sentence_dedup.py): hash every window of
-  * `nSentences` consecutive lines (line mode ≙ split_sentences=False —
-  * avoids sentence-splitter divergence; the hash input is the
-  * simplify_text'd window, sentence_dedup.py:137-143); the first occurrence
+  * `nSentences` consecutive units (lines by default ≙ split_sentences=False;
+  * set splitSentences=true for the reference's default sentence mode, using
+  * the deterministic Tokenizer.sentenceSpans splitter in place of its
+  * nltk/spaCy model — documented approximation); the hash input is the
+  * simplify_text'd window (sentence_dedup.py:137-143); the first occurrence
   * (min doc id, then min window idx) survives, every later occurrence marks
-  * a span [idx, idx+n) for removal; docs shrink to their kept lines and are
-  * dropped when left with <minDocWords words or <minNumSentences lines.
+  * a span [idx, idx+n) for removal; docs shrink to their kept units and are
+  * dropped when left with <minDocWords words or <minNumSentences units.
+  * Sentence-mode rewrite mirrors remove_dup_sentences
+  * (sentence_dedup.py:329-379): each kept unit carries the inter-sentence
+  * whitespace since the previous span end, the pieces are joined with ""
+  * and the result is lstrip'd; line mode joins with "\n" as before.
   *
   * Spark shape: explode → groupBy(hash) shuffle → per-doc span removal.
   */
 final case class SentenceDedupConfig(
     nSentences: Int = 3,
     minDocWords: Int = 50,
-    minNumSentences: Int = 3)
+    minNumSentences: Int = 3,
+    splitSentences: Boolean = false)
 
 object SentenceDedup {
 
@@ -106,9 +113,12 @@ object SentenceDedup {
             cfg: SentenceDedupConfig = SentenceDedupConfig())
            (implicit spark: SparkSession): DataFrame = {
     val n = cfg.nSentences
+    val splitSent = cfg.splitSentences
 
     val windowHashes = udf { text: String =>
-      val sents = PyText.splitLines(text)
+      val sents =
+        if (splitSent) Tokenizer.sentences(text)
+        else PyText.splitLines(text)
       if (sents.length < n) Array.empty[(Int, Long)]
       else {
         val simplified = sents.map(TextKernels.simplifyText)
@@ -139,19 +149,42 @@ object SentenceDedup {
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
 
     val rewrite = udf { (text: String, dupSents: Seq[Int]) =>
-      val sents = PyText.splitLines(text)
-      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-      var di = 0
-      var dropUntil = 0
-      var removed = 0
-      for (idx <- sents.indices) {
-        if (di < dupSents.length && dupSents(di) == idx) {
-          dropUntil = idx + n
-          di += 1
+      if (splitSent) {
+        // sentence mode: span-based rewrite (remove_dup_sentences,
+        // sentence_dedup.py:329-379) — kept units include the raw
+        // inter-sentence whitespace since the previous span end, joined
+        // with "" and lstrip'd
+        val spans = Tokenizer.sentenceSpans(text)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+        var di = 0
+        var dropUntil = 0
+        var removed = 0
+        var lastS = 0
+        for (idx <- spans.indices) {
+          if (di < dupSents.length && dupSents(di) == idx) {
+            dropUntil = idx + n
+            di += 1
+          }
+          if (idx >= dropUntil) kept += text.substring(lastS, spans(idx)._2)
+          else removed += 1
+          lastS = spans(idx)._2
         }
-        if (idx >= dropUntil) kept += sents(idx) else removed += 1
+        (PyText.pyLStrip(kept.mkString("")), removed)
+      } else {
+        val sents = PyText.splitLines(text)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+        var di = 0
+        var dropUntil = 0
+        var removed = 0
+        for (idx <- sents.indices) {
+          if (di < dupSents.length && dupSents(di) == idx) {
+            dropUntil = idx + n
+            di += 1
+          }
+          if (idx >= dropUntil) kept += sents(idx) else removed += 1
+        }
+        (kept.mkString("\n"), removed)
       }
-      (kept.mkString("\n"), removed)
     }
 
     val joined = df
@@ -162,7 +195,9 @@ object SentenceDedup {
       .withColumn("removed_sentences", col("__r._2"))
 
     val wordCount = udf { t: String => Tokenizer.words(t).length }
-    val sentCount = udf { t: String => PyText.splitLines(t).length }
+    val sentCount = udf { t: String =>
+      if (splitSent) Tokenizer.sentences(t).length else PyText.splitLines(t).length
+    }
 
     joined
       .withColumn("sentence_dedup_keep",

@@ -144,6 +144,69 @@ object Tokenizer {
     math.max(count, 1)
   }
 
+  /** Common abbreviations that end in '.' without ending a sentence —
+    * a deterministic stand-in for a trained punkt/spaCy model (self-authored
+    * list; single letters are guarded separately, which also covers the
+    * trailing token of "e.g." / "i.e." / "et al."). */
+  private val Abbrevs: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "fig",
+    "gen", "col", "capt", "sgt", "rev", "hon", "approx", "dept", "est",
+    "inc", "ltd", "co", "mt", "ave", "blvd", "rd", "univ", "assn", "bros",
+    "vol", "pp", "para", "sec", "chap", "al", "ed", "eds", "op", "cit")
+
+  /** True when the terminal run [runStart, runEnd) is a lone '.' whose
+    * preceding letters-only token is a known abbreviation or single letter
+    * (an initial, or the tail of "e.g."). */
+  private def isAbbrevDot(text: String, runStart: Int, runEnd: Int): Boolean = {
+    if (runEnd - runStart != 1 || text.charAt(runStart) != '.') return false
+    var j = runStart - 1
+    while (j >= 0 && Character.isLetter(text.charAt(j))) j -= 1
+    val word = text.substring(j + 1, runStart)
+    if (word.isEmpty) false
+    else if (word.length == 1) true
+    else Abbrevs.contains(word.toLowerCase)
+  }
+
+  /** Deterministic sentence spans (trimmed [start, end) offsets into `text`):
+    * a boundary is a run of terminal punctuation [.!?…。！？] + optional
+    * closing quotes/brackets followed by whitespace-or-end, with an
+    * abbreviation guard on lone '.'. A documented approximation of the
+    * reference's nltk/spaCy sentence models (sentence_dedup.py:134) — the
+    * same boundary rule as sentenceCount, so counts and spans agree. */
+  def sentenceSpans(text: String): Array[(Int, Int)] = {
+    val bounds = new ArrayBuffer[Int]()
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (isTerminal(text.charAt(i))) {
+        val runStart = i
+        var j = i
+        while (j < n && isTerminal(text.charAt(j))) j += 1
+        var k = j
+        while (k < n && isCloser(text.charAt(k))) k += 1
+        if ((k >= n || PyText.pyIsSpace(text.charAt(k))) && !isAbbrevDot(text, runStart, j))
+          bounds += k
+        i = k
+      } else i += 1
+    }
+    if (bounds.isEmpty || bounds.last != n) bounds += n
+    val out = new ArrayBuffer[(Int, Int)]()
+    var prev = 0
+    for (b <- bounds) {
+      var s = prev
+      while (s < b && PyText.pyIsSpace(text.charAt(s))) s += 1
+      var e = b
+      while (e > s && PyText.pyIsSpace(text.charAt(e - 1))) e -= 1
+      if (e > s) out += ((s, e))
+      prev = b
+    }
+    out.toArray
+  }
+
+  /** Trimmed sentence texts (see sentenceSpans). */
+  def sentences(text: String): Array[String] =
+    sentenceSpans(text).map { case (s, e) => text.substring(s, e) }
+
   // GPT-2-style pre-tokenizer pattern (public, from the GPT-2 BPE spec):
   // contractions | optional-space letters | optional-space digits |
   // optional-space other | trailing/other whitespace

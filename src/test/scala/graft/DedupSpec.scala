@@ -120,6 +120,71 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(!out(2L)) // everything removed → dropped
   }
 
+  test("sentence mode mirrors the reference fixture (test_sentence_deduplication.py:159-236)") {
+    // the reference fixture's texts verbatim, with the random strings fixed
+    val sentence0 = "A SQUAT grey building of only thirty-four stories."
+    val text0 = sentence0 + " Over the main entrance the words, CENTRAL LONDON HATCHERY " +
+      "AND CONDITIONING CENTRE, and, in a shield, the World State's motto, COMMUNITY, IDENTITY, STABILITY. The enormous" +
+      " room on the ground floor faced towards the north. Cold for all the summer beyond the panes, for all the " +
+      "tropical heat of the room itself, a harsh thin light glared through the windows, hungrily seeking some draped " +
+      "lay figure, some pallid shape of academic goose-flesh, but finding only the glass and nickel and bleakly shining" +
+      " porcelain of a laboratory. Wintriness responded to wintriness. The overalls of the workers were white, their " +
+      "hands gloved with a pale corpse-coloured rubber. The light was frozen, dead, a ghost. Only from the yellow " +
+      "barrels of the microscopes did it borrow a certain rich and living substance, lying along the polished tubes " +
+      "like butter, streak after luscious streak in long recession down the work tables. And this, said the Director " +
+      "opening the door, 'is the Fertilizing Room.'"
+    val text1 = "Wintriness responded to wintriness. The overalls of the workers were white, their " +
+      "hands gloved with a pale corpse-coloured rubber. The light was frozen, dead, a ghost. Only from the yellow " +
+      "barrels of the microscopes did it borrow a certain rich and living substance, lying along the polished tubes " +
+      "like butter, streak after luscious streak in long recession down the work tables. What wintriness even mean ?" +
+      "If you google it you will find that pretty bus it is used as a word in this book and pretty much it."
+    val expectedText1 = "What wintriness even mean ?" +
+      "If you google it you will find that pretty bus it is used as a word in this book and pretty much it."
+    val lotr = "Arise, arise, Riders of Théoden! Fell deeds awake: fire and slaughter! Spear shall be shaken, shield be " +
+      "splintered, a sword-day, a red day, ere the sun rises!"
+    val hpps = "I hope you're pleased with yourselves. We could all have been killed — or worse, expelled. Now if you don't " +
+      "mind, I'm going to bed."
+    val rs1 = "QK3ZVW8PLT2MXC9DRBH5!"
+    val rs2 = "A7YFN4GQ1SKEUJ6WOI0T!"
+    val docs = Seq(
+      (0L, text0),
+      (1L, text1),
+      (2L, Seq(text0, rs1).mkString(" ")),
+      (3L, Seq(rs1, text0, rs2).mkString(" ")),
+      (4L, lotr),
+      (5L, Seq(lotr, hpps).mkString(" "))).toDF("doc_id", "text")
+    val out = SentenceDedup(docs, "doc_id", "text",
+      SentenceDedupConfig(minDocWords = 0, minNumSentences = 0, splitSentences = true))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val targets = Map(
+      0L -> text0,
+      1L -> expectedText1,
+      2L -> rs1,
+      3L -> Seq(rs1, rs2).mkString(" "),
+      4L -> lotr,
+      5L -> hpps)
+    for (id <- 0L to 5L)
+      assert(out(id) == targets(id), s"doc $id:\n got=${out(id)}\nwant=${targets(id)}")
+  }
+
+  test("sentence splitter: abbreviation guard, closers, decimals, no-space terminals") {
+    import graft.text.Tokenizer
+    assert(Tokenizer.sentences("Dr. Smith arrived. He sat down.").toSeq ==
+      Seq("Dr. Smith arrived.", "He sat down."))
+    assert(Tokenizer.sentences("The church of St. Francis stands. It is old.").toSeq ==
+      Seq("The church of St. Francis stands.", "It is old."))
+    assert(Tokenizer.sentences("Pi is 3.14 roughly. Next sentence!").toSeq ==
+      Seq("Pi is 3.14 roughly.", "Next sentence!"))
+    assert(Tokenizer.sentences("He said 'stop.' Then left.").toSeq ==
+      Seq("He said 'stop.'", "Then left."))
+    // no whitespace after terminal → not a boundary (mirrors '?If' in the fixture)
+    assert(Tokenizer.sentences("what does it mean ?If you google it.").toSeq ==
+      Seq("what does it mean ?If you google it."))
+    // e.g. / et al. guarded by the single-letter rule
+    assert(Tokenizer.sentences("Use fruits, e.g. apples. They are good.").toSeq ==
+      Seq("Use fruits, e.g. apples.", "They are good."))
+  }
+
   test("simhash: identical → hamming 0; small edit → small distance; dedup clusters") {
     val near = loremBase + " extra"
     assert(SimHashDedup.simhash64(loremBase) == SimHashDedup.simhash64(loremBase))
