@@ -77,6 +77,69 @@ object SparkEntry {
       .otherwise(concat(col("text"), lit("\naa.\nbb.\n"), col("text")))
   }
 
+  /** Unique letter-only filler words for the n-gram planted texts. */
+  private def repFiller(n: Int, start: Int, suffix: String = "x"): Seq[String] =
+    (0 until n).map { j =>
+      val i = start + j
+      val a = ('a' + (i / 26) % 26).toChar
+      val b = ('a' + i % 26).toChar
+      s"f$a$b$suffix"
+    }
+
+  /** Planted single-line texts exercising the repetition filter's n-gram
+    * cascade, one variant per doc_id % 7. Expected outcomes were derived by
+    * hand from Gopher's published thresholds AND replayed through the
+    * reference's own gopher_repetition_filter.py code (via the
+    * tools/diff_harness.py module loader) during construction:
+    *   0: unique words                                       → keep
+    *   1: "tp gq" ×40, top-2-gram frac 0.51 > 0.2            → top_n_gram
+    *   2: "aa bbbb cc" ×25 (top-2 0.180 ≤ 0.2, top-3 0.257
+    *      > 0.18 — fires at n=3 specifically)                → top_n_gram
+    *   3: two identical 30-word halves (dup-5 0.401 > 0.15)  → duplicated_n_grams
+    *   4: one duplicated 10-word run, length tuned so dup-5..9
+    *      sit below their thresholds and only dup-10 0.115
+    *      > 0.10 fires                                       → duplicated_n_grams
+    *   5: scattered "zz yy" pairs, top-2 0.139 ≤ 0.2         → keep
+    *   6: top-2-gram frac EXACTLY 0.200 — thresholds are
+    *      strict-greater, must NOT fire                      → keep
+    */
+  private lazy val gopherNgramVariants: Array[String] = {
+    val v0 = repFiller(60, 0).mkString(" ")
+    val v1 = (Seq.fill(40)("tp gq") ++ repFiller(30, 100)).mkString(" ")
+    val v2 = (Seq.fill(25)("aa bbbb cc") ++ repFiller(140, 200)).mkString(" ")
+    val half = repFiller(30, 300)
+    val v3 = (half ++ half).mkString(" ")
+    val run = repFiller(10, 400)
+    val v4 = (repFiller(20, 500) ++ run ++ repFiller(20, 600) ++ run ++
+      repFiller(10, 700)).mkString(" ")
+    val v5 = {
+      val fill = repFiller(60, 800)
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = 0; var fi = 0; var i = 0
+      while (words.length < 80) {
+        if (i % 7 == 0 && k < 10) { words += "zz"; words += "yy"; k += 1 }
+        else { words += fill(fi); fi += 1 }
+        i += 1
+      }
+      words.mkString(" ")
+    }
+    val v6 = {
+      // 12× "zz yy" (60 chars of top-2-gram) in a 300-char text: 13 six-char
+      // + 23 five-char unique fillers make the length land exactly on 300
+      val fill = repFiller(36, 900, "xy").zipWithIndex
+        .map { case (w, j) => if (j < 13) w + "z" else w }
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = 0; var fi = 0; var i = 0
+      while (words.length < 60) {
+        if (i % 4 == 0 && k < 12) { words += "zz"; words += "yy"; k += 1 }
+        else { words += fill(fi); fi += 1 }
+        i += 1
+      }
+      words.mkString(" ")
+    }
+    Array(v0, v1, v2, v3, v4, v5, v6)
+  }
+
   /** Synthetic exact-duplicate corpus for the planted-outcome dedup oracles:
     * 8 letter-only 4-char words derived from md5(doc_id % 100) — groups of
     * 5 byte-identical docs whose survivors/clusters are derivable in SQL,
@@ -176,6 +239,36 @@ object SparkEntry {
       // and the DuckDB oracle can verify the rule arithmetic
       documents(s, dir)
         .select(col("doc_id"), fineWebReasonUdf(fineWebPlantedText).as("reason"))
+        .orderBy("doc_id")
+    }),
+    "perplexity" -> ((s, dir) => {
+      // KenLM-semantics ARPA scorer over the committed tiny.arpa fixture
+      // (self-authored toy bigram model). Planted single-line lowercase
+      // texts make cc_net normalization the identity; expected ppl values
+      // were derived with an INDEPENDENT Python ARPA scorer during
+      // construction and pinned in the oracle (ppl rounded to 0.1, ×10 as
+      // an integer so the cross-engine compare is float-free).
+      val planted = element_at(typedlit(Seq(
+        "the quick brown fox",
+        "the quick brown fox jumps over the lazy dog",
+        "unknown words here",
+        "the the the the")), (col("doc_id") % 4 + 1).cast("int"))
+      val scorer = new graft.functions.PerplexityScorer(
+        graft.functions.ArpaModel.parseResource("/graft/tiny.arpa"))
+      val pplUdf = udf { t: String => math.rint(scorer.perplexity(t) * 10).toLong }
+      documents(s, dir)
+        .select(col("doc_id"), pplUdf(planted).as("ppl_x10"))
+        .orderBy("doc_id")
+    }),
+    "gopher_repetition_ngrams" -> ((s, dir) => {
+      // planted n-gram cascade outcomes (see gopherNgramVariants): every
+      // top-/dup-n-gram rule family fires on a known variant, verified
+      // against the reference code during construction; the oracle pins
+      // the variant → reason map
+      val planted = element_at(typedlit(gopherNgramVariants.toSeq),
+        (col("doc_id") % 7 + 1).cast("int"))
+      documents(s, dir)
+        .select(col("doc_id"), gopherRepetitionUdf(planted).as("reason"))
         .orderBy("doc_id")
     }),
     "gopher_repetition_lines" -> ((s, dir) => {
@@ -713,6 +806,18 @@ SELECT doc_id, CASE
   WHEN nn * 10 > 3 * nw THEN 'list_ratio'
   ELSE '' END AS reason
 FROM m ORDER BY doc_id""",
+    "perplexity" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 44 WHEN 1 THEN 47 WHEN 2 THEN 141 ELSE 110 END AS ppl_x10
+FROM documents ORDER BY doc_id""",
+    "gopher_repetition_ngrams" ->
+      """SELECT doc_id, CASE CAST(doc_id % 7 AS INT)
+  WHEN 1 THEN 'top_n_gram'
+  WHEN 2 THEN 'top_n_gram'
+  WHEN 3 THEN 'duplicated_n_grams'
+  WHEN 4 THEN 'duplicated_n_grams'
+  ELSE '' END AS reason
+FROM documents ORDER BY doc_id""",
     "gopher_repetition_lines" ->
       """WITH t AS (
   SELECT doc_id, CASE

@@ -144,6 +144,15 @@ object ArpaModel {
   def parseFile(path: String): ArpaModel =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Parse a classpath resource (e.g. the committed /graft/tiny.arpa test
+    * fixture — a self-authored toy bigram model). */
+  def parseResource(name: String): ArpaModel = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"ARPA resource $name missing from classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
 }
 
 /** Document perplexity scorer (utils/perplexity.py:123-139). */
