@@ -348,6 +348,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "token_count_bpe" -> ((s, dir) => {
+      // pretrained-vocab path: the committed GPT-2-format fixture
+      // (vocab.json + merges.txt) loaded through the Bpe seam; planted
+      // texts over the fixture's vocabulary make token counts constant
+      // per variant, derived with an independent Python BPE replay and
+      // pinned in the oracle
+      val planted = element_at(typedlit(Seq(
+        "low lower lowest",
+        "new newer wider low",
+        "lowest wider lowest new",
+        "low low low lower")), (col("doc_id") % 4 + 1).cast("int"))
+      val model = graft.text.Bpe.fixtureModel
+      val cnt = udf { t: String => graft.text.Bpe.encode(t, model).length.toLong }
+      documents(s, dir)
+        .select(col("doc_id"), cnt(planted).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    "token_count_bpe_trained" -> ((s, dir) => {
       // real corpus-trained BPE (distributed word-freq agg -> driver train
       // -> broadcast encode); engine-specific ids, rows-only check
       val docs = documents(s, dir)
@@ -806,6 +823,10 @@ SELECT doc_id, CASE
   WHEN nn * 10 > 3 * nw THEN 'list_ratio'
   ELSE '' END AS reason
 FROM m ORDER BY doc_id""",
+    "token_count_bpe" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 6 WHEN 1 THEN 7 WHEN 2 THEN 8 ELSE 6 END AS n_bpe_tokens
+FROM documents ORDER BY doc_id""",
     "perplexity" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
   WHEN 0 THEN 44 WHEN 1 THEN 47 WHEN 2 THEN 141 ELSE 110 END AS ppl_x10

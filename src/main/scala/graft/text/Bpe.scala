@@ -114,6 +114,48 @@ object Bpe {
     sb.toString
   }
 
+  /** Load a pretrained model from GPT-2/subword-nmt-format files: a flat
+    * vocab.json ({"token": id, ...}) and a merges.txt ("#version" header +
+    * one "left right" pair per line, applied in file order). This is the
+    * seam the reference fills from the HF hub (tokens/counter.py:25-29 —
+    * egress-blocked here); the committed /graft/bpe fixture is synthetic
+    * self-authored content in the same file format, using the Sennrich
+    * end-of-word marker convention this encoder operates on. */
+  def loadPretrained(vocabJson: String, mergesTxt: String): Model = {
+    val entry = java.util.regex.Pattern.compile(
+      "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)")
+    val m = entry.matcher(vocabJson)
+    val vocab = mutable.HashMap.empty[String, Int]
+    while (m.find()) {
+      val key = m.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+        .replace("\\n", "\n").replace("\\t", "\t").replace("\\/", "/")
+      vocab.put(key, m.group(2).toInt)
+    }
+    val merges = mergesTxt.split("\n").iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0, s"malformed merges line: $l")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toVector
+    Model(merges, vocab.toMap)
+  }
+
+  private def readResource(name: String): String = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"BPE resource $name missing from classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The committed synthetic fixture model (see loadPretrained). */
+  lazy val fixtureModel: Model =
+    loadPretrained(readResource("/graft/bpe/vocab.json"),
+      readResource("/graft/bpe/merges.txt"))
+
   /** Train from an iterator of texts (driver-side; the word-frequency table
     * for a corpus-wide vocab comes from a distributed groupBy upstream). */
   def trainFromTexts(texts: Iterator[String], numMerges: Int): Model = {

@@ -54,6 +54,19 @@ class BpeSpec extends AnyFunSuite {
     assert(lines.length == 2 && lines.forall(l => l.startsWith("[") && l.endsWith("]")))
   }
 
+  test("pretrained GPT-2-format fixture loads and encodes deterministically") {
+    val m = Bpe.fixtureModel
+    assert(m.merges.head == ("l", "o"))
+    assert(m.merges.length == 13)
+    assert(m.vocab("low</w>") == 20 && m.vocab("</w>") == 11)
+    // counts independently derived with a Python BPE replay (see SparkEntry
+    // token_count_bpe oracle): low→1, lower→2, lowest→2, new→1, newer→2,
+    // wider→2 tokens (+1 EOS per text)
+    assert(Bpe.encode("low lower lowest", m).toSeq == Seq(20, 13, 15, 13, 23, 0))
+    assert(Bpe.encode("new newer wider low", m).toSeq == Seq(24, 17, 15, 19, 15, 20, 0))
+    assert(Bpe.decode(Array(20, 13, 15, 13, 23, 0), m) == "low lower lowest")
+  }
+
   test("DocTokenizer .ds round trip with a real BPE model (non-trivial merges)") {
     val spark = SparkTestSession.session
     import spark.implicits._
