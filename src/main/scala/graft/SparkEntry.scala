@@ -217,12 +217,16 @@ object SparkEntry {
         .orderBy("url_key")
     }),
     "pii_scrub" -> ((s, dir) => {
-      // plant one email + one public IP per doc, scrub both
+      // plant TWO emails + TWO public IPs per doc so the replacement
+      // rotation's index > 0 is driver-verified (resetPerDoc=true: first
+      // email → replacements(0), second → replacements(1); same for IPs)
       documents(s, dir)
         .withColumn("text2", concat(
           col("text"), lit(" contact a"), col("doc_id"),
           lit("@ex"), col("doc_id") % 7, lit(".com or 57.120.21."),
-          col("doc_id") % 200, lit(" now")))
+          col("doc_id") % 200, lit(" also b"), col("doc_id"),
+          lit("@dom"), col("doc_id") % 5, lit(".net and 93.184.216."),
+          col("doc_id") % 150, lit(" now")))
         .select(col("doc_id"), piiScrubUdf(col("text2")).as("scrubbed"))
         .orderBy("doc_id")
     }),
@@ -690,11 +694,13 @@ FROM documents GROUP BY text ORDER BY doc_id""",
 FROM documents GROUP BY 1 ORDER BY url_key""",
     "pii_scrub" ->
       """SELECT doc_id,
-  regexp_replace(
-    regexp_replace(
-      text || ' contact a' || doc_id || '@ex' || (doc_id % 7) || '.com or 57.120.21.' || (doc_id % 200) || ' now',
-      '[A-Za-z0-9]+@[A-Za-z0-9]+(\.[A-Za-z0-9]+)+', 'email@example.com', 'g'),
-    '(\d{1,3}\.){3}\d{1,3}', '22.214.171.124', 'g') AS scrubbed
+  replace(replace(replace(replace(
+    text || ' contact a' || doc_id || '@ex' || (doc_id % 7) || '.com or 57.120.21.' || (doc_id % 200)
+         || ' also b' || doc_id || '@dom' || (doc_id % 5) || '.net and 93.184.216.' || (doc_id % 150) || ' now',
+    'a' || doc_id || '@ex' || (doc_id % 7) || '.com', 'email@example.com'),
+    'b' || doc_id || '@dom' || (doc_id % 5) || '.net', 'firstname.lastname@example.org'),
+    '57.120.21.' || (doc_id % 200), '22.214.171.124'),
+    '93.184.216.' || (doc_id % 150), '126.96.36.199') AS scrubbed
 FROM documents ORDER BY doc_id""",
     "ann_topk" ->
       """WITH p AS (
