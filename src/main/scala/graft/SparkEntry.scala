@@ -245,6 +245,31 @@ object SparkEntry {
         .select(col("doc_id"), fineWebReasonUdf(fineWebPlantedText).as("reason"))
         .orderBy("doc_id")
     }),
+    "warc_extract_filter" -> ((s, dir) => {
+      // end-to-end WARC path over the committed 6-page mini.warc: parse →
+      // HtmlExtractor (tables/lists/blockquote/favor_precision pruning) →
+      // Gopher quality + repetition. Expected outcomes were replayed
+      // through the reference's own filters during construction and pinned
+      // in the oracle; n_words pins the extraction byte-for-byte-ish.
+      import s.implicits._
+      val in = SparkEntry.getClass.getResourceAsStream("/graft/mini.warc")
+      require(in != null, "mini.warc missing from classpath")
+      val bytes = try in.readAllBytes() finally in.close()
+      val docs = graft.sources.WarcParser.parse("mini.warc", bytes)
+        .map(d => (d.url, new String(d.html, "UTF-8"))).toList
+      val qualU = udf { t: String =>
+        if (t.isEmpty) "not_extracted" else GopherQualityFilter.check(t).getOrElse("")
+      }
+      val repU = udf { t: String =>
+        if (t.isEmpty) "not_extracted" else GopherRepetitionFilter.check(t).getOrElse("")
+      }
+      val extractU = udf { h: String => HtmlExtractor.extract(h) }
+      docs.toDF("url", "html")
+        .select(col("url"), extractU(col("html")).as("t"))
+        .select(col("url"), tokenCountCol(col("t")).as("n_words"),
+          qualU(col("t")).as("reason_quality"), repU(col("t")).as("reason_repetition"))
+        .orderBy("url")
+    }),
     "perplexity" -> ((s, dir) => {
       // KenLM-semantics ARPA scorer over the committed tiny.arpa fixture
       // (self-authored toy bigram model). Planted single-line lowercase
@@ -829,6 +854,15 @@ SELECT doc_id, CASE
   WHEN nn * 10 > 3 * nw THEN 'list_ratio'
   ELSE '' END AS reason
 FROM m ORDER BY doc_id""",
+    "warc_extract_filter" ->
+      """SELECT * FROM (VALUES
+  ('https://mini.example.org/boilerplate', 0, 'not_extracted', 'not_extracted'),
+  ('https://mini.example.org/clean', 68, '', ''),
+  ('https://mini.example.org/dup', 65, '', 'dup_line_frac'),
+  ('https://mini.example.org/hashes', 70, 'gopher_too_many_hashes', ''),
+  ('https://mini.example.org/short', 5, 'gopher_short_doc', 'top_n_gram'),
+  ('https://mini.example.org/table', 54, '', '')
+) AS t(url, n_words, reason_quality, reason_repetition) ORDER BY url""",
     "token_count_bpe" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
   WHEN 0 THEN 6 WHEN 1 THEN 7 WHEN 2 THEN 8 ELSE 6 END AS n_bpe_tokens

@@ -6,20 +6,54 @@ import scala.collection.mutable.ArrayBuffer
   *
   * The reference uses trafilatura (extractors/trafilatura.py:4-55) with
   * favor_precision=True; no JVM trafilatura exists, so per SURVEY.md §7.3
-  * we implement exact extraction for the constrained HTML our corpus
-  * generator emits (content inside <article>/<p>/<h1-6>/<li>, boilerplate
-  * <nav>/<header>/<footer>/<script>/<style>/<aside> and comments stripped),
-  * and document a golden-table join as the escape hatch for arbitrary WARC
-  * data. Mirrors the reference's own unit fixture
-  * (tests/pipeline/test_extractors.py:9:
+  * we implement exact extraction for structured HTML (content inside
+  * <article>/<p>/<h1-6>/<li>/<blockquote>, tables with cells joined by a
+  * space and a line per row, nested lists with a line per item; boilerplate
+  * <nav>/<header>/<footer>/<script>/<style>/<aside>/<form>/<figure>/<iframe>
+  * subtrees, comments, and — the favor_precision analogue — any element
+  * whose class/id contains a boilerplate keyword (menu, sidebar, share,
+  * social, banner, cookie, …) are dropped whole), and document a
+  * golden-table join as the escape hatch for arbitrary WARC data. Mirrors
+  * the reference's own unit fixture (tests/pipeline/test_extractors.py:9:
   * "<html><body><article><p>Hello World!</p></article></body></html>"
   *  → "Hello World!").
   */
 object HtmlExtractor {
 
-  private val BlockDrop = Set("nav", "header", "footer", "script", "style", "aside", "head")
+  private val BlockDrop = Set("nav", "header", "footer", "script", "style",
+    "aside", "head", "form", "figure", "iframe", "svg", "button", "noscript")
   private val LineBreakTags = Set("p", "li", "h1", "h2", "h3", "h4", "h5", "h6",
-    "br", "div", "article", "section", "tr", "title")
+    "br", "div", "article", "section", "tr", "title", "blockquote",
+    "ul", "ol", "table", "thead", "tbody", "tfoot", "caption")
+  // table cells: inline within their row, separated by a single space
+  private val CellTags = Set("td", "th")
+  // void elements never get a matching close tag — they must not enter the
+  // drop stack
+  private val VoidTags = Set("br", "img", "hr", "meta", "link", "input",
+    "source", "wbr", "area", "base", "col", "embed", "track", "param")
+  // favor_precision analogue: boilerplate class/id keywords whose whole
+  // subtree is pruned (trafilatura's OVERALL_DISCARD_XPATH keyword idea)
+  private val BoilerplateAttr = Array("menu", "sidebar", "comment", "share",
+    "social", "banner", "cookie", "widget", "breadcrumb", "footer", "nav")
+  private val AttrPattern = java.util.regex.Pattern.compile(
+    "(?:class|id)\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  private def hasBoilerplateAttr(inner: String): Boolean = {
+    if (inner.indexOf('=') < 0) return false
+    val m = AttrPattern.matcher(inner)
+    while (m.find()) {
+      val v = (if (m.group(2) != null) m.group(2)
+               else if (m.group(3) != null) m.group(3)
+               else m.group(4)).toLowerCase
+      var k = 0
+      while (k < BoilerplateAttr.length) {
+        if (v.contains(BoilerplateAttr(k))) return true
+        k += 1
+      }
+    }
+    false
+  }
 
   /** Extract readable text; returns "" when nothing qualifies (the
     * reference's extractor drops such docs). */
@@ -28,7 +62,10 @@ object HtmlExtractor {
     val current = new StringBuilder
     var i = 0
     val n = html.length
-    var dropDepth = 0
+    // stack of open tag names inside a dropped subtree (nonEmpty = dropping);
+    // a name stack rather than a depth counter so class/id-based drops on
+    // generic tags (e.g. <div class="social">) close correctly
+    val dropStack = new ArrayBuffer[String]()
 
     def flushLine(): Unit = {
       val line = current.toString.trim.replaceAll("\\s+", " ")
@@ -58,17 +95,26 @@ object HtmlExtractor {
           else {
             val inner = html.substring(i + 1, end).trim
             val closing = inner.startsWith("/")
+            val selfClosing = inner.endsWith("/")
             val name = inner.stripPrefix("/").takeWhile(ch => ch.isLetterOrDigit).toLowerCase
-            if (BlockDrop.contains(name)) {
-              if (closing) dropDepth = math.max(0, dropDepth - 1)
-              else if (!inner.endsWith("/")) dropDepth += 1
+            if (dropStack.nonEmpty) {
+              if (closing) {
+                if (dropStack.last == name) dropStack.remove(dropStack.length - 1)
+              } else if (!selfClosing && !VoidTags.contains(name) && name.nonEmpty) {
+                dropStack += name
+              }
+            } else if (!closing && !selfClosing && !VoidTags.contains(name) &&
+                       (BlockDrop.contains(name) || hasBoilerplateAttr(inner))) {
+              dropStack += name
+            } else {
+              if (LineBreakTags.contains(name)) flushLine()
+              else if (CellTags.contains(name)) current.append(' ')
             }
-            if (LineBreakTags.contains(name)) flushLine()
             i = end + 1
           }
         }
       } else {
-        if (dropDepth == 0) current.append(c)
+        if (dropStack.isEmpty) current.append(c)
         i += 1
       }
     }

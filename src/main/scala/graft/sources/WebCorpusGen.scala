@@ -232,11 +232,49 @@ object WebCorpusGen {
       if (rng.nextDouble() < 0.10) "hot.example.com" // hot domain ~10%
       else domains(rng.nextInt(domains.length))
     val url = s"https://$fqdn/page/${id}"
-    val html = ("<html><head><title>doc " + id + "</title></head><body><nav>home | about</nav>" +
-      text.split("\n").map(p => s"<p>$p</p>").mkString("<article>", "", "</article>") +
-      "<footer>copyright</footer></body></html>").getBytes("UTF-8")
+    val html = genHtml(id, text).getBytes("UTF-8")
     val ts = new Timestamp(1700000000000L + (id % 86400000L))
     WebPage(url, ts, html, text, lang)
+  }
+
+  /** Wrap `text` in one of four structural HTML shapes (paragraphs, a
+    * table, nested lists, a blockquote) plus boilerplate the extractor must
+    * prune (nav/footer/aside, a form, and a favor_precision-style
+    * class="social share" div). Invariant: HtmlExtractor.extract(html) ==
+    * text for every shape — property-tested in OpsSpec and load-bearing for
+    * the WARC end-to-end path. */
+  def genHtml(id: Long, text: String): String = {
+    val lines = text.split("\n")
+    val boilerTop = "<nav>home | about</nav><div class=\"social share\">like | tweet | pin</div>" +
+      "<form action=\"/search\"><input name=\"q\"/>search</form>"
+    val boilerBottom = "<aside>related links</aside><footer>copyright</footer>"
+    val body = (id % 4) match {
+      case 0 =>
+        lines.map(p => s"<p>$p</p>").mkString("<article>", "", "</article>")
+      case 1 =>
+        // first (up to) 2 lines as table rows — each row split into two
+        // cells at the first space (cells re-join with one space on extract)
+        val (head, tail) = lines.splitAt(math.min(2, lines.length))
+        val rows = head.map { l =>
+          val sp = l.indexOf(' ')
+          if (sp > 0) s"<tr><td>${l.substring(0, sp)}</td><td>${l.substring(sp + 1)}</td></tr>"
+          else s"<tr><td>$l</td></tr>"
+        }.mkString
+        s"<table><tbody>$rows</tbody></table>" +
+          tail.map(p => s"<p>$p</p>").mkString("<article>", "", "</article>")
+      case 2 =>
+        // nested list: first line an outer item, second line nested, rest items
+        val items = lines.zipWithIndex.map { case (l, j) =>
+          if (j == 1) s"<ul><li>$l</li></ul>" else s"<li>$l</li>"
+        }.mkString
+        s"<ul>$items</ul>"
+      case _ =>
+        val (head, tail) = lines.splitAt(1)
+        head.map(l => s"<blockquote><p>$l</p></blockquote>").mkString +
+          tail.map(p => s"<p>$p</p>").mkString("<article>", "", "</article>")
+    }
+    "<html><head><title>doc " + id + "</title></head><body>" +
+      boilerTop + body + boilerBottom + "</body></html>"
   }
 
   /** Distributed generation: n rows over `partitions` partitions. */

@@ -32,6 +32,27 @@ class OpsSpec extends SparkSpec {
     assert(!out.contains("menu"))
   }
 
+  test("html extractor: tables, nested lists, blockquote, favor_precision pruning") {
+    assert(HtmlExtractor.extract(
+      "<table><tbody><tr><td>Year</td><td>Result one</td></tr>" +
+      "<tr><th>Total</th><th>42 wins</th></tr></tbody></table>") ==
+      "Year Result one\nTotal 42 wins")
+    assert(HtmlExtractor.extract(
+      "<ul><li>first item</li><ul><li>nested item</li></ul><li>last item</li></ul>") ==
+      "first item\nnested item\nlast item")
+    assert(HtmlExtractor.extract(
+      "<blockquote><p>Quoted line.</p></blockquote><p>After quote.</p>") ==
+      "Quoted line.\nAfter quote.")
+    // favor_precision analogue: boilerplate class/id subtrees pruned whole
+    assert(HtmlExtractor.extract(
+      "<div class=\"social share\">like<span>tweet</span></div><p>Real content.</p>" +
+      "<div id='cookie-banner'>accept</div><form><input/>search</form>") ==
+      "Real content.")
+    // unquoted attr + nested same-name tags inside the dropped subtree
+    assert(HtmlExtractor.extract(
+      "<div class=menu><div>deep</div>items</div><p>Kept.</p>") == "Kept.")
+  }
+
   test("extract(html) == text invariant per url on the generated corpus") {
     val rows = (0L until 300L).map(id => WebCorpusGen.genRow(id, WebCorpusGen.DefaultSeed))
     for (r <- rows) {
