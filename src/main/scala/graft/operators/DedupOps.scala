@@ -62,8 +62,20 @@ object UrlDedup {
     * min-struct aggregates map-side and the join back is AQE-skew-splittable.
     * Priority must be numeric (the reference's is an int). */
   def apply(df: DataFrame, urlCol: String, idCol: String, priorityCol: String,
-            normalize: Boolean = false): DataFrame = {
-    val keyCol = if (normalize) normalizeUdf(col(urlCol)) else col(urlCol)
+            normalize: Boolean = false): DataFrame =
+    applyWithKey(df, if (normalize) normalizeUdf(col(urlCol)) else col(urlCol),
+      idCol, priorityCol)
+
+  /** url_normalizer seam (url_dedup.py's UrlDedupConfig.url_normalizer is an
+    * arbitrary callable): dedup on a caller-supplied key expression. */
+  def applyWithNormalizer(df: DataFrame, urlCol: String, idCol: String,
+                          priorityCol: String, normalizer: String => String): DataFrame = {
+    val nUdf = udf(normalizer)
+    applyWithKey(df, nUdf(col(urlCol)), idCol, priorityCol)
+  }
+
+  private def applyWithKey(df: DataFrame, keyCol: Column, idCol: String,
+                           priorityCol: String): DataFrame = {
     val keyed = df.withColumn("__ukey", keyCol)
     // min over (priority-is-null, -priority, id) = highest non-null priority,
     // nulls last (matching the old orderBy(desc) semantics), ties to the

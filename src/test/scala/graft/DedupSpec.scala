@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators._
 import graft.text.{TextKernels, Tokenizer}
 
@@ -118,6 +119,83 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("sentence_dedup_keep")).toMap
     assert(out(1L))
     assert(!out(2L)) // everything removed → dropped
+  }
+
+  test("url dedup mirrors the reference fixture (test_url_deduplication.py:17-118)") {
+    // DOCS verbatim: ids 1,2,4 share example.com; 3 new-site; 5 example2
+    val docs = Seq(
+      (1L, "https://example.com"), (2L, "https://example.com"),
+      (3L, "https://new-site.com"), (4L, "https://example.com"),
+      (5L, "https://example2.com"))
+    // default: one survivor per distinct url (3 urls)
+    val flat = docs.map { case (i, u) => (i, u, 0L) }.toDF("doc_id", "url", "prio")
+    val kept0 = UrlDedup(flat, "url", "doc_id", "prio")
+      .where(col("url_keep")).select("url").as[String].collect().toSet
+    assert(kept0 == docs.map(_._2).toSet)
+    // document_priority = int(id): highest id per url wins -> {3,4,5}
+    val pHigh = docs.map { case (i, u) => (i, u, i) }.toDF("doc_id", "url", "prio")
+    assert(UrlDedup(pHigh, "url", "doc_id", "prio")
+      .where(col("url_keep")).select("doc_id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+    // document_priority = 5 - id + 1: lowest id wins -> {1,3,5}
+    val pLow = docs.map { case (i, u) => (i, u, 5 - i + 1) }.toDF("doc_id", "url", "prio")
+    assert(UrlDedup(pLow, "url", "doc_id", "prio")
+      .where(col("url_keep")).select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // url_normalizer = replace("2", ""): example2 folds into example -> 2 kept
+    val keptN = UrlDedup.applyWithNormalizer(flat, "url", "doc_id", "prio",
+      (u: String) => u.replace("2", ""))
+      .where(col("url_keep")).select("url").as[String].collect().toSet
+    assert(keptN.size == 2 && keptN.contains("https://new-site.com"))
+  }
+
+  test("bloom dedup mirrors the reference fixture (test_bloom_filter.py:10-104)") {
+    val text0 = "A SQUAT grey building of only thirty-four stories. Over the main entrance the words, CENTRAL LONDON HATCHERY " +
+      "AND CONDITIONING CENTRE, and, in a shield, the World State's motto, COMMUNITY, IDENTITY, STABILITY. The enormous" +
+      " room on the ground floor faced towards the north. Cold for all the summer beyond the panes, for all the " +
+      "tropical heat of the room itself, a harsh thin light glared through the windows, hungrily seeking some draped " +
+      "lay figure, some pallid shape of academic goose-flesh, but finding only the glass and nickel and bleakly shining" +
+      " porcelain of a laboratory. Wintriness responded to wintriness. The overalls of the workers were white, their " +
+      "hands gloved with a pale corpse-coloured rubber. The light was frozen, dead, a ghost. Only from the yellow " +
+      "barrels of the microscopes did it borrow a certain rich and living substance, lying along the polished tubes " +
+      "like butter, streak after luscious streak in long recession down the work tables. And this, said the Director " +
+      "opening the door, 'is the Fertilizing Room.'"
+    val text1 = "Wintriness responded to wintriness. The overalls of the workers were white, their " +
+      "hands gloved with a pale corpse-coloured rubber. The light was frozen, dead, a ghost. Only from the yellow " +
+      "barrels of the microscopes did it borrow a certain rich and living substance, lying along the polished tubes " +
+      "like butter, streak after luscious streak in long recession down the work tables. What wintriness even mean ?" +
+      "If you google it you will find that pretty bus it is used as a word in this book and pretty much it."
+    val text2 = "Arise, arise, Riders of Théoden! Fell deeds awake: fire and slaughter! Spear shall be shaken, shield be " +
+      "splintered, a sword-day, a red day, ere the sun rises!"
+    val text3 = "I hope you're pleased with yourselves. We could all have been killed — or worse, expelled. Now if you don't " +
+      "mind, I'm going to bed."
+    val text4 = "Meycauayan Tree is one of the three acacia trees (Samanea saman) located in the patio of the Parish Church " +
+      "of St. Francis of Assisi in Meycauayan City, Bulacan, Philippines. Planted by an unknown person, it has " +
+      "stood on the grounds of the parish church for almost a century and a half."
+    val text5 = "Geologically the Castelltallat range is made up of limestone and marl mountains oriented WSW-ENE. " +
+      "The highest point of the range is the 936 m high 'Tossal'. The northern slopes are steep and forested, " +
+      "while the southern slopes are used for agriculture owing to their lesser inclination. Most of the mountain " +
+      "belongs to the municipality of Sant Mateu de Bages while the western part lies within the municipalities " +
+      "of Pinós and La Molsosa. The village of Castelltallat was a municipality until 1840 when it became part " +
+      "of San Mateu de Bages municipal term. The parish church of Sant Miquel has been documented since 1031 " +
+      "and is located at an altitude of 887 m."
+    val text6 = "Chukanovite was first discovered in weathered cavities of a meteorite which fell near the small village " +
+      "of Dronino, 350 km southeast of Moscow, Russia, but the mineral has since been found elsewhere in cavities" +
+      " of other iron-rich meteorites. It occurs primarily in association with goethite, akaganeite, hematite, " +
+      "hibbingite, reevesite, honessite, and kamacite, though the meteorites that contain chukanovite also tend " +
+      "to contain taenite and chromite. Individual crystals form from a reaction between kamacite and cold " +
+      "water that is rich in dissolved carbon dioxide, during which they adopt a fibrous to acicular habit and " +
+      "grow to an average size of roughly 0.5 mm in length and 2-3 μm in thickness. Individual crystals tend to " +
+      "coalesce within the meteorite cavities into porous collections or crusts of spherulites, each with a " +
+      "diameter of about 1 mm."
+    val text7 = "1 + 1 = 2, 2 + 2 = 4, 4 + 4 = 8, ..."
+    val texts = Seq(text0, text1, text2, text3, text4, text5, text6, text7,
+      text0, text1, text6.dropRight(10))
+    val targets = Seq.fill(8)(true) ++ Seq.fill(3)(false)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").coalesce(1).sortWithinPartitions("doc_id")
+    val out = BloomDedup(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("bloom_keep")).toMap
+    for (i <- texts.indices)
+      assert(out(i.toLong) == targets(i), s"doc $i: got ${out(i.toLong)} want ${targets(i)}")
   }
 
   test("sentence mode mirrors the reference fixture (test_sentence_deduplication.py:159-236)") {
