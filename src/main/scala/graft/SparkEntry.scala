@@ -616,6 +616,39 @@ object SparkEntry {
       val fpUdf = udf { t: String => graft.functions.Fingerprint.contentHash(t) }
       documents(s, dir).select(col("doc_id"), fpUdf(col("text")).as("fp")).orderBy("doc_id")
     }),
+    "language_id_planted" -> ((s, dir) => {
+      // unambiguous planted texts, one per supported language family — the
+      // oracle pins the expected label (the ground truth is the language
+      // the text is actually written in, not an engine echo)
+      val planted = element_at(typedlit(Seq(
+        "the quiet market and the bright garden of the village with all of that is in the morning",
+        "le marché était très calme ce matin et les enfants jouaient dans la rue près du pont je ne pense pas",
+        "der markt war heute sehr ruhig und die kinder spielten auf der straße während wir die schiffe nicht",
+        "el mercado estaba muy tranquilo esta mañana y los niños jugaban en la calle cerca del puente",
+        "今天的市场很安静孩子们在街上玩我们看着河上的船只从桥边经过一切都很平静")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val langOnly = udf { text: String => graft.functions.HeuristicLid.predict(text)._1 }
+      documents(s, dir)
+        .select(col("doc_id"), langOnly(planted).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "fingerprint_exact" -> ((s, dir) => {
+      // planted pre-normalized texts (simplify_text is the identity on
+      // them), fingerprints + winnowing sketches pinned against an
+      // INDEPENDENT pure-Python XXH64 + winnow replay
+      val planted = element_at(typedlit(Seq(
+        "the quick brown fox jumps over a lazy dog near the quiet river",
+        "a steady harbor wind carried the small wooden boats toward the bright morning market",
+        "people gathered under the ancient bridge while the gentle rain washed the narrow stone road",
+        "the patient teacher explained the simple lesson and the curious students followed every word")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val fpU = udf { t: String => graft.functions.Fingerprint.contentHash(t) }
+      val sketchLenU = udf { t: String => graft.functions.Fingerprint.winnow(t).length }
+      val sketchFirstU = udf { t: String => graft.functions.Fingerprint.winnow(t).head }
+      documents(s, dir).select(col("doc_id"), fpU(planted).as("fp"),
+        sketchLenU(planted).as("sketch_len"), sketchFirstU(planted).as("sketch_first"))
+        .orderBy("doc_id")
+    }),
     "bloom_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       BloomDedup(documents(s, dir).coalesce(1).sortWithinPartitions("doc_id"),
@@ -854,6 +887,22 @@ SELECT doc_id, CASE
   WHEN nn * 10 > 3 * nw THEN 'list_ratio'
   ELSE '' END AS reason
 FROM m ORDER BY doc_id""",
+    "language_id_planted" ->
+      """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+  WHEN 3 THEN 'es' ELSE 'zh' END AS lang_pred
+FROM documents ORDER BY doc_id""",
+    "fingerprint_exact" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 4433019734833179279 WHEN 1 THEN 4031553380500556659
+    WHEN 2 THEN 7654511520402593983 ELSE 8596831699732857209 END AS fp,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 1 END AS sketch_len,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 988712812298200243 WHEN 1 THEN 1564310583219091353
+    WHEN 2 THEN 3449924612560771347 ELSE 2025320243732726076 END AS sketch_first
+FROM documents ORDER BY doc_id""",
     "warc_extract_filter" ->
       """SELECT * FROM (VALUES
   ('https://mini.example.org/boilerplate', 0, 'not_extracted', 'not_extracted'),
