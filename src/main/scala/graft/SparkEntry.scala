@@ -252,9 +252,7 @@ object SparkEntry {
       // through the reference's own filters during construction and pinned
       // in the oracle; n_words pins the extraction byte-for-byte-ish.
       import s.implicits._
-      val in = SparkEntry.getClass.getResourceAsStream("/graft/mini.warc")
-      require(in != null, "mini.warc missing from classpath")
-      val bytes = try in.readAllBytes() finally in.close()
+      val bytes = graft.text.Resources.readBytes("/graft/mini.warc")
       val docs = graft.sources.WarcParser.parse("mini.warc", bytes)
         .map(d => (d.url, new String(d.html, "UTF-8"))).toList
       val qualU = udf { t: String =>

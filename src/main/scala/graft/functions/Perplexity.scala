@@ -147,12 +147,8 @@ object ArpaModel {
 
   /** Parse a classpath resource (e.g. the committed /graft/tiny.arpa test
     * fixture — a self-authored toy bigram model). */
-  def parseResource(name: String): ArpaModel = {
-    val in = getClass.getResourceAsStream(name)
-    require(in != null, s"ARPA resource $name missing from classpath")
-    val bytes = try in.readAllBytes() finally in.close()
-    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-  }
+  def parseResource(name: String): ArpaModel =
+    parse(graft.text.Resources.readUtf8(name))
 }
 
 /** Document perplexity scorer (utils/perplexity.py:123-139). */

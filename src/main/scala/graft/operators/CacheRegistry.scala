@@ -29,7 +29,14 @@ object CacheRegistry {
     * intermediate must survive until a DEFERRED action (e.g. the sampler's
     * pass-2 result consumed after a second sampler is built): footprint
     * stays bounded at `keep` datasets per prefix while adjacent
-    * invocations can't evict each other's pinned partitioning. */
+    * invocations can't evict each other's pinned partitioning.
+    *
+    * Eviction past the window is SAFE, not silent: an evicted sampler
+    * cache recomputes — identically under a deterministic lineage, and
+    * under a nondeterministic one the consumer's own pass-2 per-partition
+    * checksum validation (Sampling.withRunningSum) fails loudly rather
+    * than emitting wrong rows. The window only bounds how many pipelines
+    * can be interleaved before paying a recompute. */
   def swapRotating(prefix: String, df: DataFrame, keep: Int = 4): DataFrame = {
     val dq = rotating.computeIfAbsent(prefix, _ => new java.util.ArrayDeque[DataFrame]())
     dq.synchronized {

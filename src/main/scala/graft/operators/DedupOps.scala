@@ -199,26 +199,37 @@ object SentenceDedup {
       }
     }
 
+    // docs with NO duplicate windows are never rewritten at all (the
+    // reference only calls remove_dup_sentences for docs present in the
+    // dups index) — this matters because the rewrite is not an identity on
+    // texts with leading/trailing whitespace (sentence mode trims spans;
+    // line mode drops a trailing newline through split/join)
     val joined = df
       .join(dups.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .withColumn("__touched", col("__dupSents").isNotNull)
       .withColumn("__r", rewrite(col(textCol),
         coalesce(col("__dupSents"), array().cast("array<int>"))))
-      .withColumn("__newText", col("__r._1"))
-      .withColumn("removed_sentences", col("__r._2"))
+      .withColumn("__newText",
+        when(col("__touched"), col("__r._1")).otherwise(col(textCol)))
+      .withColumn("removed_sentences",
+        when(col("__touched"), col("__r._2")).otherwise(lit(0)))
 
     val wordCount = udf { t: String => Tokenizer.words(t).length }
     val sentCount = udf { t: String =>
       if (splitSent) Tokenizer.sentences(t).length else PyText.splitLines(t).length
     }
 
+    // reference keep rule (sentence_dedup.py:424-441): (no change OR both
+    // minimum thresholds) AND filtered text non-empty — the non-empty guard
+    // applies to BOTH branches (an empty doc is dropped even when untouched)
     joined
       .withColumn("sentence_dedup_keep",
-        (col("__newText") === col(textCol)) ||
-        ((lit(cfg.minDocWords) <= 0 || wordCount(col("__newText")) >= cfg.minDocWords) &&
-         (lit(cfg.minNumSentences) <= 0 || sentCount(col("__newText")) >= cfg.minNumSentences) &&
-         col("__newText") =!= ""))
+        ((col("__newText") === col(textCol)) ||
+         ((lit(cfg.minDocWords) <= 0 || wordCount(col("__newText")) >= cfg.minDocWords) &&
+          (lit(cfg.minNumSentences) <= 0 || sentCount(col("__newText")) >= cfg.minNumSentences))) &&
+        col("__newText") =!= "")
       .withColumn(textCol, col("__newText"))
-      .drop("__dupSents", "__r", "__newText")
+      .drop("__dupSents", "__touched", "__r", "__newText")
   }
 }
 
@@ -256,7 +267,14 @@ object SimHashDedup {
            (implicit spark: SparkSession): DataFrame = {
     val bands = maxHamming + 1
     val bandBits = 64 / bands
-    val withSim = df.withColumn("simhash", simhashUdf(col(textCol)))
+    // the per-doc simhash UDF (simplify + tokenize + 64-bin charge/discharge)
+    // is the expensive narrow pass — compute it ONCE into a persisted slim
+    // (id, simhash) projection; reps/edges/banding/annotation all read the
+    // cache instead of re-running the UDF over the full corpus (3× at the
+    // 100TB posture otherwise). CacheRegistry bounds the footprint.
+    val withSim = CacheRegistry.swap("simhash.sim",
+      df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // Identical fingerprints are distance-0 duplicates by definition:
     // collapse each simhash value to a min-id representative FIRST and emit
@@ -292,7 +310,10 @@ object SimHashDedup {
       .distinct()
 
     val comps = MinhashDedup.components(exactEdges.union(repEdges))
-    withSim.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+    // annotate the original rows: slim (id, simhash) + cluster label join
+    // back onto df (same one id-keyed shuffle of the fat side as before)
+    df.join(withSim, Seq(idCol))
+      .join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
       .withColumn("simhash_cluster", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")
       .withColumn("simhash_keep", col("simhash_cluster") === col(idCol))

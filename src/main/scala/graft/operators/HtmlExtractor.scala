@@ -99,7 +99,13 @@ object HtmlExtractor {
             val name = inner.stripPrefix("/").takeWhile(ch => ch.isLetterOrDigit).toLowerCase
             if (dropStack.nonEmpty) {
               if (closing) {
-                if (dropStack.last == name) dropStack.remove(dropStack.length - 1)
+                // Real-world HTML leaves elements unclosed (<li>Home<li>About),
+                // so a close tag pops up to and including the NEAREST matching
+                // open tag — popping only on an exact top match would wedge
+                // the stack open and silently discard the rest of the page.
+                // A close with no match anywhere is stray markup: ignored.
+                val at = dropStack.lastIndexOf(name)
+                if (at >= 0) dropStack.remove(at, dropStack.length - at)
               } else if (!selfClosing && !VoidTags.contains(name) && name.nonEmpty) {
                 dropStack += name
               }

@@ -121,20 +121,53 @@ object Bpe {
     * egress-blocked here); the committed /graft/bpe fixture is synthetic
     * self-authored content in the same file format, using the Sennrich
     * end-of-word marker convention this encoder operates on. */
+  /** Single-pass JSON string unescape (handles \\ before \n correctly and
+    * \uXXXX including surrogate pairs — GPT-2 vocab.json files are
+    * ASCII-escaped, e.g. every "Ġ" is Ġ). */
+  private[text] def unescapeJson(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def loadPretrained(vocabJson: String, mergesTxt: String): Model = {
     val entry = java.util.regex.Pattern.compile(
       "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)")
     val m = entry.matcher(vocabJson)
     val vocab = mutable.HashMap.empty[String, Int]
     while (m.find()) {
-      val key = m.group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-        .replace("\\n", "\n").replace("\\t", "\t").replace("\\/", "/")
-      vocab.put(key, m.group(2).toInt)
+      vocab.put(unescapeJson(m.group(1)), m.group(2).toInt)
     }
-    val merges = mergesTxt.split("\n").iterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    // only the FIRST line may be a "#version" header (the GPT-2/subword-nmt
+    // convention) — a blanket '#' filter would drop legitimate merges whose
+    // left symbol starts with '#' (e.g. byte-level "# #") and silently shift
+    // every later merge's priority
+    val lines = mergesTxt.split("\n")
+    val body =
+      if (lines.nonEmpty && lines(0).startsWith("#version")) lines.drop(1) else lines
+    val merges = body.iterator
+      .map(l => l.stripSuffix("\r"))
+      .filter(_.trim.nonEmpty)
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0, s"malformed merges line: $l")
@@ -144,17 +177,10 @@ object Bpe {
     Model(merges, vocab.toMap)
   }
 
-  private def readResource(name: String): String = {
-    val in = getClass.getResourceAsStream(name)
-    require(in != null, s"BPE resource $name missing from classpath")
-    val bytes = try in.readAllBytes() finally in.close()
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-  }
-
   /** The committed synthetic fixture model (see loadPretrained). */
   lazy val fixtureModel: Model =
-    loadPretrained(readResource("/graft/bpe/vocab.json"),
-      readResource("/graft/bpe/merges.txt"))
+    loadPretrained(Resources.readUtf8("/graft/bpe/vocab.json"),
+      Resources.readUtf8("/graft/bpe/merges.txt"))
 
   /** Train from an iterator of texts (driver-side; the word-frequency table
     * for a corpus-wide vocab comes from a distributed groupBy upstream). */

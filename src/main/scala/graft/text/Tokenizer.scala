@@ -171,8 +171,11 @@ object Tokenizer {
     * a boundary is a run of terminal punctuation [.!?…。！？] + optional
     * closing quotes/brackets followed by whitespace-or-end, with an
     * abbreviation guard on lone '.'. A documented approximation of the
-    * reference's nltk/spaCy sentence models (sentence_dedup.py:134) — the
-    * same boundary rule as sentenceCount, so counts and spans agree. */
+    * reference's nltk/spaCy sentence models (sentence_dedup.py:134). NOTE:
+    * this is stricter than sentenceCount — the abbreviation guard and the
+    * whitespace-follows requirement are absent there (sentenceCount mirrors
+    * the quality filters' simpler counting and must stay diff-harness
+    * compatible), so the two can disagree on e.g. "Dr. Smith arrived." */
   def sentenceSpans(text: String): Array[(Int, Int)] = {
     val bounds = new ArrayBuffer[Int]()
     val n = text.length

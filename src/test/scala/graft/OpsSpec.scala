@@ -53,6 +53,37 @@ class OpsSpec extends SparkSpec {
       "<div class=menu><div>deep</div>items</div><p>Kept.</p>") == "Kept.")
   }
 
+  test("html extractor: unclosed tags inside dropped boilerplate do not wedge the stack") {
+    // implied-close <li> is ubiquitous in real nav markup — the close tags
+    // must pop through unclosed children instead of discarding the page
+    assert(HtmlExtractor.extract(
+      "<div class=\"menu\"><ul><li>Home<li>About</ul></div><p>Real content.</p>") ==
+      "Real content.")
+    // stray close tag with no matching open: ignored, dropping continues
+    assert(HtmlExtractor.extract(
+      "<nav>junk</span>more junk</nav><p>Kept.</p>") == "Kept.")
+    // unclosed drop subtree at EOF: everything after it is gone (by design)
+    assert(HtmlExtractor.extract("<nav>junk<p>never closed") == "")
+  }
+
+  test("sentence dedup: dup-free docs with trailing whitespace stay untouched and kept") {
+    val clean = "Short doc only.\n"
+    val cleanSent = "Dr. Smith arrived. He sat. "
+    val df = Seq((1L, clean), (2L, cleanSent), (3L, "")).toDF("doc_id", "text")
+    val line = SentenceDedup(df, "doc_id", "text")(spark).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Boolean]("sentence_dedup_keep")))).toMap
+    assert(line(1L) == ((clean, true)), "line mode must not rewrite or drop a dup-free doc")
+    val sent = SentenceDedup(df, "doc_id", "text",
+      SentenceDedupConfig(splitSentences = true))(spark).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Boolean]("sentence_dedup_keep")))).toMap
+    assert(sent(1L) == ((clean, true)))
+    assert(sent(2L) == ((cleanSent, true)), "sentence mode must not trim an untouched doc")
+    // reference drops empty docs even untouched (`and filtered_text`)
+    assert(!line(3L)._2 && !sent(3L)._2)
+  }
+
   test("extract(html) == text invariant per url on the generated corpus") {
     val rows = (0L until 300L).map(id => WebCorpusGen.genRow(id, WebCorpusGen.DefaultSeed))
     for (r <- rows) {
