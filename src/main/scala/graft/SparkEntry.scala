@@ -614,6 +614,24 @@ object SparkEntry {
       val fpUdf = udf { t: String => graft.functions.Fingerprint.contentHash(t) }
       documents(s, dir).select(col("doc_id"), fpUdf(col("text")).as("fp")).orderBy("doc_id")
     }),
+    "ngram_jaccard" -> ((s, dir) => {
+      // exact 5-gram Jaccard kernel (the verify step behind LSH candidate
+      // pairs) over planted pairs whose set arithmetic is hand-derivable:
+      // identical (J=1), one tail word changed (5 shared of 7 = 714286),
+      // disjoint (0), 5-word overlap of two 10-word texts (1 of 11 = 90909)
+      val a = lit("qa qb qc qd qe qf qg qh qi qj")
+      val b = element_at(typedlit(Seq(
+        "qa qb qc qd qe qf qg qh qi qj",
+        "qa qb qc qd qe qf qg qh qi zz",
+        "za zb zc zd ze zf zg zh zi zj",
+        "qf qg qh qi qj qk ql qm qn qo")), (col("doc_id") % 4 + 1).cast("int"))
+      val jacU = udf { (x: String, y: String) =>
+        math.rint(NgramJaccard.jaccard(x, y, 5) * 1e6).toLong
+      }
+      documents(s, dir)
+        .select(col("doc_id"), jacU(a, b).as("jaccard_x1e6"))
+        .orderBy("doc_id")
+    }),
     "language_id_planted" -> ((s, dir) => {
       // unambiguous planted texts, one per supported language family — the
       // oracle pins the expected label (the ground truth is the language
@@ -885,6 +903,10 @@ SELECT doc_id, CASE
   WHEN nn * 10 > 3 * nw THEN 'list_ratio'
   ELSE '' END AS reason
 FROM m ORDER BY doc_id""",
+    "ngram_jaccard" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 1000000 WHEN 1 THEN 714286 WHEN 2 THEN 0 ELSE 90909 END AS jaccard_x1e6
+FROM documents ORDER BY doc_id""",
     "language_id_planted" ->
       """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
   WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
