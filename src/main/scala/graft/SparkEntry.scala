@@ -614,6 +614,31 @@ object SparkEntry {
       val fpUdf = udf { t: String => graft.functions.Fingerprint.contentHash(t) }
       documents(s, dir).select(col("doc_id"), fpUdf(col("text")).as("fp")).orderBy("doc_id")
     }),
+    "c4_quality" -> ((s, dir) => {
+      // C4 line-rewriting filter over six planted variants (keep-all,
+      // citation removal, line drops, lorem-ipsum doc drop, curly-bracket
+      // doc drop, policy/javascript skips -> too_few_sentences); expected
+      // reason + rewritten text replayed through the reference's own
+      // c4_filters.py during construction and pinned in the oracle
+      val variants = Seq(
+        "The quiet harbor watched the morning boats today.\nSome sailors crossed the narrow bridge to the market.\nPeople enjoyed the festival music in the evening.\nThe ancient castle stood above the peaceful village.\nA gentle rain washed the narrow stone road clean.",
+        "The study cited several sources [1] in the text.\nAnother line kept the reference [citation needed] for review.\nThe authors described the method in careful detail.\nResults were reported with the full data tables.\nThe conclusion matched the earlier findings closely.",
+        "This line has no terminal punctuation\ntoo short.\nThe remaining lines carry the documents real content today.\nEvery kept line needs a terminal mark and enough words.\nThe final line closes the document with a clear point.\nOne more sentence keeps the count over the minimum safely.\nAnd another sentence arrives to stay over five total.",
+        "The quiet harbor watched the morning boats today.\nSome sailors crossed the narrow bridge to the market.\nPeople enjoyed the festival music in the evening.\nThe ancient castle stood above the peaceful village.\nA gentle rain washed the narrow stone road clean.\nSome lorem ipsum filler appears right here.",
+        "The quiet harbor watched the morning boats today.\nSome sailors crossed the narrow bridge to the market.\nPeople enjoyed the festival music in the evening.\nThe ancient castle stood above the peaceful village.\nA gentle rain washed the narrow stone road clean.\nA code sample with a { bracket appears here.",
+        "Please read our privacy policy before you continue.\nEnable javascript to use this site properly.\nOnly this line carries real content for the reader.")
+      val planted = element_at(typedlit(variants), (col("doc_id") % 6 + 1).cast("int"))
+      val c4U = udf { t: String =>
+        C4QualityFilter.check(t) match {
+          case Left(reason) => (reason, "")
+          case Right(text) => ("", text)
+        }
+      }
+      documents(s, dir)
+        .withColumn("__c", c4U(planted))
+        .select(col("doc_id"), col("__c._1").as("c4_reason"), col("__c._2").as("c4_text"))
+        .orderBy("doc_id")
+    }),
     "ngram_jaccard" -> ((s, dir) => {
       // exact 5-gram Jaccard kernel (the verify step behind LSH candidate
       // pairs) over planted pairs whose set arithmetic is hand-derivable:
@@ -903,6 +928,29 @@ SELECT doc_id, CASE
   WHEN nn * 10 > 3 * nw THEN 'list_ratio'
   ELSE '' END AS reason
 FROM m ORDER BY doc_id""",
+    "c4_quality" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 3 THEN 'lorem_ipsum' WHEN 4 THEN 'curly_bracket'
+    WHEN 5 THEN 'too_few_sentences' ELSE '' END AS c4_reason,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN 'The quiet harbor watched the morning boats today.' || chr(10) ||
+      'Some sailors crossed the narrow bridge to the market.' || chr(10) ||
+      'People enjoyed the festival music in the evening.' || chr(10) ||
+      'The ancient castle stood above the peaceful village.' || chr(10) ||
+      'A gentle rain washed the narrow stone road clean.'
+    WHEN 1 THEN 'The study cited several sources  in the text.' || chr(10) ||
+      'Another line kept the reference  for review.' || chr(10) ||
+      'The authors described the method in careful detail.' || chr(10) ||
+      'Results were reported with the full data tables.' || chr(10) ||
+      'The conclusion matched the earlier findings closely.'
+    WHEN 2 THEN 'The remaining lines carry the documents real content today.' || chr(10) ||
+      'Every kept line needs a terminal mark and enough words.' || chr(10) ||
+      'The final line closes the document with a clear point.' || chr(10) ||
+      'One more sentence keeps the count over the minimum safely.' || chr(10) ||
+      'And another sentence arrives to stay over five total.'
+    ELSE '' END AS c4_text
+FROM documents ORDER BY doc_id""",
     "ngram_jaccard" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
   WHEN 0 THEN 1000000 WHEN 1 THEN 714286 WHEN 2 THEN 0 ELSE 90909 END AS jaccard_x1e6
