@@ -639,6 +639,22 @@ object SparkEntry {
         .select(col("doc_id"), col("__c._1").as("c4_reason"), col("__c._2").as("c4_text"))
         .orderBy("doc_id")
     }),
+    "c4_paragraph" -> ((s, dir) => {
+      // mC4 paragraph filter (>=3 paragraphs, top-3 all >=200 chars) over
+      // planted variants replayed through the reference's code
+      val longP = "The quiet harbor watched the morning boats with a steady patience while the sailors " +
+        "crossed the narrow bridge to reach the busy market square and the bakery near the old " +
+        "stone gate before the evening festival began today."
+      val variants = Seq(
+        Seq(longP, longP.replace("quiet", "bright"), longP.replace("harbor", "valley")).mkString("\n"),
+        Seq(longP, longP.replace("quiet", "bright")).mkString("\n"),
+        Seq(longP, longP.replace("quiet", "bright"), "short paragraph.").mkString("\n"))
+      val planted = element_at(typedlit(variants), (col("doc_id") % 3 + 1).cast("int"))
+      val pU = udf { t: String => C4ParagraphFilter.check(t).getOrElse("") }
+      documents(s, dir)
+        .select(col("doc_id"), pU(planted).as("c4_para_reason"))
+        .orderBy("doc_id")
+    }),
     "ngram_jaccard" -> ((s, dir) => {
       // exact 5-gram Jaccard kernel (the verify step behind LSH candidate
       // pairs) over planted pairs whose set arithmetic is hand-derivable:
@@ -950,6 +966,10 @@ FROM m ORDER BY doc_id""",
       'One more sentence keeps the count over the minimum safely.' || chr(10) ||
       'And another sentence arrives to stay over five total.'
     ELSE '' END AS c4_text
+FROM documents ORDER BY doc_id""",
+    "c4_paragraph" ->
+      """SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN '' ELSE '< 3 paragraphs' END AS c4_para_reason
 FROM documents ORDER BY doc_id""",
     "ngram_jaccard" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
