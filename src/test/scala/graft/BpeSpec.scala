@@ -67,6 +67,20 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.decode(Array(20, 13, 15, 13, 23, 0), m) == "low lower lowest")
   }
 
+  test("loadPretrained: JSON unescape order, uXXXX keys, '#'-leading merges") {
+    val bs = "\\" // single backslash
+    // JSON text {"a\\n": 7, "Ġx": 8} — escaped-backslash-then-n must
+    // decode to backslash+n (NOT newline), and the ASCII-escaped Ġ (how
+    // real GPT-2 vocab.json ships every word token) must decode to the char
+    val vocab = "{\"a" + bs + bs + "n\": 7, \"" + bs + "u0120x\": 8}"
+    val merges = "#version: 0.2\n# #\nab cd"
+    val m = Bpe.loadPretrained(vocab, merges)
+    assert(m.vocab(s"a${bs}n") == 7)
+    assert(m.vocab("Ġx") == 8)
+    assert(m.merges.head == ("#", "#"), "merges whose left symbol is '#' must load")
+    assert(m.merges(1) == ("ab", "cd"))
+  }
+
   test("DocTokenizer .ds round trip with a real BPE model (non-trivial merges)") {
     val spark = SparkTestSession.session
     import spark.implicits._

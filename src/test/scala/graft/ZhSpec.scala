@@ -48,6 +48,34 @@ class ZhSpec extends AnyFunSuite {
       Seq("我们", "今天", "去", "北京大学", "。", "然后", "学习"))
   }
 
+  test("HMM: lossless partition property over random CJK runs") {
+    val rng = new scala.util.Random(123)
+    val oovPool = (0x7a00 to 0x7aff).map(_.toChar).filterNot(c =>
+      ZhSegmenter.wordFreqs.keys.exists(_.contains(c)))
+    for (_ <- 1 to 200) {
+      val len = 1 + rng.nextInt(12)
+      val run = Array.fill(len)(oovPool(rng.nextInt(oovPool.length))).mkString
+      val cut = ZhSegmenter.Hmm.cut(run)
+      assert(cut.mkString == run, s"lossy partition for $run -> $cut")
+      assert(cut.forall(_.nonEmpty))
+    }
+  }
+
+  test("cut: lossless partition and determinism over random mixed runs") {
+    val rng = new scala.util.Random(321)
+    val dictWords = ZhSegmenter.wordFreqs.keys.toVector.sorted
+    for (_ <- 1 to 100) {
+      val parts = (1 to 1 + rng.nextInt(8)).map { _ =>
+        if (rng.nextBoolean()) dictWords(rng.nextInt(dictWords.length))
+        else (0x7b00 + rng.nextInt(128)).toChar.toString * (1 + rng.nextInt(3))
+      }
+      val run = parts.mkString
+      val cut = ZhSegmenter.cut(run)
+      assert(cut.mkString == run, s"lossy cut for $run -> $cut")
+      assert(cut == ZhSegmenter.cut(run))
+    }
+  }
+
   test("deterministic across calls") {
     val s = "我们今天在北京学习计算机科学和机器学习"
     assert(ZhSegmenter.cut(s) == ZhSegmenter.cut(s))
