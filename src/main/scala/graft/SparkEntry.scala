@@ -639,6 +639,21 @@ object SparkEntry {
         .select(col("doc_id"), col("__c._1").as("c4_reason"), col("__c._2").as("c4_text"))
         .orderBy("doc_id")
     }),
+    "ftfy_fix" -> ((s, dir) => {
+      // FtfyLite default repertoire over hand-derivable mojibake: the
+      // expected outputs follow from the PUBLIC cp1252/UTF-8 mis-decode
+      // tables and HTML entity definitions, not from the engine
+      val variants = Seq(
+        "plain café text stays.",
+        "cafÃ©",
+        "donâ€™t stop",
+        "Fish &amp; chips with &eacute;")
+      val planted = element_at(typedlit(variants), (col("doc_id") % 4 + 1).cast("int"))
+      val fixU = udf { t: String => FtfyLite.fix(t) }
+      documents(s, dir)
+        .select(col("doc_id"), fixU(planted).as("fixed"))
+        .orderBy("doc_id")
+    }),
     "c4_paragraph" -> ((s, dir) => {
       // mC4 paragraph filter (>=3 paragraphs, top-3 all >=200 chars) over
       // planted variants replayed through the reference's code
@@ -966,6 +981,13 @@ FROM m ORDER BY doc_id""",
       'One more sentence keeps the count over the minimum safely.' || chr(10) ||
       'And another sentence arrives to stay over five total.'
     ELSE '' END AS c4_text
+FROM documents ORDER BY doc_id""",
+    "ftfy_fix" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'plain café text stays.'
+  WHEN 1 THEN 'café'
+  WHEN 2 THEN 'don’t stop'
+  ELSE 'Fish & chips with é' END AS fixed
 FROM documents ORDER BY doc_id""",
     "c4_paragraph" ->
       """SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
