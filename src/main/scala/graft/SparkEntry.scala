@@ -639,6 +639,26 @@ object SparkEntry {
         .select(col("doc_id"), col("__c._1").as("c4_reason"), col("__c._2").as("c4_text"))
         .orderBy("doc_id")
     }),
+    "badwords" -> ((s, dir) => {
+      // toxicity word-list filter over planted texts: clean en, en word
+      // boundary hit, en substring-only (must NOT fire in word-boundary
+      // mode), zh substring hit (Aho-Corasick path). Outcomes follow from
+      // the reference's \\W-flanked regex vs substring-mode semantics
+      // (c4_filters.py:259-263) with the fixture lists.
+      val filter = new BadWordsFilter(
+        graft.sources.WebCorpusGen.BadWordsFixture.asMap)
+      val variants = Seq(
+        ("a perfectly clean document about gardens.", "en"),
+        ("this text mentions badwordalpha openly.", "en"),
+        ("the compound embeddedbadwordalphaword hides it.", "en"),
+        ("这段文字包含坏词在中间。", "zh"))
+      val planted = element_at(typedlit(variants.map(_._1)), (col("doc_id") % 4 + 1).cast("int"))
+      val plantedLang = element_at(typedlit(variants.map(_._2)), (col("doc_id") % 4 + 1).cast("int"))
+      val bwU = udf { (t: String, l: String) => filter.check(t, Some(l)).getOrElse("") }
+      documents(s, dir)
+        .select(col("doc_id"), bwU(planted, plantedLang).as("badwords_reason"))
+        .orderBy("doc_id")
+    }),
     "ftfy_fix" -> ((s, dir) => {
       // FtfyLite default repertoire over hand-derivable mojibake: the
       // expected outputs follow from the PUBLIC cp1252/UTF-8 mis-decode
@@ -981,6 +1001,12 @@ FROM m ORDER BY doc_id""",
       'One more sentence keeps the count over the minimum safely.' || chr(10) ||
       'And another sentence arrives to stay over five total.'
     ELSE '' END AS c4_text
+FROM documents ORDER BY doc_id""",
+    "badwords" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 1 THEN 'document_removed_with_badwords'
+  WHEN 3 THEN 'document_removed_with_badwords'
+  ELSE '' END AS badwords_reason
 FROM documents ORDER BY doc_id""",
     "ftfy_fix" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
