@@ -639,6 +639,31 @@ object SparkEntry {
         .select(col("doc_id"), col("__c._1").as("c4_reason"), col("__c._2").as("c4_text"))
         .orderBy("doc_id")
     }),
+    "url_filter" -> ((s, dir) => {
+      // adult/blocklist URL filter (url_filter.py semantics): registered-
+      // domain block, fqdn (subdomain) block, exact-url block, hard word,
+      // two soft words, subword, clean — reasons follow from the published
+      // rule order
+      val filter = new UrlFilter(
+        blockListedDomains = Set("blocked.com", "bad.site.org"),
+        blockListedUrls = Set("https://exact.example.com/page"),
+        bannedWords = Set("hardword"),
+        bannedSubwords = Set("sneakysub"),
+        softBannedWords = Set("softone", "softtwo"))
+      val variants = Seq(
+        "https://fine.example.com/article",
+        "https://blocked.com/anything",
+        "https://bad.site.org/page",
+        "https://exact.example.com/page",
+        "https://x.com/a/hardword/b",
+        "https://x.com/softone/softtwo",
+        "https://x.com/asneakysubthing")
+      val planted = element_at(typedlit(variants), (col("doc_id") % 7 + 1).cast("int"))
+      val uU = udf { u: String => filter.check(u).getOrElse("") }
+      documents(s, dir)
+        .select(col("doc_id"), uU(planted).as("url_reason"))
+        .orderBy("doc_id")
+    }),
     "badwords" -> ((s, dir) => {
       // toxicity word-list filter over planted texts: clean en, en word
       // boundary hit, en substring-only (must NOT fire in word-boundary
@@ -1001,6 +1026,12 @@ FROM m ORDER BY doc_id""",
       'One more sentence keeps the count over the minimum safely.' || chr(10) ||
       'And another sentence arrives to stay over five total.'
     ELSE '' END AS c4_text
+FROM documents ORDER BY doc_id""",
+    "url_filter" ->
+      """SELECT doc_id, CASE CAST(doc_id % 7 AS INT)
+  WHEN 1 THEN 'domain' WHEN 2 THEN 'subdomain' WHEN 3 THEN 'url'
+  WHEN 4 THEN 'hard_blacklisted' WHEN 5 THEN 'soft_blacklisted'
+  WHEN 6 THEN 'blacklisted_subword' ELSE '' END AS url_reason
 FROM documents ORDER BY doc_id""",
     "badwords" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
