@@ -639,6 +639,21 @@ object SparkEntry {
         .select(col("doc_id"), col("__c._1").as("c4_reason"), col("__c._2").as("c4_text"))
         .orderBy("doc_id")
     }),
+    "unigram_logprob" -> ((s, dir) => {
+      // mean unigram log-prob under an exact power-of-two table (values are
+      // exact doubles, so the only float op chain is log+mean — quantized
+      // x1e6 where Java-vs-CPython 1-ulp libm differences vanish);
+      // constants derived with an independent Python replay
+      val filter = new UnigramLogProbFilter(
+        Map("the" -> 0.125, "cat" -> 0.015625, "sat" -> 0.25))
+      val planted = element_at(typedlit(Seq(
+        "the cat sat", "the unknownword", "the the the the")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val lpU = udf { t: String => math.rint(filter.logprob(t) * 1e6).toLong }
+      documents(s, dir)
+        .select(col("doc_id"), lpU(planted).as("logprob_x1e6"))
+        .orderBy("doc_id")
+    }),
     "url_filter" -> ((s, dir) => {
       // adult/blocklist URL filter (url_filter.py semantics): registered-
       // domain block, fqdn (subdomain) block, exact-url block, hard word,
@@ -1026,6 +1041,10 @@ FROM m ORDER BY doc_id""",
       'One more sentence keeps the count over the minimum safely.' || chr(10) ||
       'And another sentence arrives to stay over five total.'
     ELSE '' END AS c4_text
+FROM documents ORDER BY doc_id""",
+    "unigram_logprob" ->
+      """SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN -2541540 WHEN 1 THEN -11401354 ELSE -2079442 END AS logprob_x1e6
 FROM documents ORDER BY doc_id""",
     "url_filter" ->
       """SELECT doc_id, CASE CAST(doc_id % 7 AS INT)
