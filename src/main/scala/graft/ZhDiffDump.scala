@@ -73,6 +73,7 @@ object ZhDiffDump {
 
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_zh_diff"
+    val nDocs = if (args.length > 1) args(1).toInt else 4000
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -85,7 +86,7 @@ object ZhDiffDump {
     val repUdf = udf { t: String =>
       GopherRepetitionFilter.check(t).getOrElse("")
     }
-    genCorpus(4000).toDF("doc_id", "text")
+    genCorpus(nDocs).toDF("doc_id", "text")
       .select(col("doc_id"), col("text"),
         qualUdf(col("text")).as("reason_quality"),
         repUdf(col("text")).as("reason_repetition"))
