@@ -77,6 +77,13 @@ object SparkEntry {
       .otherwise(concat(col("text"), lit("\naa.\nbb.\n"), col("text")))
   }
 
+  /** 1-based modulo selector over planted variant texts: variant i goes to
+    * rows with doc_id % vs.length == i. The modulus derives from vs.length,
+    * so editing a variant list cannot drift out of sync with the matching
+    * DuckDB CASE arm's `doc_id % N`. */
+  private def plantedVariants(vs: Seq[String]): Column =
+    element_at(typedlit(vs), (col("doc_id") % vs.length + 1).cast("int"))
+
   /** Unique letter-only filler words for the n-gram planted texts. */
   private def repFiller(n: Int, start: Int, suffix: String = "x"): Seq[String] =
     (0 until n).map { j =>
@@ -275,11 +282,11 @@ object SparkEntry {
       // were derived with an INDEPENDENT Python ARPA scorer during
       // construction and pinned in the oracle (ppl rounded to 0.1, ×10 as
       // an integer so the cross-engine compare is float-free).
-      val planted = element_at(typedlit(Seq(
+      val planted = plantedVariants(Seq(
         "the quick brown fox",
         "the quick brown fox jumps over the lazy dog",
         "unknown words here",
-        "the the the the")), (col("doc_id") % 4 + 1).cast("int"))
+        "the the the the"))
       val scorer = new graft.functions.PerplexityScorer(
         graft.functions.ArpaModel.parseResource("/graft/tiny.arpa"))
       val pplUdf = udf { t: String => math.rint(scorer.perplexity(t) * 10).toLong }
@@ -292,8 +299,7 @@ object SparkEntry {
       // top-/dup-n-gram rule family fires on a known variant, verified
       // against the reference code during construction; the oracle pins
       // the variant → reason map
-      val planted = element_at(typedlit(gopherNgramVariants.toSeq),
-        (col("doc_id") % 7 + 1).cast("int"))
+      val planted = plantedVariants(gopherNgramVariants.toSeq)
       documents(s, dir)
         .select(col("doc_id"), gopherRepetitionUdf(planted).as("reason"))
         .orderBy("doc_id")
@@ -380,11 +386,11 @@ object SparkEntry {
       // texts over the fixture's vocabulary make token counts constant
       // per variant, derived with an independent Python BPE replay and
       // pinned in the oracle
-      val planted = element_at(typedlit(Seq(
+      val planted = plantedVariants(Seq(
         "low lower lowest",
         "new newer wider low",
         "lowest wider lowest new",
-        "low low low lower")), (col("doc_id") % 4 + 1).cast("int"))
+        "low low low lower"))
       val model = graft.text.Bpe.fixtureModel
       val cnt = udf { t: String => graft.text.Bpe.encode(t, model).length.toLong }
       documents(s, dir)
@@ -627,7 +633,7 @@ object SparkEntry {
         "The quiet harbor watched the morning boats today.\nSome sailors crossed the narrow bridge to the market.\nPeople enjoyed the festival music in the evening.\nThe ancient castle stood above the peaceful village.\nA gentle rain washed the narrow stone road clean.\nSome lorem ipsum filler appears right here.",
         "The quiet harbor watched the morning boats today.\nSome sailors crossed the narrow bridge to the market.\nPeople enjoyed the festival music in the evening.\nThe ancient castle stood above the peaceful village.\nA gentle rain washed the narrow stone road clean.\nA code sample with a { bracket appears here.",
         "Please read our privacy policy before you continue.\nEnable javascript to use this site properly.\nOnly this line carries real content for the reader.")
-      val planted = element_at(typedlit(variants), (col("doc_id") % 6 + 1).cast("int"))
+      val planted = plantedVariants(variants)
       val c4U = udf { t: String =>
         C4QualityFilter.check(t) match {
           case Left(reason) => (reason, "")
@@ -646,9 +652,8 @@ object SparkEntry {
       // constants derived with an independent Python replay
       val filter = new UnigramLogProbFilter(
         Map("the" -> 0.125, "cat" -> 0.015625, "sat" -> 0.25))
-      val planted = element_at(typedlit(Seq(
-        "the cat sat", "the unknownword", "the the the the")),
-        (col("doc_id") % 3 + 1).cast("int"))
+      val planted = plantedVariants(Seq(
+        "the cat sat", "the unknownword", "the the the the"))
       val lpU = udf { t: String => math.rint(filter.logprob(t) * 1e6).toLong }
       documents(s, dir)
         .select(col("doc_id"), lpU(planted).as("logprob_x1e6"))
@@ -673,7 +678,7 @@ object SparkEntry {
         "https://x.com/a/hardword/b",
         "https://x.com/softone/softtwo",
         "https://x.com/asneakysubthing")
-      val planted = element_at(typedlit(variants), (col("doc_id") % 7 + 1).cast("int"))
+      val planted = plantedVariants(variants)
       val uU = udf { u: String => filter.check(u).getOrElse("") }
       documents(s, dir)
         .select(col("doc_id"), uU(planted).as("url_reason"))
@@ -692,8 +697,8 @@ object SparkEntry {
         ("this text mentions badwordalpha openly.", "en"),
         ("the compound embeddedbadwordalphaword hides it.", "en"),
         ("这段文字包含坏词在中间。", "zh"))
-      val planted = element_at(typedlit(variants.map(_._1)), (col("doc_id") % 4 + 1).cast("int"))
-      val plantedLang = element_at(typedlit(variants.map(_._2)), (col("doc_id") % 4 + 1).cast("int"))
+      val planted = plantedVariants(variants.map(_._1))
+      val plantedLang = plantedVariants(variants.map(_._2))
       val bwU = udf { (t: String, l: String) => filter.check(t, Some(l)).getOrElse("") }
       documents(s, dir)
         .select(col("doc_id"), bwU(planted, plantedLang).as("badwords_reason"))
@@ -708,7 +713,7 @@ object SparkEntry {
         "cafÃ©",
         "donâ€™t stop",
         "Fish &amp; chips with &eacute;")
-      val planted = element_at(typedlit(variants), (col("doc_id") % 4 + 1).cast("int"))
+      val planted = plantedVariants(variants)
       val fixU = udf { t: String => FtfyLite.fix(t) }
       documents(s, dir)
         .select(col("doc_id"), fixU(planted).as("fixed"))
@@ -724,7 +729,7 @@ object SparkEntry {
         Seq(longP, longP.replace("quiet", "bright"), longP.replace("harbor", "valley")).mkString("\n"),
         Seq(longP, longP.replace("quiet", "bright")).mkString("\n"),
         Seq(longP, longP.replace("quiet", "bright"), "short paragraph.").mkString("\n"))
-      val planted = element_at(typedlit(variants), (col("doc_id") % 3 + 1).cast("int"))
+      val planted = plantedVariants(variants)
       val pU = udf { t: String => C4ParagraphFilter.check(t).getOrElse("") }
       documents(s, dir)
         .select(col("doc_id"), pU(planted).as("c4_para_reason"))
@@ -736,11 +741,11 @@ object SparkEntry {
       // identical (J=1), one tail word changed (5 shared of 7 = 714286),
       // disjoint (0), 5-word overlap of two 10-word texts (1 of 11 = 90909)
       val a = lit("qa qb qc qd qe qf qg qh qi qj")
-      val b = element_at(typedlit(Seq(
+      val b = plantedVariants(Seq(
         "qa qb qc qd qe qf qg qh qi qj",
         "qa qb qc qd qe qf qg qh qi zz",
         "za zb zc zd ze zf zg zh zi zj",
-        "qf qg qh qi qj qk ql qm qn qo")), (col("doc_id") % 4 + 1).cast("int"))
+        "qf qg qh qi qj qk ql qm qn qo"))
       val jacU = udf { (x: String, y: String) =>
         math.rint(NgramJaccard.jaccard(x, y, 5) * 1e6).toLong
       }
@@ -752,13 +757,12 @@ object SparkEntry {
       // unambiguous planted texts, one per supported language family — the
       // oracle pins the expected label (the ground truth is the language
       // the text is actually written in, not an engine echo)
-      val planted = element_at(typedlit(Seq(
+      val planted = plantedVariants(Seq(
         "the quiet market and the bright garden of the village with all of that is in the morning",
         "le marché était très calme ce matin et les enfants jouaient dans la rue près du pont je ne pense pas",
         "der markt war heute sehr ruhig und die kinder spielten auf der straße während wir die schiffe nicht",
         "el mercado estaba muy tranquilo esta mañana y los niños jugaban en la calle cerca del puente",
-        "今天的市场很安静孩子们在街上玩我们看着河上的船只从桥边经过一切都很平静")),
-        (col("doc_id") % 5 + 1).cast("int"))
+        "今天的市场很安静孩子们在街上玩我们看着河上的船只从桥边经过一切都很平静"))
       val langOnly = udf { text: String => graft.functions.HeuristicLid.predict(text)._1 }
       documents(s, dir)
         .select(col("doc_id"), langOnly(planted).as("lang_pred"))
@@ -768,12 +772,11 @@ object SparkEntry {
       // planted pre-normalized texts (simplify_text is the identity on
       // them), fingerprints + winnowing sketches pinned against an
       // INDEPENDENT pure-Python XXH64 + winnow replay
-      val planted = element_at(typedlit(Seq(
+      val planted = plantedVariants(Seq(
         "the quick brown fox jumps over a lazy dog near the quiet river",
         "a steady harbor wind carried the small wooden boats toward the bright morning market",
         "people gathered under the ancient bridge while the gentle rain washed the narrow stone road",
-        "the patient teacher explained the simple lesson and the curious students followed every word")),
-        (col("doc_id") % 4 + 1).cast("int"))
+        "the patient teacher explained the simple lesson and the curious students followed every word"))
       val fpU = udf { t: String => graft.functions.Fingerprint.contentHash(t) }
       val sketchLenU = udf { t: String => graft.functions.Fingerprint.winnow(t).length }
       val sketchFirstU = udf { t: String => graft.functions.Fingerprint.winnow(t).head }

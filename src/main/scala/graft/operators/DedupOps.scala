@@ -269,10 +269,11 @@ object SimHashDedup {
     val bandBits = 64 / bands
     // the per-doc simhash UDF (simplify + tokenize + 64-bin charge/discharge)
     // is the expensive narrow pass — compute it ONCE into a persisted slim
-    // (id, simhash) projection; reps/edges/banding/annotation all read the
-    // cache instead of re-running the UDF over the full corpus (3× at the
-    // 100TB posture otherwise). CacheRegistry bounds the footprint.
-    val withSim = CacheRegistry.swap("simhash.sim",
+    // (id, simhash) projection for the candidate-generation flow, which
+    // consumes it three times (reps groupBy, exact-edge probe, banding).
+    // Rotating key: building a second SimHashDedup before materializing the
+    // first must not evict the first's cache (deferred-consumer hazard).
+    val withSim = CacheRegistry.swapRotating("simhash.sim",
       df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -310,9 +311,12 @@ object SimHashDedup {
       .distinct()
 
     val comps = MinhashDedup.components(exactEdges.union(repEdges))
-    // annotate the original rows: slim (id, simhash) + cluster label join
-    // back onto df (same one id-keyed shuffle of the fat side as before)
-    df.join(withSim, Seq(idCol))
+    // annotate via a per-row withColumn (NOT a join on id): a join would
+    // change the row contract — null ids silently vanish from an inner
+    // equi-join and duplicate ids multiply output rows. One extra UDF pass
+    // here keeps per-row semantics; candidate generation above still reads
+    // the cached projection (2 total UDF passes vs 3 before the cache).
+    df.withColumn("simhash", simhashUdf(col(textCol)))
       .join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
       .withColumn("simhash_cluster", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")

@@ -140,9 +140,15 @@ object Bpe {
           case '"' => sb.append('"'); i += 2
           case '\\' => sb.append('\\'); i += 2
           case '/' => sb.append('/'); i += 2
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(c =>
+                (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
+          case 'u' =>
+            // malformed \uXXXX (non-hex or truncated): keep the escape
+            // literally instead of crashing the whole model load
+            sb.append('\\').append('u'); i += 2
           case other => sb.append(other); i += 2
         }
       } else { sb.append(c); i += 1 }
@@ -166,8 +172,8 @@ object Bpe {
     val body =
       if (lines.nonEmpty && lines(0).startsWith("#version")) lines.drop(1) else lines
     val merges = body.iterator
-      .map(l => l.stripSuffix("\r"))
-      .filter(_.trim.nonEmpty)
+      .map(_.trim) // tolerate stray edge whitespace/CR (symbols never carry it)
+      .filter(_.nonEmpty)
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0, s"malformed merges line: $l")

@@ -26,15 +26,12 @@ object ZhSegmenter {
     * (word \t freq \t jieba-style tag — the same format as jieba's
     * dict.txt, self-authored content). */
   lazy val (wordFreqs: Map[String, Long], posTags: Map[String, String]) = {
-    val in = getClass.getResourceAsStream("/graft/zh_dict.tsv")
-    require(in != null, "zh_dict.tsv missing from classpath")
-    val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    val rows = try src.getLines().flatMap { line =>
+    val rows = Resources.readUtf8("/graft/zh_dict.tsv").linesIterator.flatMap { line =>
       val parts = line.split("\t")
       if (parts.length >= 2)
         Some((parts(0), parts(1).toLong, if (parts.length >= 3) parts(2) else "n"))
       else None
-    }.toVector finally src.close()
+    }.toVector
     (rows.map(r => r._1 -> r._2).toMap, rows.map(r => r._1 -> r._3).toMap)
   }
 
