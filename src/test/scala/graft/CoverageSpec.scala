@@ -31,6 +31,10 @@ class CoverageSpec extends SparkSpec {
     assert(q.select("drop_reason").distinct().count() == 2) // partition column readable
   }
 
+  test("SparkEntry.entry: flagship query returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("warc parser: response records with html extracted") {
     val html = "<html><body><p>Hi there.</p></body></html>"
     val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
