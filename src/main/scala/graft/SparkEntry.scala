@@ -645,6 +645,20 @@ object SparkEntry {
         .select(col("doc_id"), col("__c._1").as("c4_reason"), col("__c._2").as("c4_text"))
         .orderBy("doc_id")
     }),
+    "multimodal_features" -> ((s, dir) => {
+      // the multimodal batched feature-extraction plumbing end-to-end with
+      // planted payloads whose stub nibble-histogram features are
+      // hand-derivable ('A'=0x41 → bin 1, 'B'=0x42 → bin 2, mixed → 0.5/0.5)
+      implicit val sp: SparkSession = s
+      val payload = plantedVariants(Seq("AAAA", "BBBB", "AB")).cast("binary")
+      val media = documents(s, dir).select(col("doc_id"),
+        payload.as("payload"), lit("image").as("media_type"))
+      Multimodal.extractFeatures(media)
+        .select(col("doc_id"),
+          (element_at(col("features"), 2) * 1000).cast("long").as("f1_x1000"),
+          (element_at(col("features"), 3) * 1000).cast("long").as("f2_x1000"))
+        .orderBy("doc_id")
+    }),
     "unigram_logprob" -> ((s, dir) => {
       // mean unigram log-prob under an exact power-of-two table (values are
       // exact doubles, so the only float op chain is log+mean — quantized
@@ -1044,6 +1058,11 @@ FROM m ORDER BY doc_id""",
       'One more sentence keeps the count over the minimum safely.' || chr(10) ||
       'And another sentence arrives to stay over five total.'
     ELSE '' END AS c4_text
+FROM documents ORDER BY doc_id""",
+    "multimodal_features" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1000 WHEN 1 THEN 0 ELSE 500 END AS f1_x1000,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1000 ELSE 500 END AS f2_x1000
 FROM documents ORDER BY doc_id""",
     "unigram_logprob" ->
       """SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
