@@ -70,6 +70,37 @@ class ArtifactsSpec extends SparkSpec {
     assert(bin.length > 0 && bin.length % 2 == 0)
   }
 
+  test("hf save_to_disk dataset reader: state.json shard order + inferred schema") {
+    val dir = java.nio.file.Files.createTempDirectory("hfds").toFile
+    // one STREAM-format shard (the save_to_disk convention)
+    val allocator = new RootAllocator()
+    val idVec = new BigIntVector("id", allocator)
+    val textVec = new VarCharVector("text", allocator)
+    val root = new VectorSchemaRoot(java.util.List.of[org.apache.arrow.vector.FieldVector](idVec, textVec))
+    root.allocateNew()
+    idVec.setSafe(0, 10L); idVec.setSafe(1, 20L)
+    textVec.setSafe(0, "alpha row".getBytes("UTF-8"))
+    textVec.setSafe(1, "beta row".getBytes("UTF-8"))
+    root.setRowCount(2)
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "data-00000-of-00001.arrow"))
+    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close(); out.close()
+    root.close(); allocator.close()
+
+    java.nio.file.Files.writeString(new java.io.File(dir, "dataset_info.json").toPath,
+      """{"description": "t", "features": {"id": {"dtype": "int64", "_type": "Value"}, "text": {"dtype": "string", "_type": "Value"}}}""")
+    java.nio.file.Files.writeString(new java.io.File(dir, "state.json").toPath,
+      """{"_data_files": [{"filename": "data-00000-of-00001.arrow"}], "_split": "train"}""")
+
+    val schema = graft.sources.HfDatasetReader.inferSchema(
+      java.nio.file.Files.readString(new java.io.File(dir, "dataset_info.json").toPath))
+    assert(schema.fieldNames.toSeq == Seq("id", "text"))
+    assert(schema("id").dataType == LongType && schema("text").dataType == StringType)
+    val df = graft.sources.HfDatasetReader.read(spark, dir.getPath)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(10L -> "alpha row", 20L -> "beta row"))
+  }
+
   test("arrow IPC reader round trip") {
     val path = java.nio.file.Files.createTempFile("ipc", ".arrow").toString
     // write a 2-column arrow file with the arrow java API
