@@ -101,6 +101,24 @@ class ArtifactsSpec extends SparkSpec {
     assert(rows == Map(10L -> "alpha row", 20L -> "beta row"))
   }
 
+  test("hf dataset writer -> reader round trip (multi-partition, mixed types)") {
+    val spark2 = SparkTestSession.session
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hfds_w").toString
+    val df = Seq.tabulate(50)(i => (i.toLong, s"row number $i", i % 3 == 0, i * 0.5))
+      .toDF("id", "text", "flag", "score").repartition(3)
+    graft.sources.HfDatasetWriter.write(df, dir)
+    assert(new java.io.File(dir, "dataset_info.json").exists)
+    assert(new java.io.File(dir, "state.json").exists)
+    val back = graft.sources.HfDatasetReader.read(spark2, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "text", "flag", "score"))
+    val rows = back.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(rows.size == 50)
+    assert(rows(7L) == (("row number 7", false, 3.5)))
+    assert(rows(9L) == (("row number 9", true, 4.5)))
+  }
+
   test("arrow IPC reader round trip") {
     val path = java.nio.file.Files.createTempFile("ipc", ".arrow").toString
     // write a 2-column arrow file with the arrow java API
