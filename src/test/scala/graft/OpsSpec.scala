@@ -227,6 +227,43 @@ class OpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("inference runner: chunked checkpoints, resume skips the client entirely") {
+    val dir = java.nio.file.Files.createTempDirectory("infer").toString
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"prompt number $i with content"))
+      .toDF("doc_id", "prompt").repartition(2, col("doc_id"))
+    val first = InferenceRunner.run(docs, "doc_id", "prompt",
+      new StubInferenceClient, dir, InferenceRunnerConfig(recordsPerChunk = 4))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first.size == 20)
+    assert(first("7").startsWith("echo:prompt number 7"))
+    // chunk files committed per partition
+    val chunks = new java.io.File(dir).listFiles.flatMap(d => d.listFiles)
+      .filter(_.getName.endsWith(".done"))
+    assert(chunks.nonEmpty)
+
+    // rerun with a poison client: every call fails loudly — completed work
+    // must come from the checkpoints without touching the client
+    val poison = new InferenceClient {
+      def generate(p: String): Either[String, String] =
+        throw new IllegalStateException("client must not be called on resume")
+    }
+    val second = InferenceRunner.run(docs, "doc_id", "prompt", poison, dir,
+      InferenceRunnerConfig(recordsPerChunk = 4))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(second == first)
+
+    // errors are captured per doc, not thrown (InferenceError semantics)
+    val flaky = new InferenceClient {
+      def generate(p: String): Either[String, String] =
+        if (p.contains("number 3")) Left("boom") else Right("ok")
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("infer2").toString
+    val out2 = InferenceRunner.run(docs, "doc_id", "prompt", flaky, dir2)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out2("3") == (("", "boom")))
+    assert(out2("4") == (("ok", "")))
+  }
+
   test("multimodal: stub feature extraction preserves schema + determinism") {
     val rows = Seq(
       (1L, "u1", "image", Array.tabulate(256)(_.toByte), 8, 8, 0L),
