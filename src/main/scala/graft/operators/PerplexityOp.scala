@@ -59,3 +59,49 @@ object PerplexityEncoder {
       .select(to_json(col("token_ids")).as("value"))
       .write.mode("overwrite").text(outDir)
 }
+
+/** Token-level prompt-logprob seam for PerplexityCalculator
+  * (perplexity/ppl_model.py:7-44 wraps a vLLM LLM with prompt_logprobs=0;
+  * GPU + model weights are absent here, so the production fill stays out
+  * and offline fills are a unigram table or any injected function). */
+trait TokenScorer extends Serializable {
+  /** log P(tokenIds(i) | prefix) for every position; index 0 is unused
+    * (the reference skips the first prompt token). */
+  def promptLogprobs(tokenIds: Array[Int]): Array[Double]
+}
+
+/** Offline fill: token-unigram logprobs from an injected frequency table
+  * (OOV floor mirrors the `.get(token, 0.0)` lookup-miss path). */
+final class UnigramTokenScorer(logprobs: Map[Int, Double],
+                               oovLogprob: Double = 0.0) extends TokenScorer {
+  def promptLogprobs(tokenIds: Array[Int]): Array[Double] =
+    tokenIds.map(id => logprobs.getOrElse(id, oovLogprob))
+}
+
+/** PerplexityCalculator (perplexity/perplexity_calculator.py:10-55): score
+  * the PerplexityEncoder's token ids with a model's prompt logprobs and
+  * attach `perplexity` per doc. Arithmetic mirrors PPLModel.calc_ppl
+  * exactly: sum logprobs over positions 1..n-1 (first token skipped),
+  * divide by n — the FULL length, the reference's own quirk — and
+  * ppl = exp(−mean); n ≤ 1 → 0.0. The reference runs one vLLM instance
+  * per rank over a rank's jsonl; Spark-first this is a narrow map with the
+  * scorer broadcast (the allowed model-broadcast exception). */
+object PerplexityCalculator {
+
+  def ppl(tokenIds: Array[Int], scorer: TokenScorer): Double = {
+    val n = tokenIds.length
+    if (n <= 1) return 0.0
+    val lps = scorer.promptLogprobs(tokenIds)
+    var sum = 0.0
+    var i = 1
+    while (i < n) { sum += lps(i); i += 1 }
+    math.exp(-(sum / n))
+  }
+
+  def annotate(df: DataFrame, tokenIdsCol: String, scorer: TokenScorer)
+              (implicit spark: SparkSession): DataFrame = {
+    val bc = spark.sparkContext.broadcast(scorer)
+    val u = udf { ids: Seq[Int] => ppl(ids.toArray, bc.value) }
+    df.withColumn("perplexity", u(col(tokenIdsCol)))
+  }
+}

@@ -282,6 +282,26 @@ class OpsSpec extends SparkSpec {
     assert(frames.length == 1 && frames(0).getSeq[Array[Byte]](frames(0).fieldIndex("frames")).length == 4)
   }
 
+  test("perplexity calculator: PPLModel.calc_ppl arithmetic over encoder token ids") {
+    // hand-computed: ids [5,3,3], lp(3)=ln 0.25 -> sum over i=1..2 = 2 ln 0.25,
+    // ppl = exp(-2 ln 0.25 / 3) (divide by FULL n, the reference's quirk)
+    val scorer = new UnigramTokenScorer(Map(3 -> math.log(0.25), 5 -> math.log(0.5)))
+    val expected = math.exp(-(2 * math.log(0.25)) / 3)
+    assert(math.abs(PerplexityCalculator.ppl(Array(5, 3, 3), scorer) - expected) < 1e-12)
+    assert(PerplexityCalculator.ppl(Array(5), scorer) == 0.0) // n <= 1
+    assert(PerplexityCalculator.ppl(Array.empty, scorer) == 0.0)
+    // OOV tokens hit the lookup-miss path (logprob 0.0, like .get(tok, 0.0))
+    assert(math.abs(PerplexityCalculator.ppl(Array(5, 99), scorer) - 1.0) < 1e-12)
+
+    // end-to-end over the PerplexityEncoder output column
+    val m = graft.text.Bpe.trainFromTexts(Iterator("low lower lowest new"), 8)
+    val df = Seq((1L, "low lower"), (2L, "")).toDF("doc_id", "text")
+    val enc = PerplexityEncoder.annotate(df, "text", m)
+    val out = PerplexityCalculator.annotate(enc, "token_ids", scorer)(spark)
+    assert(out.columns.contains("perplexity"))
+    assert(out.count() == 2)
+  }
+
   test("perplexity op: broadcast model annotates a column") {
     val arpa = "\\data\\\nngram 1=3\n\n\\1-grams:\n-1.0\t<unk>\n-0.5\t<s>\t-0.3\n-0.5\t</s>\n\n\\end\\\n"
     val model = graft.functions.ArpaModel.parse(arpa)
