@@ -37,19 +37,21 @@ object InferenceRunner {
 
   private final case class Result(id: String, output: String, error: String)
 
-  /** One line per completed doc: id \t base64(output) \t base64(error) —
-    * newline-free by construction so the checkpoint is append-safe. */
+  /** One line per completed doc: all three fields base64 (ids are
+    * free-form strings — a raw id containing a tab or newline would
+    * corrupt the line and silently drop the doc from replay). */
   private def encodeLine(r: Result): String = {
     val b64 = java.util.Base64.getEncoder
-    s"${r.id}\t${b64.encodeToString(r.output.getBytes("UTF-8"))}\t" +
-      b64.encodeToString(r.error.getBytes("UTF-8"))
+    Seq(r.id, r.output, r.error)
+      .map(v => b64.encodeToString(v.getBytes("UTF-8"))).mkString("\t")
   }
 
   private def decodeLine(l: String): Option[Result] = {
     val parts = l.split("\t", -1)
     if (parts.length != 3) return None
     val b64 = java.util.Base64.getDecoder
-    try Some(Result(parts(0),
+    try Some(Result(
+      new String(b64.decode(parts(0)), "UTF-8"),
       new String(b64.decode(parts(1)), "UTF-8"),
       new String(b64.decode(parts(2)), "UTF-8")))
     catch { case _: IllegalArgumentException => None }
@@ -88,35 +90,49 @@ object InferenceRunner {
           done.put(r.id, r)
         var nextChunk = chunkFiles.length
 
-        // 2. query only unfinished docs, bounded concurrency, chunked writes
+        // 2. query only unfinished docs, bounded concurrency, chunked
+        // writes — emitted LAZILY per chunk so heap stays O(recordsPerChunk)
+        // regardless of partition size (the reference harness targets
+        // millions of docs per rank; chunking exists for exactly this)
         val pending = it.filterNot { case (id, _) => done.contains(id) }
-        val fresh = scala.collection.mutable.ArrayBuffer.empty[Result]
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
-        try {
-          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-          for (group <- pending.grouped(rpc)) {
-            val futures = group.map { case (id, prompt) =>
-              scala.concurrent.Future {
-                client.generate(prompt) match {
-                  case Right(o) => Result(id, o, "")
-                  case Left(e) => Result(id, "", e)
-                }
-              }(ec)
-            }
-            val results = futures.map(f =>
-              scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-            // chunk commit: write to .tmp then rename to .done (atomic on
-            // local/posix fs) — a crashed rank leaves no half-counted chunk
-            val tmp = new java.io.File(rankDir, f"chunk_$nextChunk%05d.tmp")
-            java.nio.file.Files.write(tmp.toPath,
-              results.map(encodeLine).mkString("", "\n", "\n").getBytes("UTF-8"))
-            tmp.renameTo(new java.io.File(rankDir, f"chunk_$nextChunk%05d.done"))
-            nextChunk += 1
-            fresh ++= results
-          }
-        } finally pool.shutdown()
+        val freshIt: Iterator[Result] = pending.grouped(rpc).flatMap { group =>
+          // a small pool per chunk (negligible next to model-call latency)
+          // avoids holding a pool open across lazy iterator consumption
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+          val results =
+            try {
+              val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+              val futures = group.map { case (id, prompt) =>
+                scala.concurrent.Future {
+                  // a client that THROWS (network timeout, bad response) is
+                  // captured per-doc like the reference's InferenceError —
+                  // it must not kill the task and re-query the whole chunk
+                  try client.generate(prompt) match {
+                    case Right(o) => Result(id, o, "")
+                    case Left(e) => Result(id, "", e)
+                  } catch {
+                    case scala.util.control.NonFatal(e) =>
+                      Result(id, "", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                  }
+                }(ec)
+              }
+              futures.map(f =>
+                scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+            } finally pool.shutdown()
+          // chunk commit: write .tmp, ATOMIC_MOVE to .done — a crashed rank
+          // leaves no half-counted chunk, and a failed move fails LOUDLY
+          // instead of silently re-querying the chunk on every resume
+          val tmp = new java.io.File(rankDir, f"chunk_$nextChunk%05d.tmp")
+          java.nio.file.Files.write(tmp.toPath,
+            results.map(encodeLine).mkString("", "\n", "\n").getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath,
+            new java.io.File(rankDir, f"chunk_$nextChunk%05d.done").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          nextChunk += 1
+          results
+        }
 
-        (done.valuesIterator ++ fresh.iterator).map(r => (r.id, r.output, r.error))
+        (done.valuesIterator ++ freshIt).map(r => (r.id, r.output, r.error))
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING))
 
     out.toDF(idCol, "inference_output", "inference_error")

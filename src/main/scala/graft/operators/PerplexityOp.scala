@@ -101,7 +101,9 @@ object PerplexityCalculator {
   def annotate(df: DataFrame, tokenIdsCol: String, scorer: TokenScorer)
               (implicit spark: SparkSession): DataFrame = {
     val bc = spark.sparkContext.broadcast(scorer)
-    val u = udf { ids: Seq[Int] => ppl(ids.toArray, bc.value) }
+    // null token_ids (missing values from external jsonl/parquet) take the
+    // n<=1 convention instead of NPE-ing the task
+    val u = udf { ids: Seq[Int] => if (ids == null) 0.0 else ppl(ids.toArray, bc.value) }
     df.withColumn("perplexity", u(col(tokenIdsCol)))
   }
 }

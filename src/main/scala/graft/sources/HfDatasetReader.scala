@@ -16,26 +16,77 @@ import org.apache.spark.sql.types._
   * bool) are supported — the corpus shapes the reference reads. */
 object HfDatasetReader {
 
+  // no unsigned types: Arrow's unsigned getObject returns the SIGNED boxed
+  // value, so e.g. uint32 ≥ 2^31 would silently sign-extend — rejected
+  // loudly instead of mapped wrong
   private val DtypeMap: Map[String, DataType] = Map(
     "string" -> StringType, "large_string" -> StringType,
     "int64" -> LongType, "int32" -> IntegerType, "int16" -> IntegerType,
-    "int8" -> IntegerType, "uint32" -> LongType,
+    "int8" -> IntegerType,
     "float32" -> FloatType, "float64" -> DoubleType,
     "bool" -> BooleanType)
 
   /** Parse the flat Value features of a dataset_info.json into a Spark
-    * schema (field order = appearance order in the JSON). */
+    * schema (field order = appearance order in the JSON). TOP-LEVEL
+    * features only, by brace balancing — a naive regex would match the
+    * inner dict of a nested Sequence feature and fabricate a phantom
+    * "feature" column. Unsupported feature types fail loudly. */
   def inferSchema(datasetInfoJson: String): StructType = {
-    val featStart = datasetInfoJson.indexOf("\"features\"")
-    require(featStart >= 0, "dataset_info.json has no features block")
-    val entry = java.util.regex.Pattern.compile(
-      "\"([A-Za-z0-9_.-]+)\"\\s*:\\s*\\{[^{}]*\"dtype\"\\s*:\\s*\"([a-z0-9_]+)\"[^{}]*}")
-    val m = entry.matcher(datasetInfoJson.substring(featStart))
+    val s = datasetInfoJson
+    val featKey = s.indexOf("\"features\"")
+    require(featKey >= 0, "dataset_info.json has no features block")
+    var i = s.indexOf('{', featKey)
+    require(i >= 0, "malformed features block")
+    i += 1
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
-    while (m.find()) {
-      DtypeMap.get(m.group(2)).foreach { t =>
-        fields += StructField(m.group(1), t)
+    val keyPat = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*")
+    // skip separators up front so the loop condition sees the real next token
+    def skipSep(k0: Int): Int = {
+      var k = k0
+      while (k < s.length && (s.charAt(k) == ',' || Character.isWhitespace(s.charAt(k)))) k += 1
+      k
+    }
+    i = skipSep(i)
+    while (i < s.length && s.charAt(i) != '}') {
+      val m = keyPat.matcher(s)
+      require(m.find(i) && m.start == i, s"malformed features entry near offset $i")
+      val name = m.group(1)
+      var j = m.end
+      require(j < s.length && s.charAt(j) == '{', s"feature '$name' is not an object")
+      // balanced-brace scan for this feature's body (no nested quotes with
+      // braces expected in dataset_info feature dicts)
+      var depth = 0
+      val start = j
+      while (j < s.length && (depth > 0 || j == start)) {
+        val c = s.charAt(j)
+        if (c == '{') depth += 1 else if (c == '}') depth -= 1
+        j += 1
       }
+      val body = s.substring(start, j)
+      // only the feature's TOP-LEVEL keys count: a nested Sequence feature
+      // carries "_type": "Value" inside its inner dict, which must not make
+      // the outer feature look flat — elide nested objects before checking
+      val topBody = {
+        val sb = new java.lang.StringBuilder(body.length)
+        var depth = 0
+        var k = 0
+        while (k < body.length) {
+          val c = body.charAt(k)
+          if (c == '{') { depth += 1; if (depth <= 1) sb.append(c) }
+          else if (c == '}') { if (depth <= 1) sb.append(c); depth -= 1 }
+          else if (depth <= 1) sb.append(c)
+          k += 1
+        }
+        sb.toString
+      }
+      val isValue = topBody.contains("\"_type\": \"Value\"") || topBody.contains("\"_type\":\"Value\"")
+      val dt = "\"dtype\"\\s*:\\s*\"([a-z0-9_]+)\"".r.findFirstMatchIn(topBody).map(_.group(1))
+      require(isValue && dt.isDefined,
+        s"feature '$name' is not a flat Value feature (nested/complex types unsupported)")
+      val sparkType = DtypeMap.getOrElse(dt.get,
+        throw new IllegalArgumentException(s"feature '$name': unsupported dtype '${dt.get}'"))
+      fields += StructField(name, sparkType)
+      i = skipSep(j)
     }
     require(fields.nonEmpty, "no supported Value features found")
     StructType(fields.toSeq)

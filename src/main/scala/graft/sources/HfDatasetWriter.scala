@@ -103,7 +103,16 @@ object HfDatasetWriter {
     java.nio.file.Files.writeString(new java.io.File(d, "dataset_info.json").toPath,
       s"""{"description": "", "features": {$features}}""")
     val files = counts.map { case (_, name, _) => s"""{"filename": "$name"}""" }.mkString(", ")
+    // load_from_disk reads _fingerprint and the _format_* keys
+    // unconditionally — omitting them is a KeyError in the HF library, not
+    // just missing metadata. Fingerprint = deterministic hash of schema +
+    // shard names + row counts (content-addressed like the library's).
+    val fpInput = schema.map(f => f.name + ":" + f.dataType.simpleString).mkString(",") +
+      "|" + counts.map { case (p, name, n) => s"$p:$name:$n" }.mkString(",")
+    val fingerprint = f"${graft.functions.Hashes.xxhash64(fpInput)}%016x"
     java.nio.file.Files.writeString(new java.io.File(d, "state.json").toPath,
-      s"""{"_data_files": [$files], "_split": "$split"}""")
+      s"""{"_data_files": [$files], "_fingerprint": "$fingerprint", """ +
+      s""""_format_columns": null, "_format_kwargs": {}, "_format_type": null, """ +
+      s""""_output_all_columns": false, "_split": "$split"}""")
   }
 }

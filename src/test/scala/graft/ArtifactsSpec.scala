@@ -99,6 +99,19 @@ class ArtifactsSpec extends SparkSpec {
     val df = graft.sources.HfDatasetReader.read(spark, dir.getPath)
     val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows == Map(10L -> "alpha row", 20L -> "beta row"))
+
+    // nested (Sequence) features must fail loudly, not fabricate a phantom
+    // "feature" column from the inner dict
+    val nested = """{"features": {"tokens": {"feature": {"dtype": "int32", "_type": "Value"}, "_type": "Sequence"}}}"""
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.HfDatasetReader.inferSchema(nested)
+    }
+    assert(e.getMessage.contains("tokens"))
+    // unsigned ints would silently sign-extend through Arrow getObject
+    val u32 = """{"features": {"n": {"dtype": "uint32", "_type": "Value"}}}"""
+    intercept[IllegalArgumentException] {
+      graft.sources.HfDatasetReader.inferSchema(u32)
+    }
   }
 
   test("hf dataset writer -> reader round trip (multi-partition, mixed types)") {
@@ -109,7 +122,11 @@ class ArtifactsSpec extends SparkSpec {
       .toDF("id", "text", "flag", "score").repartition(3)
     graft.sources.HfDatasetWriter.write(df, dir)
     assert(new java.io.File(dir, "dataset_info.json").exists)
-    assert(new java.io.File(dir, "state.json").exists)
+    val state = java.nio.file.Files.readString(new java.io.File(dir, "state.json").toPath)
+    // keys load_from_disk reads unconditionally
+    for (k <- Seq("_data_files", "_fingerprint", "_format_columns",
+                  "_format_kwargs", "_format_type", "_output_all_columns"))
+      assert(state.contains("\"" + k + "\""), s"state.json missing $k")
     val back = graft.sources.HfDatasetReader.read(spark2, dir)
     assert(back.schema.fieldNames.toSeq == Seq("id", "text", "flag", "score"))
     val rows = back.collect().map(r => r.getLong(0) ->
