@@ -516,6 +516,52 @@ object SparkEntry {
           floor(col("norm_n_chars") * 1000000).cast("long").as("q_chars"))
         .orderBy("doc_id")
     }),
+    "syntactic_complexity" -> ((s, dir) => {
+      // Dependency-parse syntactic complexity (cdf_gc dep_ent /
+      // avg_dep_height / avg_dep_dis) along BOTH paths:
+      //  - parse path: planted en texts through the offline parser seam +
+      //    the exact calculator ('\n' is a zh EOS punct, so v2 is two
+      //    sentences); the parser's chain trees pin entropy + height,
+      //  - structure path: planted parsed trees (star/mixed) pin the
+      //    distance arithmetic the chain trees can't (all-unit edges).
+      // Entropy constants verified by an independent Python log2 replay
+      // during construction; all metrics ×1e6 rint for a float-free hash.
+      import SyntacticComplexity.ParsedSentence
+      val texts = plantedVariants(Seq(
+        "the dog walked home",                 // verb root: ATT SBV HED VOB
+        "red apple tree",                      // no verb: root 0 chain
+        "the dog walked home\nred apple tree", // two sentences pooled
+        "is"))                                 // single-word: all guards
+      val trees = element_at(typedlit(Seq(
+        Seq(ParsedSentence(Seq("a", "b", "c", "d"), Seq("HED", "A", "A", "A"),
+          Seq(-1, 0, 0, 0))),                  // star4: dis (1+2+3)/3 = 2
+        Seq(ParsedSentence(Seq("a", "b", "c"), Seq("HED", "X", "Y"), Seq(-1, 0, 1)),
+          ParsedSentence(Seq("a", "b", "c"), Seq("HED", "X", "X"), Seq(-1, 0, 0))),
+        Seq(ParsedSentence(Seq("a"), Seq("HED"), Seq(-1)),
+          ParsedSentence(Seq("a", "b"), Seq("HED", "M"), Seq(-1, 0))))),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val q = udf { (r: (Double, Double, Double)) =>
+        (math.rint(r._1 * 1e6).toLong, math.rint(r._2 * 1e6).toLong,
+          math.rint(r._3 * 1e6).toLong) }
+      val parsed = SyntacticComplexity.parse(
+        documents(s, dir).withColumn("__t", texts).withColumn("__trees", trees),
+        "__t", new HeuristicDependencyParser("en", 128))(s)
+      SyntacticComplexity.annotate(
+          SyntacticComplexity.annotate(parsed)
+            .withColumnRenamed("dep_ent", "e1")
+            .withColumnRenamed("avg_dep_height", "h1")
+            .withColumnRenamed("avg_dep_dis", "d1"),
+          "__trees")
+        .select(col("doc_id"),
+          q(struct(col("e1"), col("h1"), col("d1"))).as("p"),
+          q(struct(col("dep_ent"), col("avg_dep_height"), col("avg_dep_dis"))).as("t"))
+        .select(col("doc_id"),
+          col("p._1").as("q_dep_ent"), col("p._2").as("q_dep_height"),
+          col("p._3").as("q_dep_dis"),
+          col("t._1").as("q_tree_ent"), col("t._2").as("q_tree_height"),
+          col("t._3").as("q_tree_dis"))
+        .orderBy("doc_id")
+    }),
     "sentence_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       SentenceDedup(documents(s, dir), "doc_id", "text")
@@ -1298,6 +1344,19 @@ SELECT doc_id,
   CAST(floor(CASE WHEN d1 = d0 THEN 0.0 ELSE (n_distinct - d0) / CAST(d1 - d0 AS DOUBLE) END * 1000000) AS BIGINT) AS q_distinct,
   CAST(floor(CASE WHEN c1 = c0 THEN 0.0 ELSE (n_chars - c0) / CAST(c1 - c0 AS DOUBLE) END * 1000000) AS BIGINT) AS q_chars
 FROM w, mm ORDER BY doc_id""",
+    "syntactic_complexity" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 2000000 WHEN 1 THEN 1584963
+    WHEN 2 THEN 1950212 ELSE 0 END AS q_dep_ent,
+  CASE CAST(doc_id % 4 AS INT) WHEN 3 THEN 0 ELSE 2000000 END AS q_dep_height,
+  CASE CAST(doc_id % 4 AS INT) WHEN 3 THEN 0 ELSE 1000000 END AS q_dep_dis,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 811278 WHEN 1 THEN 1459148
+    ELSE 918296 END AS q_tree_ent,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1000000 WHEN 1 THEN 1500000
+    ELSE 500000 END AS q_tree_height,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2000000 WHEN 1 THEN 1250000
+    ELSE 1000000 END AS q_tree_dis
+FROM documents ORDER BY doc_id""",
     "top2gram" ->
       """WITH w AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS words FROM documents

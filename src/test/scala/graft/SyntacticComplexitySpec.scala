@@ -1,0 +1,175 @@
+package graft
+
+import graft.operators.{HeuristicDependencyParser, SyntacticComplexity => SC}
+import graft.operators.SyntacticComplexity.ParsedSentence
+
+class SyntacticComplexitySpec extends SparkSpec {
+
+  // --- split_into_sentences (dependency_parser.py:5-24 exact port) ---
+
+  test("splitter: punctuation cuts, split char ends its sentence") {
+    assert(SC.splitIntoSentences("abc。def！gh", 128, SC.ZhEosPuncts) ==
+      Seq("abc。", "def！", "gh"))
+  }
+
+  test("splitter: max-length cut at i-start+1 >= maxLength (reference quirk)") {
+    assert(SC.splitIntoSentences("abcdefg", 3, "") == Seq("abc", "def", "g"))
+  }
+
+  test("splitter: letterless pieces dropped, survivors stripped") {
+    assert(SC.splitIntoSentences("123。abc", 128, SC.ZhEosPuncts) == Seq("abc"))
+    assert(SC.splitIntoSentences("  hi。 x", 128, SC.ZhEosPuncts) ==
+      Seq("hi。", "x"))
+    assert(SC.splitIntoSentences("", 128, SC.ZhEosPuncts).isEmpty)
+    assert(SC.splitIntoSentences(null, 128, SC.ZhEosPuncts).isEmpty)
+  }
+
+  test("splitter: newline and tab are zh EOS punctuation") {
+    assert(SC.splitIntoSentences("ab\ncd\tef", 128, SC.ZhEosPuncts) ==
+      Seq("ab", "cd", "ef"))
+  }
+
+  // --- calc_tree_height (gc_calculator.py:123-135) ---
+
+  test("treeHeight: chain, star, mixed, empty") {
+    assert(SC.treeHeight(Array(-1, 0, 1, 2)) == 3)
+    assert(SC.treeHeight(Array(-1, 0, 0, 0)) == 1)
+    assert(SC.treeHeight(Array(-1)) == 0)
+    assert(SC.treeHeight(Array.empty[Int]) == 0)
+    // two branches: 0 <- 1 <- 2 and 0 <- 3
+    assert(SC.treeHeight(Array(-1, 0, 1, 0)) == 2)
+  }
+
+  test("treeHeight: memoized walk matches naive recursion on random trees") {
+    val rnd = new scala.util.Random(42)
+    def naive(parents: Array[Int], i: Int): Int =
+      if (parents(i) == -1) 0 else naive(parents, parents(i)) + 1
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(60)
+      // random valid tree: parent of i is some j < i (node 0 is root)
+      val parents = Array.tabulate(n)(i => if (i == 0) -1 else rnd.nextInt(i))
+      val expect = (0 until n).map(naive(parents, _)).max
+      assert(SC.treeHeight(parents) == expect)
+    }
+  }
+
+  test("treeHeight: cycle/out-of-range parents terminate (malformed guard)") {
+    assert(SC.treeHeight(Array(1, 0)) >= 0)     // 2-cycle
+    assert(SC.treeHeight(Array(5, -1)) >= 0)    // out of range
+  }
+
+  // --- calculator arithmetic (gc_calculator.py:152-184) ---
+
+  private def s(labels: Seq[String], parents: Seq[Int]) =
+    ParsedSentence(parents.indices.map(i => s"w$i"), labels, parents)
+
+  test("compute: chain-of-4 fixture (hand-derived)") {
+    val r = SC.compute(Seq(s(Seq("HED", "A", "B", "C"), Seq(-1, 0, 1, 2))))
+    assert(r.depEnt == 2.0)          // 4 singleton labels
+    assert(r.avgDepHeight == 3.0)
+    assert(r.avgDepDis == 1.0)       // 3 unit edges / 3
+  }
+
+  test("compute: star-of-4 fixture") {
+    val r = SC.compute(Seq(s(Seq("HED", "A", "A", "A"), Seq(-1, 0, 0, 0))))
+    assert(math.abs(r.depEnt - 0.8112781244591328) < 1e-12) // {1,3}/4
+    assert(r.avgDepHeight == 1.0)
+    assert(r.avgDepDis == 2.0)       // (1+2+3)/3
+  }
+
+  test("compute: metrics pool across sentences exactly as the reference") {
+    val r = SC.compute(Seq(
+      s(Seq("HED", "X", "Y"), Seq(-1, 0, 1)),   // chain3: h=2, edges 2, dist 2
+      s(Seq("HED", "X", "X"), Seq(-1, 0, 0))))  // star3:  h=1, edges 2, dist 3
+    assert(math.abs(r.depEnt - 1.4591479170272448) < 1e-12) // {2,3,1}/6
+    assert(r.avgDepHeight == 1.5)
+    assert(r.avgDepDis == 1.25)      // 5/4
+  }
+
+  test("compute: single-word sentence contributes 0 edges (reference arithmetic)") {
+    val r = SC.compute(Seq(
+      s(Seq("HED"), Seq(-1)),
+      s(Seq("HED", "M"), Seq(-1, 0))))
+    assert(math.abs(r.depEnt - 0.9182958340544896) < 1e-12) // {2,1}/3
+    assert(r.avgDepHeight == 0.5)
+    assert(r.avgDepDis == 1.0)       // 1 edge total
+  }
+
+  test("compute: zero sentences / zero edges take the 0.0 guard (reference would ZeroDivisionError)") {
+    assert(SC.compute(Nil) == SC.SynComplexity(0.0, 0.0, 0.0))
+    val r = SC.compute(Seq(s(Seq("HED"), Seq(-1))))
+    assert(r.avgDepDis == 0.0 && r.avgDepHeight == 0.0 && r.depEnt == 0.0)
+  }
+
+  // --- heuristic parser stand-in: valid trees, deterministic shape ---
+
+  test("heuristic parser: root at first verb, valid single-rooted tree") {
+    val p = new HeuristicDependencyParser(lang = "en")
+    val out = p.predict("the dog walked home")
+    assert(out.length == 1)
+    val ps = out.head
+    assert(ps.words sameElements Array("the", "dog", "walked", "home"))
+    assert(ps.parents == Seq(1, 2, -1, 2))
+    assert(ps.depLabels == Seq("ATT", "SBV", "HED", "VOB"))
+    // exactly one root, all parents in range, heights computable
+    assert(ps.parents.count(_ == -1) == 1)
+    assert(SC.treeHeight(ps.parents.toArray) == 2)
+  }
+
+  test("heuristic parser: no verb -> root at word 0; empty text -> no sentences") {
+    val p = new HeuristicDependencyParser(lang = "en")
+    val out = p.predict("red apple tree")
+    assert(out.head.parents == Seq(-1, 0, 1))
+    assert(p.predict("").isEmpty)
+    assert(p.predict("。。！").isEmpty)
+  }
+
+  test("heuristic parser: zh sentences split on zh EOS puncts and segment via ZhSegmenter") {
+    val p = new HeuristicDependencyParser(lang = "zh")
+    val out = p.predict("我们喜欢学习。他们也是。")
+    assert(out.length == 2)
+    for (ps <- out) {
+      assert(ps.words.nonEmpty)
+      assert(ps.parents.count(_ == -1) == 1)
+      assert(ps.parents.zipWithIndex.forall { case (par, i) =>
+        par == -1 || (par >= 0 && par < ps.words.length && par != i) })
+    }
+  }
+
+  // --- Spark column path: parse -> annotate -> GcOps composition ---
+
+  test("parse + annotate attach dep_ent/avg_dep_height/avg_dep_dis columns") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "the dog walked home. the cat is quick."),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val parsed = SC.parse(df, "text", new HeuristicDependencyParser("en", 128))
+    val out = SC.annotate(parsed).select("doc_id", "dep_ent", "avg_dep_height", "avg_dep_dis")
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // empty/null docs take the zero guards
+    assert(rows(2L) == ((0.0, 0.0, 0.0)))
+    assert(rows(3L) == ((0.0, 0.0, 0.0)))
+    // '.' is not a zh EOS punct: en text with 128-char max stays one sentence;
+    // what matters here is the plumbing — nonzero metrics on real text
+    val (ent, h, d) = rows(1L)
+    assert(ent > 0.0 && h > 0.0 && d > 0.0)
+  }
+
+  test("syntactic metrics compose with GcOps.normalize") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "the dog walked home and the bird is flying quickly today"),
+      (2L, "red apple"),
+      (3L, "walked walked walked walked walked")).toDF("doc_id", "text")
+    val ann = SC.annotate(SC.parse(df, "text", new HeuristicDependencyParser("en", 128)))
+    val norm = graft.operators.GcOps.normalize(ann,
+      Seq("dep_ent", "avg_dep_height", "avg_dep_dis"))
+    val cols = norm.columns.toSet
+    assert(Set("norm_dep_ent", "norm_avg_dep_height", "norm_avg_dep_dis").subsetOf(cols))
+    val vals = norm.select("norm_avg_dep_height").collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
