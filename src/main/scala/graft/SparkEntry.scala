@@ -562,6 +562,41 @@ object SparkEntry {
           col("t._3").as("q_tree_dis"))
         .orderBy("doc_id")
     }),
+    "inference_runner" -> ((s, dir) => {
+      // the inference harness end-to-end (chunked checkpoints, bounded
+      // concurrency, per-doc error capture) with the deterministic stub
+      // client, so the distributed plumbing itself is driver-verified:
+      // stub output = "echo:" + prompt.take(64) + ":" + length, mirrored
+      // in SQL over ASCII-only prompts (UTF-16 take == codepoint substr).
+      // A fresh checkpoint dir per run keeps replay state out of the
+      // correctness surface (resume semantics are unit-tested).
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_infer_oracle").toString
+      val prompts = documents(s, dir).select(
+        col("doc_id").cast("string").as("id"),
+        concat(lit("summarize doc "), col("doc_id"),
+          lit(" words "), col("n_chars")).as("prompt"))
+      InferenceRunner.run(prompts, "id", "prompt",
+          new StubInferenceClient, ckpt,
+          InferenceRunnerConfig(recordsPerChunk = 200, maxConcurrent = 4))
+        .select(col("id").cast("long").as("doc_id"),
+          col("inference_output"), col("inference_error"))
+        .orderBy("doc_id")
+    }),
+    "hf_dataset_roundtrip" -> ((s, dir) => {
+      // save_to_disk-compatible writer -> reader round trip (Arrow shards +
+      // dataset_info/state.json) over the real corpus: the oracle is the
+      // identity projection, so any shard/schema/value corruption in either
+      // direction hash-mismatches. int64/int32/string columns cover the
+      // vector types the corpus shapes use.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_hf_oracle").toString
+      val df = documents(s, dir).select(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"),
+        (col("doc_id") % 7).cast("int").as("bucket"))
+      graft.sources.HfDatasetWriter.write(df.repartition(4), out)
+      graft.sources.HfDatasetReader.read(s, out).orderBy("doc_id")
+    }),
     "sentence_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       SentenceDedup(documents(s, dir), "doc_id", "text")
@@ -1356,6 +1391,20 @@ FROM w, mm ORDER BY doc_id""",
     ELSE 500000 END AS q_tree_height,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2000000 WHEN 1 THEN 1250000
     ELSE 1000000 END AS q_tree_dis
+FROM documents ORDER BY doc_id""",
+    "inference_runner" ->
+      """WITH p AS (
+  SELECT doc_id,
+    'summarize doc ' || doc_id || ' words ' || n_chars AS prompt
+  FROM documents
+)
+SELECT doc_id,
+  'echo:' || substr(prompt, 1, 64) || ':' || length(prompt) AS inference_output,
+  '' AS inference_error
+FROM p ORDER BY doc_id""",
+    "hf_dataset_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+  CAST(doc_id % 7 AS INT) AS bucket
 FROM documents ORDER BY doc_id""",
     "top2gram" ->
       """WITH w AS (
