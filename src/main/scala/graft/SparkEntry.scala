@@ -84,6 +84,32 @@ object SparkEntry {
   private def plantedVariants(vs: Seq[String]): Column =
     element_at(typedlit(vs), (col("doc_id") % vs.length + 1).cast("int"))
 
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+
+  /** Per-process scratch root for oracles that materialize side artifacts
+    * (Arrow shards, inference checkpoints): deleted on JVM exit, and each
+    * [[scratchDir]] is wiped per call — repeated verify/bench rounds never
+    * accumulate corpus-sized /tmp copies (only a kill -9 leaves at most
+    * one process dir behind). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_oracle_scratch", ProcessHandle.current().pid().toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
+    p
+  }
+
+  /** A wiped-fresh scratch subdirectory for one oracle query. */
+  private def scratchDir(name: String): String = {
+    val d = scratchRoot.resolve(name)
+    deleteRec(d)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   /** Unique letter-only filler words for the n-gram planted texts. */
   private def repFiller(n: Int, start: Int, suffix: String = "x"): Seq[String] =
     (0 until n).map { j =>
@@ -568,10 +594,9 @@ object SparkEntry {
       // client, so the distributed plumbing itself is driver-verified:
       // stub output = "echo:" + prompt.take(64) + ":" + length, mirrored
       // in SQL over ASCII-only prompts (UTF-16 take == codepoint substr).
-      // A fresh checkpoint dir per run keeps replay state out of the
+      // A wiped-fresh checkpoint dir per run keeps replay state out of the
       // correctness surface (resume semantics are unit-tested).
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_infer_oracle").toString
+      val ckpt = scratchDir("inference_runner")
       val prompts = documents(s, dir).select(
         col("doc_id").cast("string").as("id"),
         concat(lit("summarize doc "), col("doc_id"),
@@ -589,8 +614,7 @@ object SparkEntry {
       // identity projection, so any shard/schema/value corruption in either
       // direction hash-mismatches. int64/int32/string columns cover the
       // vector types the corpus shapes use.
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_hf_oracle").toString
+      val out = scratchDir("hf_dataset_roundtrip")
       val df = documents(s, dir).select(col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"),
         (col("doc_id") % 7).cast("int").as("bucket"))

@@ -40,28 +40,44 @@ object SyntacticComplexity {
     * punctuation mark is hit or the running piece reaches maxLength; keep
     * only pieces bearing a letter; strip each. Exact port including the
     * `i - start + 1 >= max_length` split-before-advance quirk (a split
-    * char lands at the END of its sentence). Letter test is
-    * Character.isLetter vs Python str.isalpha — identical on ASCII + CJK;
-    * exotic category edges documented as a divergence. */
+    * char lands at the END of its sentence). Python iterates CODE POINTS,
+    * so this walks code points too: max-length cuts never land inside a
+    * surrogate pair, and the letter test sees supplementary-plane letters
+    * (CJK Extension B+) the way str.isalpha does. */
   def splitIntoSentences(text: String, maxLength: Int,
                          punctuations: String): Seq[String] = {
     if (text == null || text.isEmpty) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val punct = punctuations.toSet
+    def hasLetter(s: String): Boolean = {
+      var k = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        if (Character.isLetter(cp)) return true
+        k += Character.charCount(cp)
+      }
+      false
+    }
     var start = 0
     var i = 0
+    var cpLen = 0 // code points in the running piece, = Python's i-start+1
     val n = text.length
     while (i < n) {
-      if (punct.contains(text.charAt(i)) || i - start + 1 >= maxLength) {
-        val s = text.substring(start, i + 1)
-        if (s.exists(Character.isLetter)) out += graft.text.PyText.pyStrip(s)
-        start = i + 1
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      cpLen += 1
+      // the punctuation sets in play are BMP chars
+      if ((w == 1 && punct.contains(text.charAt(i))) || cpLen >= maxLength) {
+        val s = text.substring(start, i + w)
+        if (hasLetter(s)) out += graft.text.PyText.pyStrip(s)
+        start = i + w
+        cpLen = 0
       }
-      i += 1
+      i += w
     }
     if (start < n) {
       val s = text.substring(start)
-      if (s.exists(Character.isLetter)) out += graft.text.PyText.pyStrip(s)
+      if (hasLetter(s)) out += graft.text.PyText.pyStrip(s)
     }
     out.toSeq
   }
@@ -125,7 +141,12 @@ object SyntacticComplexity {
     for (s <- sentences) {
       val parents = s.parents.toArray
       treeCnt += 1
-      totalEdges += parents.length - 1
+      // len−1 exactly as the reference — except an EMPTY sentence, where
+      // the reference's arithmetic would subtract an edge (len([])−1 = −1)
+      // right before calc_tree_height crashes on it; a seam-injected empty
+      // sentence here contributes 0 edges and height 0 instead of skewing
+      // the denominator (crash-edge divergence, like the 0.0 guards)
+      totalEdges += math.max(0, parents.length - 1)
       totalHeight += treeHeight(parents)
       var i = 0
       while (i < parents.length) {

@@ -29,6 +29,16 @@ class SyntacticComplexitySpec extends SparkSpec {
       Seq("ab", "cd", "ef"))
   }
 
+  test("splitter: supplementary-plane letters count as letters and never split mid-pair") {
+    val ext = new String(Character.toChars(0x20000)) // CJK Extension B
+    // str.isalpha is true for U+20000: the piece survives the letter filter
+    assert(SC.splitIntoSentences(ext + ext + "。", 128, SC.ZhEosPuncts) ==
+      Seq(ext + ext + "。"))
+    // max-length counts CODE POINTS (Python semantics): 3 supplementary
+    // chars at maxLength=2 cut after the 2nd pair, not inside one
+    assert(SC.splitIntoSentences(ext * 3, 2, "") == Seq(ext * 2, ext))
+  }
+
   // --- calc_tree_height (gc_calculator.py:123-135) ---
 
   test("treeHeight: chain, star, mixed, empty") {
@@ -99,6 +109,14 @@ class SyntacticComplexitySpec extends SparkSpec {
     assert(SC.compute(Nil) == SC.SynComplexity(0.0, 0.0, 0.0))
     val r = SC.compute(Seq(s(Seq("HED"), Seq(-1))))
     assert(r.avgDepDis == 0.0 && r.avgDepHeight == 0.0 && r.depEnt == 0.0)
+  }
+
+  test("compute: a seam-injected empty sentence contributes 0 edges, not -1") {
+    val r = SC.compute(Seq(
+      ParsedSentence(Nil, Nil, Nil),
+      s(Seq("HED", "X", "Y"), Seq(-1, 0, 1))))
+    assert(r.avgDepDis == 1.0)    // 2 edges, not (−1 + 2) = 1
+    assert(r.avgDepHeight == 1.0) // (0 + 2) / 2, empty tree scored 0
   }
 
   // --- heuristic parser stand-in: valid trees, deterministic shape ---
