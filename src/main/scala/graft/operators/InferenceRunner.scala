@@ -95,7 +95,12 @@ object InferenceRunner {
         // regardless of partition size (the reference harness targets
         // millions of docs per rank; chunking exists for exactly this)
         val pending = it.filterNot { case (id, _) => done.contains(id) }
+        // per-rank telemetry (≙ run_inference.py:390,466-500): lifetime +
+        // recent rates and queue gauges, logged once per chunk commit
+        val metrics = new MetricsKeeper()
+        val queues = new QueueSizesKeeper()
         val freshIt: Iterator[Result] = pending.grouped(rpc).flatMap { group =>
+          queues.changeQueues(Map("waiting_requests" -> group.size.toLong))
           // a small pool per chunk (negligible next to model-call latency)
           // avoids holding a pool open across lazy iterator consumption
           val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
@@ -129,6 +134,16 @@ object InferenceRunner {
             new java.io.File(rankDir, f"chunk_$nextChunk%05d.done").toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           nextChunk += 1
+          // the client returns no token usage (that's HTTP-response shape);
+          // docs + output chars are the honest equivalents of the
+          // reference's tokens_input/tokens_output counters
+          metrics.addMetrics(
+            "docs_completed" -> results.count(_.error.isEmpty).toLong,
+            "docs_errored" -> results.count(_.error.nonEmpty).toLong,
+            "chars_output" -> results.map(_.output.length.toLong).sum)
+          queues.changeQueues(Map("waiting_requests" -> -group.size.toLong))
+          Console.err.println(
+            s"[graft.InferenceRunner rank=$pid chunk=${nextChunk - 1}]\n$metrics")
           results
         }
 
