@@ -8,9 +8,10 @@ import graft.text.Tokenizer
 /** DocumentTokenizer (tokens/tokenizer.py:23-475): tokenize documents into
   * flat binary token files for training — `.ds` of little-endian uint16
   * (uint32 when the vocab exceeds 64k) token ids plus a `.ds.index` of
-  * little-endian uint64 end-offsets per document, one file pair per
-  * partition (≙ the reference's per-rank files), with an optional seeded
-  * document shuffle (tokens/tokenizer.py in-file shuffle ≙ orderBy(rand)).
+  * little-endian uint64 end-offsets per document IN TOKENS (not bytes —
+  * tokenizer.py:101-119 advances write_idx by len(tk_bytes)//token_size),
+  * one file pair per partition (≙ the reference's per-rank files), with an
+  * optional seeded document shuffle (in-file shuffle ≙ orderBy(rand)).
   *
   * The reference encodes with a HuggingFace BPE tokenizer; offline we
   * encode with a hash-bucketed word-vocab (`encode` seam) — the binary
@@ -85,7 +86,7 @@ object DocTokenizer {
             else { ds.writeByte(ids(i) & 0xff); ds.writeByte((ids(i) >> 8) & 0xff) }
             i += 1
           }
-          offset += ids.length.toLong * (if (wide) 4 else 2)
+          offset += ids.length.toLong // token units, the reference's format
           idx.writeLong(java.lang.Long.reverseBytes(offset))
           docs += 1
           tokens += ids.length
@@ -104,7 +105,7 @@ object DocTokenizer {
     val ends = Array.fill(idxBytes.length / 8)(ib.getLong)
     var start = 0L
     ends.map { end =>
-      val n = ((end - start) / (if (wide) 4 else 2)).toInt
+      val n = (end - start).toInt // index entries are token offsets
       val doc = Array.fill(n)(if (wide) bb.getInt else (bb.getShort & 0xffff))
       start = end
       doc

@@ -48,7 +48,7 @@ object TokenArtifacts {
         if (wide) ds.writeInt(Integer.reverseBytes(t))
         else { ds.writeByte(t & 0xff); ds.writeByte((t >> 8) & 0xff) }
       }
-      offset += doc.length.toLong * (if (wide) 4 else 2)
+      offset += doc.length.toLong // token units, matching DocTokenizer
       idx.writeLong(java.lang.Long.reverseBytes(offset))
       tokensInFile += doc.length
     }
