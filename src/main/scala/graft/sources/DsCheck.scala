@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Dataset validation — tools/check_dataset.py: every `.ds` has its
+  * `.ds.index`, the last doc end times token size equals the file size
+  * (the "dataset should be exhausted" assert), every document's final
+  * token is EOS (or a chunk boundary when chunkSize is set), and a
+  * `.ds.loss` sidecar (one byte per token) matches the token count.
+  * This is exactly the check that distinguishes token-offset indexes from
+  * byte-offset ones — a corrupted or wrong-unit index fails loudly here.
+  *
+  * Spark-first: one task per file (the reference loops files on one
+  * process); per doc only the final token is read via positioned reads,
+  * so a shard validates in O(docs) small reads, not a full scan. */
+object DsCheck {
+
+  final case class FileReport(path: String, docs: Long, tokens: Long)
+
+  /** Validate all `.ds` files under `dir`; throws IllegalStateException
+    * with the failing file/doc on the first violation. */
+  def check(spark: SparkSession, dir: String, eosTokenId: Int = 0,
+            tokenSize: Int = 2, chunkSize: Option[Long] = None): Seq[FileReport] = {
+    require(tokenSize == 2 || tokenSize == 4, "tokenSize must be 2 or 4")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    val all = fs.listStatus(dirPath).map(_.getPath.getName).toSet
+    val dsFiles = all.filter(n => n.endsWith(".ds")).toSeq.sorted
+    val idxFiles = all.filter(_.endsWith(".ds.index"))
+    require(dsFiles.nonEmpty, s"no .ds files under $dir")
+    // file-count pairing check (check_dataset.py:80-83)
+    val missing = dsFiles.filterNot(n => idxFiles.contains(n + ".index"))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(s"missing .index for: ${missing.mkString(", ")}")
+    val ts = tokenSize
+    val eos = eosTokenId
+    val cs = chunkSize
+    val d = dir
+    spark.sparkContext.parallelize(dsFiles, dsFiles.length).map { name =>
+      val fsys = new org.apache.hadoop.fs.Path(d).getFileSystem(hconf.value)
+      val dsPath = new org.apache.hadoop.fs.Path(d, name)
+      val dsLen = fsys.getFileStatus(dsPath).getLen
+      val idxPath = new org.apache.hadoop.fs.Path(d, name + ".index")
+      val idxBytes = new Array[Byte](fsys.getFileStatus(idxPath).getLen.toInt)
+      locally {
+        val is = fsys.open(idxPath)
+        try is.readFully(0, idxBytes) finally is.close()
+      }
+      val bb = java.nio.ByteBuffer.wrap(idxBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ends = Array.fill(idxBytes.length / 8)(bb.getLong)
+      var prev = 0L
+      for (e <- ends) {
+        if (e < prev) throw new IllegalStateException(
+          s"$name: doc ends not monotonic ($e after $prev)")
+        prev = e
+      }
+      val lastEnd = if (ends.isEmpty) 0L else ends.last
+      if (lastEnd * ts != dsLen) throw new IllegalStateException(
+        s"$name: index claims $lastEnd tokens (${lastEnd * ts} bytes) but file has " +
+          s"$dsLen bytes — wrong-unit or truncated index")
+      // optional .ds.loss: one byte per token (check_dataset.py:78-88)
+      val lossPath = new org.apache.hadoop.fs.Path(d, name + ".loss")
+      if (fsys.exists(lossPath) &&
+          fsys.getFileStatus(lossPath).getLen != lastEnd)
+        throw new IllegalStateException(
+          s"$name: .loss has ${fsys.getFileStatus(lossPath).getLen} bytes, expected $lastEnd")
+      val in = fsys.open(dsPath)
+      val tokBuf = new Array[Byte](ts)
+      try {
+        var start = 0L
+        var readCount = 0L
+        var doci = 0
+        for (end <- ends) {
+          readCount += end - start
+          if (end == start) throw new IllegalStateException(
+            s"$name: doc $doci is empty")
+          in.readFully((end - 1) * ts, tokBuf)
+          val lb = java.nio.ByteBuffer.wrap(tokBuf)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val last = if (ts == 2) lb.getShort & 0xffff else lb.getInt
+          val chunkBoundary = cs.exists(c => readCount % c == 0)
+          if (last != eos && !chunkBoundary) throw new IllegalStateException(
+            s"$name: no EOS at doc end of doc $doci (got $last)")
+          start = end
+          doci += 1
+        }
+      } finally in.close()
+      FileReport(dsPath.toString, ends.length.toLong, lastEnd)
+    }.collect().toSeq
+  }
+}
