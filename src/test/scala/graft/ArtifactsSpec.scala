@@ -63,11 +63,25 @@ class ArtifactsSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.position(9)
     assert(bb.getLong == 1L) // version
-    assert(bb.get() == 8) // uint16 dtype
+    assert(bb.get() == 8) // uint16 dtype (Megatron numpy code)
     assert(bb.getLong == 2L) // sizes count
-    assert(bb.getLong == 3L) // doc index count
+    assert(bb.getLong == 3L) // doc index count = docs + 1
+    // full body layout (megatron_tokenizer.py:72-105): int32 sizes in
+    // TOKENS, int64 BYTE pointers, int64 doc indices [0..docs]
+    val docs = graft.operators.DocTokenizer.readRank(s"$in/00000.ds", wide = false)
+    val sizes = Array.fill(2)(bb.getInt)
+    assert(sizes.toSeq == docs.map(_.length).toSeq)
+    val pointers = Array.fill(2)(bb.getLong)
+    assert(pointers.toSeq == Seq(0L, sizes(0).toLong * 2))
+    val docIdx = Array.fill(3)(bb.getLong)
+    assert(docIdx.toSeq == Seq(0L, 1L, 2L))
+    assert(!bb.hasRemaining) // nothing after the document indices
     val bin = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$in/mega.bin"))
-    assert(bin.length > 0 && bin.length % 2 == 0)
+    assert(bin.length == sizes.map(_.toLong).sum * 2)
+    // .bin token stream is the concatenated docs, little-endian uint16
+    val tb = java.nio.ByteBuffer.wrap(bin).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val toks = Array.fill(bin.length / 2)(tb.getShort & 0xffff)
+    assert(toks.toSeq == docs.flatten.toSeq)
   }
 
   test("hf save_to_disk dataset reader: state.json shard order + inferred schema") {
