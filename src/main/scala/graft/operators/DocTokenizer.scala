@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashes
 import graft.text.Tokenizer
@@ -23,7 +23,12 @@ final case class DocTokenizerConfig(
     seed: Long = 42L,
     /** When set, encode with a real (corpus-trained) BPE instead of the
       * hash-bucket stand-in — see graft.text.Bpe. */
-    bpe: Option[graft.text.Bpe.Model] = None)
+    bpe: Option[graft.text.Bpe.Model] = None,
+    /** Write `<rank>.ds.loss` masks (one byte per token, 0 = ignore the
+      * loss — tokenizer.py save_loss_metadata). Ranges come from
+      * `noLossRangesCol`; requires the word encoder (the BPE stand-in
+      * carries no char offsets for char_to_token). */
+    saveLoss: Boolean = false)
 
 object DocTokenizer {
 
@@ -42,11 +47,74 @@ object DocTokenizer {
     out
   }
 
-  /** Returns the written file pairs (dsPath, indexPath, docs, tokens). */
+  /** Token char spans: each words() token located at its verbatim position
+    * via a moving cursor (tokens are in-order, non-overlapping, whitespace-
+    * free substrings, so the first match at/after the cursor IS the token's
+    * position) — spans cannot diverge from the token stream. The trailing
+    * EOS has no span, like the HF post-processor's appended token. */
+  def wordSpans(text: String): Array[(Int, Int)] = {
+    val ws = Tokenizer.words(text)
+    val spans = new Array[(Int, Int)](ws.length)
+    var cur = 0
+    var i = 0
+    while (i < ws.length) {
+      val at = text.indexOf(ws(i), cur)
+      spans(i) = (at, at + ws(i).length)
+      cur = at + ws(i).length
+      i += 1
+    }
+    spans
+  }
+
+  /** char_to_token: index of the token whose span contains char c; None for
+    * whitespace / out-of-range (HF Encodings semantics). */
+  def charToToken(spans: Array[(Int, Int)], c: Int): Option[Int] = {
+    var lo = 0
+    var hi = spans.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (s, e) = spans(mid)
+      if (c < s) hi = mid - 1
+      else if (c >= e) lo = mid + 1
+      else return Some(mid)
+    }
+    None
+  }
+
+  /** get_loss_values (tokenizer.py:356-376): ones per token (incl. EOS),
+    * zeroed across each no-loss char range via char_to_token, with the
+    * reference's None-slicing quirks preserved — a start char in
+    * whitespace zeroes from token 0 (Python's [None:t_end]), and a range
+    * whose end maps to no token truncates the mask at its start (the
+    * caller then truncates the doc's tokens to match). */
+  def lossValues(nTokens: Int, spans: Array[(Int, Int)],
+                 noLoss: Seq[(Int, Int)]): Array[Byte] = {
+    var loss = Array.fill[Byte](nTokens)(1)
+    for ((start, end) <- noLoss) {
+      val tStart = charToToken(spans, start)
+      val tEnd = charToToken(spans, end)
+      val from = math.min(tStart.getOrElse(0), loss.length)
+      val until = math.min(tEnd.getOrElse(loss.length), loss.length)
+      var i = from
+      while (i < until) { loss(i) = 0; i += 1 }
+      // reference compares against the ORIGINAL id count, not the mask's
+      if (tEnd.isEmpty || tEnd.get >= nTokens)
+        loss = loss.take(math.min(tStart.getOrElse(loss.length), loss.length))
+    }
+    loss
+  }
+
+  /** Returns the written file pairs (dsPath, indexPath, docs, tokens).
+    * @param noLossRangesCol with cfg.saveLoss: an array<array<int>> column
+    *        of [startChar, endChar] spans to mask (≙ metadata
+    *        "no_loss_ranges") */
   def write(df: DataFrame, textCol: String, outDir: String,
-            cfg: DocTokenizerConfig = DocTokenizerConfig())
+            cfg: DocTokenizerConfig = DocTokenizerConfig(),
+            noLossRangesCol: Option[String] = None)
            (implicit spark: SparkSession): Seq[(String, Long, Long)] = {
     import spark.implicits._
+    require(!cfg.saveLoss || cfg.bpe.isEmpty,
+      "saveLoss needs the word encoder: the BPE stand-in carries no char offsets")
     // Write through the Hadoop FileSystem API against the configured
     // filesystem: on a real cluster a driver-side java.io mkdir + executor
     // FileOutputStream would land rank files on executor-local disks; this
@@ -63,10 +131,12 @@ object DocTokenizer {
       case Some(m) => t => graft.text.Bpe.encode(t, m)
       case None => t => encode(t, vs)
     }
-    val input =
-      if (cfg.shuffle) df.select(col(textCol)).orderBy(rand(cfg.seed))
-      else df.select(col(textCol))
-    input.as[String].rdd.mapPartitionsWithIndex { (rank, it) =>
+    val saveLoss = cfg.saveLoss
+    val rangesCol: Column = noLossRangesCol.map(col)
+      .getOrElse(typedlit(Seq.empty[Seq[Int]]))
+    val base = df.select(col(textCol).as("__t"), rangesCol.as("__r"))
+    val input = if (cfg.shuffle) base.orderBy(rand(cfg.seed)) else base
+    input.as[(String, Seq[Seq[Int]])].rdd.mapPartitionsWithIndex { (rank, it) =>
       val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf.value)
       val dsPath = f"$outDir/$rank%05d.ds"
       val idxPath = f"$outDir/$rank%05d.ds.index"
@@ -74,12 +144,24 @@ object DocTokenizer {
         fs.create(new org.apache.hadoop.fs.Path(dsPath), true), 1 << 20))
       val idx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         fs.create(new org.apache.hadoop.fs.Path(idxPath), true)))
+      val loss = if (saveLoss)
+        new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          fs.create(new org.apache.hadoop.fs.Path(dsPath + ".loss"), true), 1 << 20))
+      else null
       var offset = 0L
       var docs = 0L
       var tokens = 0L
       try {
-        for (text <- it) {
-          val ids = encodeFn(text)
+        for ((text, ranges) <- it) {
+          var ids = encodeFn(text)
+          if (saveLoss) {
+            val mask = lossValues(ids.length, wordSpans(text),
+              ranges.collect { case r if r.length >= 2 => (r(0), r(1)) })
+            // tokenizer.py:407-409: a mask truncated by an off-the-end
+            // range truncates the doc's tokens with it
+            if (mask.length < ids.length) ids = ids.take(mask.length)
+            loss.write(mask)
+          }
           var i = 0
           while (i < ids.length) {
             if (wide) ds.writeInt(Integer.reverseBytes(ids(i)))
@@ -91,7 +173,7 @@ object DocTokenizer {
           docs += 1
           tokens += ids.length
         }
-      } finally { ds.close(); idx.close() }
+      } finally { ds.close(); idx.close(); if (loss != null) loss.close() }
       Iterator((dsPath, docs, tokens))
     }.collect().toSeq
   }
