@@ -178,6 +178,24 @@ object DocTokenizer {
     }.collect().toSeq
   }
 
+  /** Per-doc loss masks of one rank file (1 byte per token, split on the
+    * same .index ends); None when no .loss sidecar exists. */
+  def readRankLoss(dsPath: String): Option[Array[Array[Byte]]] = {
+    val lossFile = java.nio.file.Paths.get(dsPath + ".loss")
+    if (!java.nio.file.Files.exists(lossFile)) return None
+    val bytes = java.nio.file.Files.readAllBytes(lossFile)
+    val idxBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dsPath + ".index"))
+    val ib = java.nio.ByteBuffer.wrap(idxBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ends = Array.fill(idxBytes.length / 8)(ib.getLong)
+    var start = 0L
+    Some(ends.map { end =>
+      val doc = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt)
+      start = end
+      doc
+    })
+  }
+
   /** Round-trip reader for one rank file (testing + the merger path). */
   def readRank(dsPath: String, wide: Boolean): Array[Array[Int]] = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dsPath))

@@ -9,13 +9,27 @@ package graft.operators
 object TokenArtifacts {
 
   /** DocumentTokenizerMerger: merge rank files into ≤ maxTokensPerFile
-    * outputs with an optional seeded document shuffle across ranks. */
+    * outputs with an optional seeded document shuffle across ranks.
+    * `.ds.loss` sidecars, when present on EVERY input rank, ride along in
+    * the same document order (≙ TokenizedFile.copy reordering the loss
+    * file with the tokens); a partial sidecar set fails loudly rather
+    * than silently dropping masks. */
   def merge(inDir: String, outDir: String, maxTokensPerFile: Long,
             wide: Boolean = false, shuffleSeed: Option[Long] = None): Seq[String] = {
     new java.io.File(outDir).mkdirs()
     val rankFiles = new java.io.File(inDir).listFiles()
       .filter(_.getName.endsWith(".ds")).map(_.getPath).sorted
-    var docs: Array[Array[Int]] = rankFiles.flatMap(p => DocTokenizer.readRank(p, wide))
+    val rankLoss = rankFiles.map(DocTokenizer.readRankLoss)
+    val withLoss = rankLoss.count(_.isDefined)
+    require(withLoss == 0 || withLoss == rankFiles.length,
+      s"only $withLoss of ${rankFiles.length} rank files have .loss sidecars")
+    val hasLoss = withLoss > 0
+    var docs: Array[(Array[Int], Array[Byte])] =
+      rankFiles.zip(rankLoss).flatMap { case (p, lossOpt) =>
+        val toks = DocTokenizer.readRank(p, wide)
+        val loss = lossOpt.getOrElse(Array.fill(toks.length)(null: Array[Byte]))
+        toks.zip(loss)
+      }
     shuffleSeed.foreach { seed =>
       val rng = new java.util.Random(seed)
       val arr = docs.toBuffer
@@ -30,17 +44,23 @@ object TokenArtifacts {
     var fileIdx = 0
     var ds: java.io.DataOutputStream = null
     var idx: java.io.DataOutputStream = null
+    var loss: java.io.DataOutputStream = null
     var offset = 0L
     var tokensInFile = 0L
     def openNext(): Unit = {
       val p = f"$outDir/$fileIdx%05d.ds"
       ds = new java.io.DataOutputStream(new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), 1 << 20))
       idx = new java.io.DataOutputStream(new java.io.FileOutputStream(p + ".index"))
+      loss = if (hasLoss)
+        new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(p + ".loss"), 1 << 20))
+      else null
       written += p; offset = 0L; tokensInFile = 0L; fileIdx += 1
     }
-    def closeCur(): Unit = { if (ds != null) { ds.close(); idx.close() } }
+    def closeCur(): Unit =
+      if (ds != null) { ds.close(); idx.close(); if (loss != null) loss.close() }
     openNext()
-    for (doc <- docs) {
+    for ((doc, mask) <- docs) {
       if (tokensInFile > 0 && tokensInFile + doc.length > maxTokensPerFile) {
         closeCur(); openNext()
       }
@@ -48,6 +68,7 @@ object TokenArtifacts {
         if (wide) ds.writeInt(Integer.reverseBytes(t))
         else { ds.writeByte(t & 0xff); ds.writeByte((t >> 8) & 0xff) }
       }
+      if (hasLoss) loss.write(mask)
       offset += doc.length.toLong // token units, matching DocTokenizer
       idx.writeLong(java.lang.Long.reverseBytes(offset))
       tokensInFile += doc.length

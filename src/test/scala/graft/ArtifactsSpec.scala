@@ -30,6 +30,26 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("merger: .loss sidecars ride the shuffle in document order") {
+    val in = java.nio.file.Files.createTempDirectory("mgl_in").toString
+    val out = java.nio.file.Files.createTempDirectory("mgl_out").toString
+    val df = (1 to 6).map(i => (s"prompt $i answer body", Seq(Seq(0, 7))))
+      .toDF("text", "ranges").repartition(2)
+    DocTokenizer.write(df, "text", in,
+      DocTokenizerConfig(shuffle = false, saveLoss = true),
+      noLossRangesCol = Some("ranges"))
+    TokenArtifacts.merge(in, out, 1000000, shuffleSeed = Some(3L))
+    val mergedDocs = DocTokenizer.readRank(s"$out/00000.ds", wide = false)
+    val mergedLoss = DocTokenizer.readRankLoss(s"$out/00000.ds").get
+    assert(mergedDocs.length == 6 && mergedLoss.length == 6)
+    // masks stay aligned: each doc's mask has its token count, "prompt"
+    // (token 0) masked, the rest (incl. EOS) kept
+    for ((doc, mask) <- mergedDocs.zip(mergedLoss)) {
+      assert(mask.length == doc.length)
+      assert(mask.head == 0 && mask.last == 1)
+    }
+  }
+
   test("merger: seeded cross-rank shuffle is deterministic") {
     val in = java.nio.file.Files.createTempDirectory("mgs_in").toString
     writeDs(in, (1 to 10).map(i => s"doc $i content"))
