@@ -34,8 +34,12 @@ object DocTokenizer {
 
   /** Hash-bucket word encoder standing in for a trained BPE (ids 0..V-1;
     * id 0 reserved as EOS/doc separator). */
-  def encode(text: String, vocabSize: Int): Array[Int] = {
-    val words = Tokenizer.words(text)
+  def encode(text: String, vocabSize: Int): Array[Int] =
+    encodeWords(Tokenizer.words(text), vocabSize)
+
+  /** encode() over pre-tokenized words — lets the loss path tokenize once
+    * for both ids and char spans. */
+  def encodeWords(words: Array[String], vocabSize: Int): Array[Int] = {
     val out = new Array[Int](words.length + 1)
     var i = 0
     while (i < words.length) {
@@ -47,13 +51,36 @@ object DocTokenizer {
     out
   }
 
+  /** Little-endian uint64 token-offset doc ends from raw `.index` bytes —
+    * the ONE parser for the index format (readers fetch bytes however
+    * their filesystem requires). */
+  def parseIndexEnds(idxBytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(idxBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(idxBytes.length / 8)(bb.getLong)
+  }
+
+  /** Seeded in-place Fisher-Yates used by every .ds shuffle path (merger,
+    * context shuffler, folder reader) — one implementation, one
+    * determinism contract. */
+  def seededShuffle[T](arr: scala.collection.mutable.Buffer[T], seed: Long): Unit = {
+    val rng = new java.util.Random(seed)
+    for (i <- arr.indices.reverse.dropRight(1)) {
+      val j = rng.nextInt(i + 1)
+      val t = arr(i); arr(i) = arr(j); arr(j) = t
+    }
+  }
+
   /** Token char spans: each words() token located at its verbatim position
     * via a moving cursor (tokens are in-order, non-overlapping, whitespace-
     * free substrings, so the first match at/after the cursor IS the token's
     * position) — spans cannot diverge from the token stream. The trailing
     * EOS has no span, like the HF post-processor's appended token. */
-  def wordSpans(text: String): Array[(Int, Int)] = {
-    val ws = Tokenizer.words(text)
+  def wordSpans(text: String): Array[(Int, Int)] =
+    wordSpansOf(text, Tokenizer.words(text))
+
+  /** wordSpans over pre-tokenized words (single-tokenization loss path). */
+  def wordSpansOf(text: String, ws: Array[String]): Array[(Int, Int)] = {
     val spans = new Array[(Int, Int)](ws.length)
     var cur = 0
     var i = 0
@@ -97,17 +124,20 @@ object DocTokenizer {
       val until = math.min(tEnd.getOrElse(loss.length), loss.length)
       var i = from
       while (i < until) { loss(i) = 0; i += 1 }
-      // reference compares against the ORIGINAL id count, not the mask's
-      if (tEnd.isEmpty || tEnd.get >= nTokens)
+      // the reference also truncates on t_end >= len(encoded.ids), but
+      // that arm is only reachable under HF max-length truncation (ids
+      // shorter than the span table) — here spans always cover exactly
+      // nTokens - 1 tokens, so a defined tEnd is in range by construction
+      if (tEnd.isEmpty)
         loss = loss.take(math.min(tStart.getOrElse(loss.length), loss.length))
     }
     loss
   }
 
-  /** Returns the written file pairs (dsPath, indexPath, docs, tokens).
+  /** Returns one (dsPath, docCount, tokenCount) per written rank file.
     * @param noLossRangesCol with cfg.saveLoss: an array<array<int>> column
     *        of [startChar, endChar] spans to mask (≙ metadata
-    *        "no_loss_ranges") */
+    *        "no_loss_ranges"); null values mean no masked ranges */
   def write(df: DataFrame, textCol: String, outDir: String,
             cfg: DocTokenizerConfig = DocTokenizerConfig(),
             noLossRangesCol: Option[String] = None)
@@ -153,15 +183,23 @@ object DocTokenizer {
       var tokens = 0L
       try {
         for ((text, ranges) <- it) {
-          var ids = encodeFn(text)
+          var ids: Array[Int] = null
           if (saveLoss) {
-            val mask = lossValues(ids.length, wordSpans(text),
-              ranges.collect { case r if r.length >= 2 => (r(0), r(1)) })
+            // tokenize ONCE for both ids and char spans (the CJK DAG+HMM
+            // segmentation is the hot cost; running it twice per doc
+            // would double the write CPU)
+            val ws = Tokenizer.words(text)
+            ids = encodeWords(ws, vs)
+            // a SQL NULL ranges cell (docs without masks in a nullable
+            // metadata column) means "no ranges", not a task NPE
+            val safe = Option(ranges).getOrElse(Nil)
+              .collect { case r if r != null && r.length >= 2 => (r(0), r(1)) }
+            val mask = lossValues(ids.length, wordSpansOf(text, ws), safe)
             // tokenizer.py:407-409: a mask truncated by an off-the-end
             // range truncates the doc's tokens with it
             if (mask.length < ids.length) ids = ids.take(mask.length)
             loss.write(mask)
-          }
+          } else ids = encodeFn(text)
           var i = 0
           while (i < ids.length) {
             if (wide) ds.writeInt(Integer.reverseBytes(ids(i)))
@@ -184,10 +222,8 @@ object DocTokenizer {
     val lossFile = java.nio.file.Paths.get(dsPath + ".loss")
     if (!java.nio.file.Files.exists(lossFile)) return None
     val bytes = java.nio.file.Files.readAllBytes(lossFile)
-    val idxBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dsPath + ".index"))
-    val ib = java.nio.ByteBuffer.wrap(idxBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ends = Array.fill(idxBytes.length / 8)(ib.getLong)
+    val ends = parseIndexEnds(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dsPath + ".index")))
     var start = 0L
     Some(ends.map { end =>
       val doc = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt)
@@ -199,10 +235,9 @@ object DocTokenizer {
   /** Round-trip reader for one rank file (testing + the merger path). */
   def readRank(dsPath: String, wide: Boolean): Array[Array[Int]] = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dsPath))
-    val idxBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dsPath + ".index"))
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ib = java.nio.ByteBuffer.wrap(idxBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ends = Array.fill(idxBytes.length / 8)(ib.getLong)
+    val ends = parseIndexEnds(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dsPath + ".index")))
     var start = 0L
     ends.map { end =>
       val n = (end - start).toInt // index entries are token offsets

@@ -31,13 +31,8 @@ object TokenArtifacts {
         toks.zip(loss)
       }
     shuffleSeed.foreach { seed =>
-      val rng = new java.util.Random(seed)
       val arr = docs.toBuffer
-      // Fisher-Yates
-      for (i <- arr.indices.reverse.dropRight(1)) {
-        val j = rng.nextInt(i + 1)
-        val t = arr(i); arr(i) = arr(j); arr(j) = t
-      }
+      DocTokenizer.seededShuffle(arr, seed)
       docs = arr.toArray
     }
     val written = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -86,11 +81,7 @@ object TokenArtifacts {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dsPath))
     val nWindows = bytes.length / (windowTokens * bytesPerTok)
     val order = scala.collection.mutable.ArrayBuffer.range(0, nWindows)
-    val rng = new java.util.Random(seed)
-    for (i <- order.indices.reverse.dropRight(1)) {
-      val j = rng.nextInt(i + 1)
-      val t = order(i); order(i) = order(j); order(j) = t
-    }
+    DocTokenizer.seededShuffle(order, seed)
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath), 1 << 20)
     try {
       val win = windowTokens * bytesPerTok

@@ -43,12 +43,8 @@ object DsDataset {
       .map(s => (s.getPath.toString, s.getLen))
     require(files.nonEmpty, s"no $filenameSuffix files under $dir")
     if (shuffleFiles) {
-      val rng = new java.util.Random(seed)
       val arr = files.toBuffer
-      for (i <- arr.indices.reverse.dropRight(1)) {
-        val j = rng.nextInt(i + 1)
-        val t = arr(i); arr(i) = arr(j); arr(j) = t
-      }
+      graft.operators.DocTokenizer.seededShuffle(arr, seed)
       files = arr.toSeq
     }
     val win = seqLen + 1
@@ -68,6 +64,12 @@ object DsDataset {
       var curFile = -1
       var in: org.apache.hadoop.fs.FSDataInputStream = null
       var ends: Array[Long] = null // token-offset doc ends of curFile
+      // the lazily-consumed iterator has no natural close point: an
+      // exhausted OR abandoned task (limit(), downstream failure) must
+      // still release the last open stream, or every task pins a
+      // connection on s3a/HDFS
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => if (in != null) in.close()))
       def open(fi: Int): Unit = {
         if (in != null) in.close()
         val (p, _, _) = metaArr(fi)
@@ -81,9 +83,7 @@ object DsDataset {
             val buf = new Array[Byte](st.getLen.toInt)
             val is = fsys.open(ip)
             try is.readFully(0, buf) finally is.close()
-            val bb = java.nio.ByteBuffer.wrap(buf)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            Array.fill(buf.length / 8)(bb.getLong)
+            graft.operators.DocTokenizer.parseIndexEnds(buf)
           } else null
         curFile = fi
       }

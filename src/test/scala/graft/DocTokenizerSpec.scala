@@ -95,6 +95,26 @@ class DocTokenizerSpec extends SparkSpec {
     assert(reports.head.docs == 2)
   }
 
+  test("loss path: null ranges cells mean no masks; whole-doc range writes a zero-token doc DsCheck accepts") {
+    val dir = java.nio.file.Files.createTempDirectory("dsnull").toString
+    val df = Seq(
+      ("doc with a null cell", null.asInstanceOf[Seq[Seq[Int]]]),
+      ("fully masked doc", Seq(Seq(0, 1000))),
+      ("normal doc", Seq.empty[Seq[Int]]))
+      .toDF("text", "no_loss_ranges").coalesce(1)
+    DocTokenizer.write(df, "text", dir,
+      DocTokenizerConfig(shuffle = false, saveLoss = true),
+      noLossRangesCol = Some("no_loss_ranges"))
+    val docs = DocTokenizer.readRank(s"$dir/00000.ds", wide = false)
+    assert(docs.length == 3)
+    assert(docs(0).length == 6 && docs(1).isEmpty && docs(2).length == 3)
+    val loss = DocTokenizer.readRankLoss(s"$dir/00000.ds").get
+    assert(loss(0).forall(_ == 1) && loss(1).isEmpty && loss(2).forall(_ == 1))
+    // the validator accepts the zero-token doc the writer produced
+    val reports = graft.sources.DsCheck.check(spark, dir)
+    assert(reports.head.docs == 3)
+  }
+
   test("bpe-ish token count segments like the GPT-2 pre-tokenizer") {
     assert(Tokenizer.bpeishCount("hello world") == 2) // "hello", " world"
     assert(Tokenizer.bpeishCount("it's fine") == 3) // "it", "'s", " fine"
