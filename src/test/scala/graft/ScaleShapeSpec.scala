@@ -251,4 +251,16 @@ class ScaleShapeSpec extends SparkSpec {
     // and the normal path still works under the cap
     assert(Similarity.bruteForceTopK(df, "vec_id", "embedding", 1).count() == 50)
   }
+
+  test("DsDataset.read: shuffle-free plan (range -> narrow map, windows never exchange)") {
+    val dir = java.nio.file.Files.createTempDirectory("dsplan").toString
+    DocTokenizer.write(
+      (1 to 30).map(i => s"plan shape doc $i body").toDF("text").repartition(3),
+      "text", dir, DocTokenizerConfig(shuffle = false))
+    val out = graft.sources.DsDataset.read(spark, dir, seqLen = 4,
+      returnPositions = true)
+    assert(!planOf(out).contains("Exchange"),
+      "window extraction is a scan: any Exchange means token payloads shuffle")
+    assert(out.count() > 0)
+  }
 }
