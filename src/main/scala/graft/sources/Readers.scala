@@ -73,9 +73,9 @@ object Readers {
 
   /** readers/warc.py mapping: binaryFile read + per-partition WARC record
     * parse (headers + body), keeping `response` records with an html/xhtml
-    * content type. Charset handling is UTF-8-with-fallback (the reference
-    * uses cchardet detection; divergence documented — our boundary table
-    * normally carries html already, SURVEY.md §2.2). */
+    * content type. Bodies stay BINARY here (our boundary table carries
+    * html:binary); [[warcText]] adds the reference's decode-or-drop step
+    * (warc.py:117-129) via `WarcParser.decodeHtml`. */
   def warc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
@@ -85,6 +85,24 @@ object Readers {
         it.flatMap { case (p, bytes) => WarcParser.parse(p, bytes) }
       }
       .toDF()
+  }
+
+  /** warc() + response-byte decoding: undecodable records are dropped like
+    * the reference's detect-failure `return` (warc.py:120-129); `html`
+    * becomes a string column. */
+  def warcText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, bytes) =>
+          WarcParser.parse(p, bytes).flatMap { d =>
+            WarcParser.decodeHtml(d.html).map(t => (d.id, d.url, d.warc_date, t))
+          }
+        }
+      }
+      .toDF("id", "url", "warc_date", "html")
   }
 }
 
@@ -132,6 +150,50 @@ object WarcParser {
       }
     }
     out.iterator
+  }
+
+  /** Response-byte decoding ≙ warc.py:117-129: UTF-8 strict first, then a
+    * deterministic detector, None (drop the doc) when nothing plausible
+    * decodes. The reference's cchardet is a statistical model; the
+    * deterministic stand-in resolves what browsers resolve: BOMs
+    * (UTF-8/16), an html meta charset in the first 1024 bytes, then a
+    * windows-1252 fallback gated on the bytes looking like single-byte
+    * text (no NULs) — binary junk returns None like the reference's
+    * detect-failure path. */
+  def decodeHtml(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.isEmpty) return Some("")
+    def strict(cs: String): Option[String] =
+      try {
+        val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      } catch { case _: Exception => None }
+    // BOMs win outright (and the UTF-8 BOM is stripped by the decode)
+    if (bytes.length >= 2) {
+      if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+        return strict("UTF-16LE").map(_.stripPrefix("\ufeff"))
+      if ((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+        return strict("UTF-16BE").map(_.stripPrefix("\ufeff"))
+    }
+    strict("UTF-8").orElse {
+      // meta charset sniff over an ASCII view of the prefix (the charset
+      // name itself is always ASCII)
+      val head = new String(bytes, 0, math.min(bytes.length, 1024), "ISO-8859-1")
+      val m = java.util.regex.Pattern
+        .compile("charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)",
+          java.util.regex.Pattern.CASE_INSENSITIVE)
+        .matcher(head)
+      val meta = if (m.find()) Some(m.group(1)) else None
+      meta match {
+        case Some(cs) if !cs.equalsIgnoreCase("utf-8") &&
+            java.nio.charset.Charset.isSupported(cs) => strict(cs)
+        case Some(_) => None // declared utf-8 but failed strict: undecodable
+        case None =>
+          // plausible legacy single-byte text? NUL bytes say binary
+          if (bytes.exists(_ == 0)) None else strict("windows-1252")
+      }
+    }
   }
 
   private def parseHeaders(block: String): Map[String, String] =

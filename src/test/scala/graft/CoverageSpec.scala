@@ -51,6 +51,47 @@ class CoverageSpec extends SparkSpec {
     assert(new String(docs.head.html, "UTF-8") == html)
   }
 
+  test("warc decode: utf-8 strict, BOMs, meta charset, 1252 fallback, binary drop") {
+    import graft.sources.WarcParser.decodeHtml
+    // clean utf-8 (incl. multibyte) decodes strictly
+    assert(decodeHtml("héllo ☃".getBytes("UTF-8")).contains("héllo ☃"))
+    assert(decodeHtml(Array.empty[Byte]).contains(""))
+    // utf-16 BOMs win and the BOM is stripped
+    assert(decodeHtml("\ufeffhi".getBytes("UTF-16LE")).contains("hi"))
+    assert(decodeHtml("\ufeffhi".getBytes("UTF-16BE")).contains("hi"))
+    // invalid utf-8 with a declared meta charset decodes with it
+    val html1252 = "<html><meta charset=\"windows-1252\"><body>café</body>"
+    assert(decodeHtml(html1252.getBytes("windows-1252")).contains(
+      "<html><meta charset=\"windows-1252\"><body>café</body>"))
+    // declared utf-8 that fails strict decode -> dropped (reference's
+    // detect==charset return path)
+    val badUtf8 = "<meta charset=utf-8>x".getBytes("ISO-8859-1") ++ Array(0xe9.toByte)
+    assert(decodeHtml(badUtf8).isEmpty)
+    // undeclared legacy single-byte text falls back to windows-1252
+    assert(decodeHtml("café plain".getBytes("windows-1252")).contains("café plain"))
+    // binary junk (NULs) is dropped, not mojibake'd
+    assert(decodeHtml(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x00, 0x0d)).isEmpty)
+  }
+
+  test("warcText: undecodable response records are dropped, html is a string column") {
+    val dir = java.nio.file.Files.createTempDirectory("warctext").toString
+    val html = "<html><body>café</body></html>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+    def record(body: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x.com/p\r\n" +
+       s"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:t:1>\r\n" +
+       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val binaryBody = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n").getBytes("ISO-8859-1") ++
+      Array[Byte](0x00, 0x01, 0xff.toByte, 0xfe.toByte, 0x00, 0x00) // not a BOM'd text either
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.warc"),
+      record(http.getBytes("UTF-8")) ++ record(binaryBody))
+    val out = Readers.warcText(spark, s"$dir/t.warc")
+    val rows = out.collect()
+    assert(rows.length == 1) // binary record dropped like the reference
+    assert(rows.head.getAs[String]("html") == html)
+  }
+
   test("decont: indexed benchmark n-grams drop contaminated docs") {
     val bench = "the secret benchmark question about ancient rivers and golden mountains appears here today exactly twelve words"
     val benchDf = Seq(bench).toDF("text")
