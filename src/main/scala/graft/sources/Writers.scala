@@ -8,20 +8,27 @@ import org.apache.spark.sql.functions._
   * columns; max_file_size rotation maps to maxRecordsPerFile. */
 object Writers {
 
-  /** writers/jsonl.py — JSON lines + gzip. */
-  def jsonl(df: DataFrame, path: String, gzip: Boolean = true,
+  /** writers/jsonl.py — JSON lines, gzip by default; "none"/"lz4"/etc per
+    * Spark's text codecs. The reference's zstd option needs Hadoop's
+    * native ZStandardCodec for text formats (absent in this sandbox —
+    * Spark lists it unavailable); parquet zstd works everywhere via
+    * zstd-jni, so zstd corpora route through [[parquet]]. */
+  def jsonl(df: DataFrame, path: String, compression: String = "gzip",
             maxRecordsPerFile: Long = 0, partitionBy: Seq[String] = Nil): Unit = {
     var w = df.write.mode(SaveMode.Overwrite)
-    if (gzip) w = w.option("compression", "gzip")
+    if (compression != "none") w = w.option("compression", compression)
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.json(path)
   }
 
-  /** writers/parquet.py — snappy parquet (the primary sink). */
+  /** writers/parquet.py — snappy parquet (the primary sink); zstd/gzip
+    * selectable like the reference's compression parameter. */
   def parquet(df: DataFrame, path: String,
-              maxRecordsPerFile: Long = 0, partitionBy: Seq[String] = Nil): Unit = {
+              maxRecordsPerFile: Long = 0, partitionBy: Seq[String] = Nil,
+              compression: String = "snappy"): Unit = {
     var w = df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(path)

@@ -31,6 +31,21 @@ class CoverageSpec extends SparkSpec {
     assert(q.select("drop_reason").distinct().count() == 2) // partition column readable
   }
 
+  test("compression round trips: gzip jsonl, zstd parquet (reference compression tests)") {
+    val dir = java.nio.file.Files.createTempDirectory("zstd").toString
+    val df = Seq((1L, "zstd compressed doc"), (2L, "another row")).toDF("id", "text")
+    Writers.jsonl(df, s"$dir/j") // gzip default, like the reference
+    assert(new java.io.File(s"$dir/j").listFiles().exists(_.getName.endsWith(".json.gz")))
+    assert(Readers.jsonl(spark, s"$dir/j").count() == 2)
+    // text-format zstd needs Hadoop's native codec (absent here —
+    // documented in Writers.jsonl); parquet zstd works via zstd-jni
+    Writers.parquet(df, s"$dir/p", compression = "zstd")
+    assert(new java.io.File(s"$dir/p").listFiles().exists(_.getName.contains(".zstd.parquet")))
+    val pBack = spark.read.parquet(s"$dir/p")
+    assert(pBack.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("zstd compressed doc", "another row"))
+  }
+
   test("SparkEntry.entry: flagship query returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
