@@ -76,7 +76,7 @@ object Readers {
     * content type. Bodies stay BINARY here (our boundary table carries
     * html:binary); [[warcText]] adds the reference's decode-or-drop step
     * (warc.py:117-129) via `WarcParser.decodeHtml`. */
-  def warc(spark: SparkSession, path: String): DataFrame = {
+  private def warcDocs(spark: SparkSession, path: String) = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
@@ -84,23 +84,19 @@ object Readers {
       .mapPartitions { it =>
         it.flatMap { case (p, bytes) => WarcParser.parse(p, bytes) }
       }
-      .toDF()
   }
+
+  def warc(spark: SparkSession, path: String): DataFrame =
+    warcDocs(spark, path).toDF()
 
   /** warc() + response-byte decoding: undecodable records are dropped like
     * the reference's detect-failure `return` (warc.py:120-129); `html`
     * becomes a string column. */
   def warcText(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (p, bytes) =>
-          WarcParser.parse(p, bytes).flatMap { d =>
-            WarcParser.decodeHtml(d.html).map(t => (d.id, d.url, d.warc_date, t))
-          }
-        }
+    warcDocs(spark, path)
+      .flatMap { d =>
+        WarcParser.decodeHtml(d.html).map(t => (d.id, d.url, d.warc_date, t))
       }
       .toDF("id", "url", "warc_date", "html")
   }
@@ -169,32 +165,40 @@ object WarcParser {
           .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
         Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
       } catch { case _: Exception => None }
-    // BOMs win outright (and the UTF-8 BOM is stripped by the decode)
+    // BOMs win outright; every branch strips a leading U+FEFF (Java's
+    // strict UTF-8 decoder keeps it)
     if (bytes.length >= 2) {
       if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
         return strict("UTF-16LE").map(_.stripPrefix("\ufeff"))
       if ((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
         return strict("UTF-16BE").map(_.stripPrefix("\ufeff"))
     }
-    strict("UTF-8").orElse {
+    strict("UTF-8").map(_.stripPrefix("\ufeff")).orElse {
       // meta charset sniff over an ASCII view of the prefix (the charset
       // name itself is always ASCII)
       val head = new String(bytes, 0, math.min(bytes.length, 1024), "ISO-8859-1")
-      val m = java.util.regex.Pattern
-        .compile("charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)",
-          java.util.regex.Pattern.CASE_INSENSITIVE)
-        .matcher(head)
+      val m = MetaCharset.matcher(head)
       val meta = if (m.find()) Some(m.group(1)) else None
+      // isSupported THROWS on syntactically illegal names (a crawled page
+      // can declare charset="-foo"); adversarial junk must drop the doc,
+      // not fail the task
+      def supported(cs: String): Boolean =
+        try java.nio.charset.Charset.isSupported(cs)
+        catch { case _: java.nio.charset.IllegalCharsetNameException => false }
       meta match {
-        case Some(cs) if !cs.equalsIgnoreCase("utf-8") &&
-            java.nio.charset.Charset.isSupported(cs) => strict(cs)
-        case Some(_) => None // declared utf-8 but failed strict: undecodable
+        case Some(cs) if !cs.equalsIgnoreCase("utf-8") && supported(cs) =>
+          strict(cs)
+        case Some(_) => None // declared utf-8 but failed strict, or bogus name
         case None =>
           // plausible legacy single-byte text? NUL bytes say binary
           if (bytes.exists(_ == 0)) None else strict("windows-1252")
       }
     }
   }
+
+  private val MetaCharset = java.util.regex.Pattern
+    .compile("charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
 
   private def parseHeaders(block: String): Map[String, String] =
     block.split("\r\n").drop(1).flatMap { line =>

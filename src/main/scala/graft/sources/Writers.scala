@@ -16,7 +16,7 @@ object Writers {
   def jsonl(df: DataFrame, path: String, compression: String = "gzip",
             maxRecordsPerFile: Long = 0, partitionBy: Seq[String] = Nil): Unit = {
     var w = df.write.mode(SaveMode.Overwrite)
-    if (compression != "none") w = w.option("compression", compression)
+      .option("compression", compression) // "none" is a first-class value
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.json(path)

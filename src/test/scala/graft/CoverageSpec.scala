@@ -86,6 +86,12 @@ class CoverageSpec extends SparkSpec {
     assert(decodeHtml("café plain".getBytes("windows-1252")).contains("café plain"))
     // binary junk (NULs) is dropped, not mojibake'd
     assert(decodeHtml(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x00, 0x0d)).isEmpty)
+    // utf-8 BOM is stripped (Java's strict decoder keeps it by default)
+    assert(decodeHtml(Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "hi".getBytes("UTF-8")).contains("hi"))
+    // a syntactically illegal declared charset drops the doc, not the task
+    val badName = "<meta charset=\"-foo\">x".getBytes("ISO-8859-1") ++ Array(0xe9.toByte)
+    assert(decodeHtml(badName).isEmpty)
   }
 
   test("warcText: undecodable response records are dropped, html is a string column") {
