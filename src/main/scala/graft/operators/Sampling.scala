@@ -102,6 +102,37 @@ object Sampling {
     (result, total, totalRows)
   }
 
+  /** HardSampler's full configuration surface (hard_sampler.py:10-47):
+    * `top_p` as a FRACTION of the doc count or total token mass,
+    * highest- or lowest-scored first. Mirrors the reference loop exactly:
+    * int() truncation of the budget, doc mode cutting at exactly
+    * `int(top_p * n)` docs, token mode including the budget-crossing doc
+    * (append-then-break) — so a zero token budget still keeps the top doc,
+    * the reference's own degenerate edge. */
+  def hardTopP(df: DataFrame, scoreCol: String, topP: Double,
+               unit: String = "doc", tokenCol: String = "tokens",
+               highest: Boolean = true): DataFrame = {
+    require(topP >= 0.0 && topP <= 1.0, s"top_p must be in [0,1], got $topP")
+    require(unit == "doc" || unit == "token", s"unit must be doc|token, got $unit")
+    val keyCol = "__hs_score"
+    // scores here are non-null computed metrics, so negation for
+    // lowest-first is safe (no null-ordering inversion)
+    val keyed = df.withColumn(keyCol,
+      if (highest) col(scoreCol).cast("double") else -col(scoreCol).cast("double"))
+    if (unit == "doc") {
+      val budget = (topP * df.count()).toLong // int() truncation
+      if (budget == 0) keyed.limit(0).drop(keyCol)
+      else hardTopByTokens(keyed.withColumn("__one", lit(1L)), keyCol, "__one", budget)
+        .drop("__one", keyCol)
+    } else {
+      val total = Option(df.agg(sum(col(tokenCol).cast("long"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // append-then-break: even budget 0 admits the first doc
+      val budget = math.max((topP * total).toLong, 1L)
+      hardTopByTokens(keyed, keyCol, tokenCol, budget).drop(keyCol)
+    }
+  }
+
   /** eta_dacp/hard_sampler.py:8-47 — keep the top-scored docs up to a
     * token budget (doc budget: pass a tokens=1 column). */
   def hardTopByTokens(df: DataFrame, scoreCol: String, tokenCol: String,

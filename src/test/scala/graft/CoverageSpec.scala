@@ -157,6 +157,26 @@ class CoverageSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 3L)) // 300 tokens started before budget 250 exhausted
   }
 
+  test("sampling: hardTopP fraction surface (doc/token units, highest/lowest, edge quirks)") {
+    val df = Seq((1L, 0.9, 50L), (2L, 0.8, 30L), (3L, 0.7, 20L), (4L, 0.6, 10L))
+      .toDF("id", "score", "tokens")
+    def ids(out: org.apache.spark.sql.DataFrame) =
+      out.select("id").collect().map(_.getLong(0)).toSet
+    // doc mode: exactly int(0.5 * 4) = 2 top-scored docs
+    assert(ids(Sampling.hardTopP(df, "score", 0.5)) == Set(1L, 2L))
+    // doc mode truncation: int(0.6 * 4) = 2, not 3
+    assert(ids(Sampling.hardTopP(df, "score", 0.6)) == Set(1L, 2L))
+    // token mode: budget int(0.5 * 110) = 55 — doc 1 (50) doesn't reach it,
+    // doc 2 crosses it and is still kept (append-then-break)
+    assert(ids(Sampling.hardTopP(df, "score", 0.5, unit = "token")) == Set(1L, 2L))
+    // token mode degenerate edge: top_p = 0 still keeps the top doc
+    assert(ids(Sampling.hardTopP(df, "score", 0.0, unit = "token")) == Set(1L))
+    // doc mode top_p = 0 keeps nothing (indexes[:0])
+    assert(ids(Sampling.hardTopP(df, "score", 0.0)) == Set.empty[Long])
+    // lowest-first flips the order
+    assert(ids(Sampling.hardTopP(df, "score", 0.5, highest = false)) == Set(3L, 4L))
+  }
+
   test("sampling: cdf sample gives hard docs p=1 and is seeded-deterministic") {
     val df = (1 to 100).map(i => (i.toLong, 1.0 - i / 100.0, 10L)).toDF("id", "score", "tokens")
     val out = Sampling.cdfSample(df, "score", "tokens", hardFraction = 0.2, rate = 0.5).cache()
