@@ -116,7 +116,14 @@ final case class SentenceDedupConfig(
     nSentences: Int = 3,
     minDocWords: Int = 50,
     minNumSentences: Int = 3,
-    splitSentences: Boolean = false)
+    splitSentences: Boolean = false,
+    /** sentence_dedup.py:48 min_words_to_remove_span: a removed span whose
+      * word count falls below this is restored instead of cut. The
+      * reference's loop only ever records a span's FIRST unit (the
+      * `elif not removed_span` guard), so both the word count and the
+      * restoration cover just that first line/sentence — mirrored
+      * exactly. 0 disables. */
+    minWordsToRemoveSpan: Int = 0)
 
 object SentenceDedup {
 
@@ -160,7 +167,18 @@ object SentenceDedup {
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
 
+    val minWordsSpan = cfg.minWordsToRemoveSpan
     val rewrite = udf { (text: String, dupSents: Seq[Int]) =>
+      // min_words_to_remove_span restore (sentence_dedup.py:341-372): the
+      // reference records only a removed span's FIRST unit (its
+      // `elif not removed_span` guard), so the word check and restoration
+      // both cover just that unit — mirrored exactly
+      def restore(kept: scala.collection.mutable.ArrayBuffer[String],
+                  pending: Option[String]): Unit =
+        pending.foreach { first =>
+          if (minWordsSpan > 0 && Tokenizer.words(first).length < minWordsSpan)
+            kept += first
+        }
       if (splitSent) {
         // sentence mode: span-based rewrite (remove_dup_sentences,
         // sentence_dedup.py:329-379) — kept units include the raw
@@ -170,32 +188,40 @@ object SentenceDedup {
         val kept = scala.collection.mutable.ArrayBuffer.empty[String]
         var di = 0
         var dropUntil = 0
-        var removed = 0
         var lastS = 0
+        var pending: Option[String] = None
         for (idx <- spans.indices) {
           if (di < dupSents.length && dupSents(di) == idx) {
             dropUntil = idx + n
             di += 1
           }
-          if (idx >= dropUntil) kept += text.substring(lastS, spans(idx)._2)
-          else removed += 1
+          val unit = text.substring(lastS, spans(idx)._2)
+          if (idx >= dropUntil) {
+            restore(kept, pending); pending = None
+            kept += unit
+          } else if (pending.isEmpty) pending = Some(unit)
           lastS = spans(idx)._2
         }
-        (PyText.pyLStrip(kept.mkString("")), removed)
+        restore(kept, pending)
+        (PyText.pyLStrip(kept.mkString("")), spans.length - kept.length)
       } else {
         val sents = PyText.splitLines(text)
         val kept = scala.collection.mutable.ArrayBuffer.empty[String]
         var di = 0
         var dropUntil = 0
-        var removed = 0
+        var pending: Option[String] = None
         for (idx <- sents.indices) {
           if (di < dupSents.length && dupSents(di) == idx) {
             dropUntil = idx + n
             di += 1
           }
-          if (idx >= dropUntil) kept += sents(idx) else removed += 1
+          if (idx >= dropUntil) {
+            restore(kept, pending); pending = None
+            kept += sents(idx)
+          } else if (pending.isEmpty) pending = Some(sents(idx))
         }
-        (kept.mkString("\n"), removed)
+        restore(kept, pending)
+        (kept.mkString("\n"), sents.length - kept.length)
       }
     }
 

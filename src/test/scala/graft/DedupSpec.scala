@@ -112,6 +112,31 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(out(2L)._2) // still enough words → kept
   }
 
+  test("sentence dedup: min_words_to_remove_span restores only the span's FIRST line (reference quirk)") {
+    val shared = "Alpha shared line one two.\nBeta shared line three four.\nGamma shared line five six."
+    val doc1 = shared + "\n" + ("anchor " * 30).trim
+    val doc2 = "Opening line of second doc.\n" + shared + "\n" + ("closer " * 30).trim
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    // span's first line has 5 words < threshold 20 -> restored; the
+    // reference only ever records (and thus restores) the first unit of a
+    // removed span — the other two shared lines stay removed
+    val out = SentenceDedup(df, "doc_id", "text",
+      SentenceDedupConfig(minDocWords = 10, minNumSentences = 1,
+        minWordsToRemoveSpan = 20))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Int]("removed_sentences")))).toMap
+    assert(out(1L)._1 == doc1 && out(1L)._2 == 0)
+    assert(out(2L)._1.contains("Alpha shared line"))     // restored
+    assert(!out(2L)._1.contains("Beta shared line"))     // still removed
+    assert(!out(2L)._1.contains("Gamma shared line"))
+    assert(out(2L)._2 == 2)                              // 3 removed - 1 restored
+    // with the knob off (default 0) the whole span goes
+    val off = SentenceDedup(df, "doc_id", "text",
+      SentenceDedupConfig(minDocWords = 10, minNumSentences = 1))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("removed_sentences")).toMap
+    assert(off(2L) == 3)
+  }
+
   test("sentence dedup drops doc shrunk below min words") {
     val shared = "Alpha shared line one.\nBeta shared line two.\nGamma shared line three."
     val df = Seq((1L, shared + "\n" + ("extra " * 60).trim), (2L, shared)).toDF("doc_id", "text")
