@@ -23,6 +23,58 @@ object TextKernels {
   // PUNCTUATION_TRANS (utils/text.py:182): each PUNCTUATION char → " "
   private val punctToSpace: Set[Char] = Punct.PUNCTUATION.toSet
 
+  /** TextNormConfig (utils/text.py:185-193) — the full knob surface;
+    * defaults match DEF_TEXT_NORM_CONFIG. */
+  final case class TextNormConfig(
+      lowercase: Boolean = true,
+      normWhitespace: Boolean = true,
+      removePunctuation: Boolean = true,
+      normUnicodeDiacritics: Boolean = true,
+      normNumbers: Boolean = true,
+      normWeekdays: Boolean = false,
+      normMonthnames: Boolean = false)
+
+  private val WeekdaysPattern: Pattern =
+    Pattern.compile("monday|tuesday|wednesday|thursday|friday|saturday|sunday")
+  private val MonthsPattern: Pattern = Pattern.compile(
+    "january|february|march|april|may|june|july|august|september|october|november|december")
+
+  /** simplify_text with an arbitrary TextNormConfig, operations applied in
+    * the reference's exact order (utils/text.py:236-257). The no-arg
+    * overload below stays the hot default-config path. */
+  def simplifyText(text0: String, cfg: TextNormConfig): String = {
+    if (cfg == TextNormConfig()) return simplifyText(text0)
+    var text = text0
+    if (cfg.lowercase) text = PyText.pyLower(text)
+    if (cfg.normNumbers) text = NumbersPattern.matcher(text).replaceAll("0")
+    if (cfg.normWeekdays) text = WeekdaysPattern.matcher(text).replaceAll("WEEKDAY")
+    if (cfg.normMonthnames) text = MonthsPattern.matcher(text).replaceAll("MONTH")
+    if (cfg.removePunctuation) {
+      val sb = new java.lang.StringBuilder(text.length)
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        sb.append(if (punctToSpace.contains(c)) ' ' else c)
+        i += 1
+      }
+      text = sb.toString
+    }
+    if (cfg.normWhitespace)
+      text = WhitespacePattern.matcher(PyText.pyStrip(text)).replaceAll(" ")
+    if (cfg.normUnicodeDiacritics) {
+      val nfd = Normalizer.normalize(text, Normalizer.Form.NFD)
+      val out = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val c = nfd.charAt(i)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) out.append(c)
+        i += 1
+      }
+      text = out.toString
+    }
+    PyText.pyStrip(text)
+  }
+
   /** simplify_text with the default TextNormConfig (lowercase, norm numbers,
     * punct→space, whitespace squeeze, NFD with Mn stripped). */
   def simplifyText(text0: String): String = {

@@ -73,6 +73,29 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(!ac.containsAny(""))
   }
 
+  test("simplify_text configurable knobs: weekday/month norm, toggles, default-path equivalence") {
+    import TextKernels.TextNormConfig
+    // non-default knobs (reference WEEKDAYS/MONTHS patterns run on the
+    // already-lowercased text)
+    assert(TextKernels.simplifyText("Due Monday or in January!",
+      TextNormConfig(normWeekdays = true, normMonthnames = true)) ==
+      "due WEEKDAY or in MONTH")
+    // lowercase off: case survives, punctuation still goes
+    assert(TextKernels.simplifyText("Hello, World!",
+      TextNormConfig(lowercase = false)) == "Hello World")
+    // numbers off: digits survive
+    assert(TextKernels.simplifyText("room 42",
+      TextNormConfig(normNumbers = false)) == "room 42")
+    // default config delegates to the fast path bit-for-bit
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val s = List.fill(rnd.nextInt(30))(
+        "Word 12.5 ére,  \n\t x".charAt(rnd.nextInt(20))).mkString
+      assert(TextKernels.simplifyText(s, TextNormConfig()) ==
+        TextKernels.simplifyText(s))
+    }
+  }
+
   test("sentence count approximation") {
     assert(Tokenizer.sentenceCount("One. Two! Three?") == 3)
     assert(Tokenizer.sentenceCount("No terminal punct") == 1)
