@@ -84,4 +84,76 @@ object Hashes {
 
   @inline private def getInt(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** struct.unpack("<I", sha1(utf8).digest()[:4]) — sha1_hash32
+    * (utils/hashes/sha1.py), returned as an unsigned value in a Long. */
+  def sha1Hash32(data: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val d = md.digest(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+  }
+
+  // ---- XXH32 (public domain algorithm, https://xxhash.com) ----
+  private val Q1 = 0x9E3779B1
+  private val Q2 = 0x85EBCA77
+  private val Q3 = 0xC2B2AE3D
+  private val Q4 = 0x27D4EB2F
+  private val Q5 = 0x165667B1
+
+  def xxhash32(data: String): Long =
+    xxhash32(data.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0) & 0xffffffffL
+
+  /** XXH32 as a signed Int (standard algorithm, Int arithmetic wraps). */
+  def xxhash32(input: Array[Byte], seed: Int): Int = {
+    val len = input.length
+    var i = 0
+    var h =
+      if (len >= 16) {
+        var v1 = seed + Q1 + Q2
+        var v2 = seed + Q2
+        var v3 = seed
+        var v4 = seed - Q1
+        while (i + 16 <= len) {
+          v1 = round32(v1, getInt(input, i))
+          v2 = round32(v2, getInt(input, i + 4))
+          v3 = round32(v3, getInt(input, i + 8))
+          v4 = round32(v4, getInt(input, i + 12))
+          i += 16
+        }
+        Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+          Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+      } else seed + Q5
+    h += len
+    while (i + 4 <= len) {
+      h = Integer.rotateLeft(h + getInt(input, i) * Q3, 17) * Q4
+      i += 4
+    }
+    while (i < len) {
+      h = Integer.rotateLeft(h + (input(i) & 0xff) * Q5, 11) * Q1
+      i += 1
+    }
+    h ^= h >>> 15
+    h *= Q2
+    h ^= h >>> 13
+    h *= Q3
+    h ^ (h >>> 16)
+  }
+
+  @inline private def round32(acc: Int, input: Int): Int =
+    Integer.rotateLeft(acc + input * Q2, 13) * Q1
+
+  /** create_hash_func (utils/hashing.py:44-50): the HashConfig selector —
+    * precision 32 values are unsigned in the low Long bits, exactly the
+    * reference's uint32 numpy dtype. */
+  def forConfig(precision: Int, hashFc: String): String => Long = {
+    require(precision == 32 || precision == 64, s"precision 32|64, got $precision")
+    (precision, hashFc) match {
+      case (32, "sha1") => sha1Hash32
+      case (64, "sha1") => sha1Hash64
+      case (32, "xxhash") => xxhash32(_: String)
+      case (64, "xxhash") => xxhash64(_: String)
+      case _ => throw new IllegalArgumentException(s"hash_fc sha1|xxhash, got $hashFc")
+    }
+  }
 }

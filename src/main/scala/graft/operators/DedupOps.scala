@@ -123,7 +123,11 @@ final case class SentenceDedupConfig(
       * `elif not removed_span` guard), so both the word count and the
       * restoration cover just that first line/sentence — mirrored
       * exactly. 0 disables. */
-    minWordsToRemoveSpan: Int = 0)
+    minWordsToRemoveSpan: Int = 0,
+    /** HashConfig (utils/hashing.py:12-30): precision 32 halves signature
+      * width at 100 TB scale; sha1 matches the fork's configured hashes. */
+    hashPrecision: Int = 64,
+    hashFc: String = "xxhash")
 
 object SentenceDedup {
 
@@ -134,6 +138,7 @@ object SentenceDedup {
     val n = cfg.nSentences
     val splitSent = cfg.splitSentences
 
+    val hashFn = Hashes.forConfig(cfg.hashPrecision, cfg.hashFc)
     val windowHashes = udf { text: String =>
       val sents =
         if (splitSent) Tokenizer.sentences(text)
@@ -144,7 +149,7 @@ object SentenceDedup {
         (0 to sents.length - n).iterator.flatMap { i =>
           val joined = simplified.slice(i, i + n).mkString(" ")
           if (PyText.pyStrip(joined).isEmpty) None
-          else Some((i, Hashes.xxhash64(joined)))
+          else Some((i, hashFn(joined)))
         }.toArray
       }
     }

@@ -355,4 +355,33 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(graft.functions.Hashes.xxhash64("a") == 0xD24EC4F1A98C6E5BL)
     assert(graft.functions.Hashes.xxhash64("abc") == 0x44BC2CF5AD770999L)
   }
+
+  test("32-bit hash configs: sha1_hash32 CPython-derived vectors, xxh32 public vectors, selector") {
+    import graft.functions.Hashes
+    // struct.unpack("<I", sha1(utf8).digest()[:4]) — derived with CPython
+    assert(Hashes.sha1Hash32("abc") == 910072233L)
+    assert(Hashes.sha1Hash32("the quick brown fox") == 2803881934L)
+    assert(Hashes.sha1Hash32("") == 4003674586L)
+    // XXH32 spec vectors (seed 0), incl. a >16-byte input through the
+    // 4-lane accumulator path
+    assert(Hashes.xxhash32("") == 0x02CC5D05L)
+    assert(Hashes.xxhash32("Nobody inspects the spammish repetition") == 0xE2293B2FL)
+    // the selector returns each function; 32-bit values are uint32-ranged
+    for (fc <- Seq("sha1", "xxhash"); p <- Seq(32, 64)) {
+      val h = Hashes.forConfig(p, fc)("sample text")
+      if (p == 32) assert(h >= 0L && h <= 0xFFFFFFFFL)
+    }
+    assert(Hashes.forConfig(64, "sha1")("abc") == Hashes.sha1Hash64("abc"))
+    intercept[IllegalArgumentException] { Hashes.forConfig(16, "sha1") }
+    intercept[IllegalArgumentException] { Hashes.forConfig(64, "md5")("x") }
+  }
+
+  test("sentence dedup 32-bit hash mode produces the same dedup outcomes") {
+    val shared = "Alpha shared line one.\nBeta shared line two.\nGamma shared line three."
+    val df = Seq((1L, shared + "\n" + ("extra " * 60).trim), (2L, shared)).toDF("doc_id", "text")
+    val out32 = SentenceDedup(df, "doc_id", "text",
+      SentenceDedupConfig(minDocWords = 50, minNumSentences = 1, hashPrecision = 32))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("sentence_dedup_keep")).toMap
+    assert(out32 == Map(1L -> true, 2L -> false))
+  }
 }
