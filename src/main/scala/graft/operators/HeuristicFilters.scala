@@ -155,6 +155,10 @@ object GopherRepetitionFilter {
 
 /** filters/c4_filters.py:27-136 — line-rewriting filter. */
 final case class C4QualityConfig(
+    /** c4_filters.py:63,89 — true: split on newlines (the C4 default);
+      * false: sentence units via the deterministic splitter (the
+      * reference's split_into_sentences). */
+    splitParagraph: Boolean = true,
     removeCitations: Boolean = true,
     filterNoTerminalPunct: Boolean = true,
     minNumSentences: Int = 5,
@@ -175,7 +179,9 @@ object C4QualityFilter {
 
   /** Right(rewrittenText) when kept; Left(dropReason) when dropped. */
   def check(text: String, cfg: C4QualityConfig = C4QualityConfig()): Either[String, String] = {
-    val lines = PyText.splitLines(text)
+    val lines: Array[String] =
+      if (cfg.splitParagraph) PyText.splitLines(text)
+      else Tokenizer.sentences(text)
     var numSentences = 0
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
 

@@ -157,6 +157,29 @@ class FiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("c4 quality: split_paragraph=false evaluates per sentence, not per line") {
+    // one LINE holding three sentences — line mode sees a single unit,
+    // sentence mode (c4_filters.py:89 split_into_sentences) judges each
+    // sentence: the 2-word middle unit falls under min_words_per_line and
+    // drops alone
+    val text = "The first sentence is quite fine here. Too brief. " +
+      "The last sentence also ends properly."
+    val cfg = C4QualityConfig(splitParagraph = false, minNumSentences = -1)
+    C4QualityFilter.check(text, cfg) match {
+      case Right(rewritten) =>
+        assert(!rewritten.contains("Too brief"))
+        assert(rewritten.contains("The first sentence") &&
+          rewritten.contains("ends properly."))
+      case Left(r) => fail(s"dropped: $r")
+    }
+    // line mode on the same text keeps the whole line (ends with '.',
+    // plenty of words in the single unit)
+    C4QualityFilter.check(text, C4QualityConfig(minNumSentences = -1)) match {
+      case Right(r) => assert(r.contains("Too brief"))
+      case Left(r) => fail(s"dropped: $r")
+    }
+  }
+
   // --- C4ParagraphFilter (c4_filters.py:139-169) ---
   test("c4 paragraph filter") {
     val long = "x" * 200
