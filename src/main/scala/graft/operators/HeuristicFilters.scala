@@ -230,6 +230,9 @@ object C4ParagraphFilter {
 final case class FineWebQualityConfig(
     linePunctThr: Double = 0.12,
     linePunctExcludeZero: Boolean = false,
+    /** fineweb_quality_filter.py:16,26 — None takes the default
+      * TERMINAL_PUNCTUATION set; a custom tuple overrides it. */
+    stopChars: Option[Seq[String]] = None,
     shortLineThr: Double = 0.67,
     shortLineLength: Int = 30,
     charDuplicatesRatio: Double = 0.01,
@@ -241,8 +244,9 @@ object FineWebQualityFilter {
     val lines = text.split("\n", -1).filter(l => PyText.pyStrip(l).nonEmpty)
     if (lines.isEmpty) return Some("empty")
 
+    val stopChars = cfg.stopChars.getOrElse(Punct.TERMINAL_PUNCTUATION)
     val punctRatio =
-      lines.count(l => Punct.TERMINAL_PUNCTUATION.exists(l.endsWith)).toDouble / lines.length
+      lines.count(l => stopChars.exists(l.endsWith)).toDouble / lines.length
     if (punctRatio < cfg.linePunctThr && !(punctRatio == 0 && cfg.linePunctExcludeZero))
       return Some("line_punct_ratio")
 

@@ -157,6 +157,16 @@ class FiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("fineweb: custom stop_chars override the terminal-punctuation set") {
+    // distinct lines (the char-dup check counts repeats) ending in ';'
+    // fail the default set but pass a custom one
+    val text = (1 to 6).map(i =>
+      s"a sufficiently long content line number $i ends here;").mkString("\n")
+    assert(FineWebQualityFilter.check(text).contains("line_punct_ratio"))
+    assert(FineWebQualityFilter.check(text,
+      FineWebQualityConfig(stopChars = Some(Seq(";")))).isEmpty)
+  }
+
   test("c4 quality: split_paragraph=false evaluates per sentence, not per line") {
     // one LINE holding three sentences — line mode sees a single unit,
     // sentence mode (c4_filters.py:89 split_into_sentences) judges each
