@@ -7,13 +7,18 @@ import graft.text.{PyText, Tokenizer}
 /** filters/language_filter.py:9-65 — fastText-backed language keep/drop.
   * Sets (language, language_score) and keeps when any requested language's
   * score exceeds the threshold. */
-final case class LanguageFilterResult(language: String, score: Double, keep: Boolean)
+final case class LanguageFilterResult(language: String, score: Double, keep: Boolean,
+    /** language_filter.py:52-55 — languages whose score clears
+      * keep_top_pairs_threshold (≙ top_language_<l>_score metadata);
+      * empty when the threshold is -1 (disabled). */
+    topPairs: Map[String, Double] = Map.empty)
 
 final class LanguageFilter(
     languages: Option[Seq[String]] = None,
     languageThreshold: Double = 0.65,
     lid: Lid = graft.functions.HeuristicLid,
-    labelOnly: Boolean = false)
+    labelOnly: Boolean = false,
+    keepTopPairsThreshold: Double = -1)
     extends Serializable {
 
   def check(text: String): LanguageFilterResult = {
@@ -22,7 +27,10 @@ final class LanguageFilter(
       labelOnly ||
       languages.exists(ls => ls.exists(l => pairs.getOrElse(l, 0.0) > languageThreshold)) ||
       (languages.isEmpty && score > languageThreshold)
-    LanguageFilterResult(lang, score, keep)
+    val top =
+      if (keepTopPairsThreshold == -1) Map.empty[String, Double]
+      else pairs.filter(_._2 > keepTopPairsThreshold)
+    LanguageFilterResult(lang, score, keep, top)
   }
 }
 

@@ -94,6 +94,12 @@ class FiltersSpec extends AnyFunSuite {
     assert(!r3.keep && r3.language == "pt", s"got $r3")
     val r4 = lf.check(TEXT_LF_4)
     assert(r4.keep && r4.language == "it", s"got $r4")
+    // keep_top_pairs_threshold: pairs above the score surface; -1 disables
+    assert(r1.topPairs.isEmpty)
+    val withPairs = new LanguageFilter(languages = Some(Seq("en", "it")),
+      keepTopPairsThreshold = 0.0).check(TEXT_LF_1)
+    assert(withPairs.topPairs.nonEmpty && withPairs.topPairs.contains("en"))
+    assert(withPairs.topPairs.values.forall(_ > 0.0))
   }
 
   // --- RegexFilter (test_filters.py:103-106) ---
