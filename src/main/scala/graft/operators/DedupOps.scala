@@ -226,7 +226,9 @@ object SentenceDedup {
           } else if (pending.isEmpty) pending = Some(sents(idx))
         }
         restore(kept, pending)
-        (kept.mkString("\n"), sents.length - kept.length)
+        // sentence_dedup.py:377-378: merge_char.join(...).lstrip() in BOTH
+        // modes — line mode lstrips too
+        (PyText.pyLStrip(kept.mkString("\n")), sents.length - kept.length)
       }
     }
 
@@ -246,9 +248,10 @@ object SentenceDedup {
         when(col("__touched"), col("__r._2")).otherwise(lit(0)))
 
     val wordCount = udf { t: String => Tokenizer.words(t).length }
-    val sentCount = udf { t: String =>
-      if (splitSent) Tokenizer.sentences(t).length else PyText.splitLines(t).length
-    }
+    // the keep rule counts SENTENCES regardless of dedup mode
+    // (sentence_dedup.py:437-438 calls split_into_sentences
+    // unconditionally, even when the dedup units were lines)
+    val sentCount = udf { t: String => Tokenizer.sentences(t).length }
 
     // reference keep rule (sentence_dedup.py:424-441): (no change OR both
     // minimum thresholds) AND filtered text non-empty — the non-empty guard

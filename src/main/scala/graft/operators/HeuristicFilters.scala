@@ -203,13 +203,17 @@ object C4QualityFilter {
         else if (cfg.filterCurlyBracket && line.contains("{")) return Left("curly_bracket")
         else if (cfg.filterPolicy && PolicySubstrings.exists(lineL.contains)) skip = true
         else {
-          if (cfg.minNumSentences != -1) numSentences += Tokenizer.sentenceCount(line)
+          // c4_filters.py:128: += len(split_into_sentences(line)) in line
+          // mode, exactly 1 per kept unit in sentence mode
+          if (cfg.minNumSentences != -1)
+            numSentences += (if (cfg.splitParagraph) Tokenizer.sentenceCount(line) else 1)
           kept += line
         }
       }
     }
     if (numSentences < cfg.minNumSentences) Left("too_few_sentences")
-    else Right(PyText.pyStrip(kept.mkString("\n")))
+    // c4_filters.py:136: "\n".join in line mode, " ".join in sentence mode
+    else Right(PyText.pyStrip(kept.mkString(if (cfg.splitParagraph) "\n" else " ")))
   }
 }
 

@@ -119,18 +119,27 @@ object Sampling {
     // lowest-first is safe (no null-ordering inversion)
     val keyed = df.withColumn(keyCol,
       if (highest) col(scoreCol).cast("double") else -col(scoreCol).cast("double"))
-    if (unit == "doc") {
-      val budget = (topP * df.count()).toLong // int() truncation
-      if (budget == 0) keyed.limit(0).drop(keyCol)
-      else hardTopByTokens(keyed.withColumn("__one", lit(1L)), keyCol, "__one", budget)
-        .drop("__one", keyCol)
-    } else {
-      val total = Option(df.agg(sum(col(tokenCol).cast("long"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      // append-then-break: even budget 0 admits the first doc
-      val budget = math.max((topP * total).toLong, 1L)
-      hardTopByTokens(keyed, keyCol, tokenCol, budget).drop(keyCol)
-    }
+    // ONE running-sum pass supplies both the grand totals (for the
+    // fractional budget) and the prefix sums (for the cut) — no separate
+    // count()/agg() action re-scanning the upstream lineage
+    val (withRun, total, totalRows) =
+      if (unit == "doc") withRunningSum(keyed.withColumn("__one", lit(1L)), keyCol, "__one")
+      else withRunningSum(keyed, keyCol, tokenCol)
+    val budget = (topP * (if (unit == "doc") totalRows else total)).toLong // int() truncation
+    val out =
+      if (unit == "doc") {
+        // indexes[:int(top_p * n)] — exactly budget docs, 0 keeps none
+        withRun.where(col("__running") - col("__tok") < budget).drop("__one")
+      } else if (budget == 0) {
+        // append-then-break with budget 0: the reference keeps EXACTLY the
+        // single top doc (even a zero-token one) — a prefix-sum filter
+        // can't express "first row only" when leading docs have 0 tokens,
+        // so take the ordering's head (ties broken arbitrarily, like the
+        // reference's unstable argsort among equal scores)
+        withRun.orderBy(col(keyCol).desc).limit(1)
+      } else
+        withRun.where(col("__running") - col("__tok") < budget)
+    out.drop("__running", "__tok", keyCol)
   }
 
   /** eta_dacp/hard_sampler.py:8-47 — keep the top-scored docs up to a

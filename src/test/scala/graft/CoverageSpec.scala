@@ -171,6 +171,12 @@ class CoverageSpec extends SparkSpec {
     assert(ids(Sampling.hardTopP(df, "score", 0.5, unit = "token")) == Set(1L, 2L))
     // token mode degenerate edge: top_p = 0 still keeps the top doc
     assert(ids(Sampling.hardTopP(df, "score", 0.0, unit = "token")) == Set(1L))
+    // ...and EXACTLY one doc even when leaders have zero tokens (the
+    // reference appends one then breaks; a prefix-sum filter alone would
+    // keep every zero-token leader)
+    val zeros = Seq((1L, 0.9, 0L), (2L, 0.8, 0L), (3L, 0.7, 5L))
+      .toDF("id", "score", "tokens")
+    assert(ids(Sampling.hardTopP(zeros, "score", 0.0, unit = "token")) == Set(1L))
     // doc mode top_p = 0 keeps nothing (indexes[:0])
     assert(ids(Sampling.hardTopP(df, "score", 0.0)) == Set.empty[Long])
     // lowest-first flips the order

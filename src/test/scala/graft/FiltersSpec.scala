@@ -184,8 +184,10 @@ class FiltersSpec extends AnyFunSuite {
     C4QualityFilter.check(text, cfg) match {
       case Right(rewritten) =>
         assert(!rewritten.contains("Too brief"))
-        assert(rewritten.contains("The first sentence") &&
-          rewritten.contains("ends properly."))
+        // c4_filters.py:136 — sentence mode joins kept units with " "
+        assert(rewritten ==
+          "The first sentence is quite fine here. The last sentence also ends properly.")
+        assert(!rewritten.contains("\n"))
       case Left(r) => fail(s"dropped: $r")
     }
     // line mode on the same text keeps the whole line (ends with '.',
