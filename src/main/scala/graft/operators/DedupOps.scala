@@ -131,15 +131,11 @@ final case class SentenceDedupConfig(
 
 object SentenceDedup {
 
-  /** (id, text) → (id, text rewritten, sentence_dedup_keep, removed_sentences) */
-  def apply(df: DataFrame, idCol: String, textCol: String,
-            cfg: SentenceDedupConfig = SentenceDedupConfig())
-           (implicit spark: SparkSession): DataFrame = {
+  private def windowHashesUdf(cfg: SentenceDedupConfig) = {
     val n = cfg.nSentences
     val splitSent = cfg.splitSentences
-
     val hashFn = Hashes.forConfig(cfg.hashPrecision, cfg.hashFc)
-    val windowHashes = udf { text: String =>
+    udf { text: String =>
       val sents =
         if (splitSent) Tokenizer.sentences(text)
         else PyText.splitLines(text)
@@ -153,10 +149,19 @@ object SentenceDedup {
         }.toArray
       }
     }
+  }
 
-    val sigs = df
-      .select(col(idCol).as("__doc"), explode(windowHashes(col(textCol))).as("w"))
+  private def sigsOf(df: DataFrame, idCol: String, textCol: String,
+                     cfg: SentenceDedupConfig): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(windowHashesUdf(cfg)(col(textCol))).as("w"))
       .select(col("__doc"), col("w._1").as("__sent"), col("w._2").as("__hash"))
+
+  /** (id, text) → (id, text rewritten, sentence_dedup_keep, removed_sentences) */
+  def apply(df: DataFrame, idCol: String, textCol: String,
+            cfg: SentenceDedupConfig = SentenceDedupConfig())
+           (implicit spark: SparkSession): DataFrame = {
+    val sigs = sigsOf(df, idCol, textCol, cfg)
 
     // first occurrence per hash wins; all others are duplicate spans.
     // Scale shape: groupBy-min + join-back instead of a row_number window —
@@ -171,6 +176,47 @@ object SentenceDedup {
       .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
+    finish(df, idCol, textCol, cfg, dups)
+  }
+
+  /** SentenceDedup against a PRE-BUILT index corpus (sentence_dedup.py
+    * index_folder + only_dedup_in_index): a corpus window matching ANY
+    * index window is a duplicate span — every corpus occurrence is
+    * removed, since the index entry always "comes first" (HashSig sorting,
+    * sentence_dedup.py:57,275-281). With onlyDedupInIndex=false the
+    * within-corpus first-wins rule applies on top, like the reference's
+    * `or not self.config.only_dedup_in_index` arm. */
+  def withIndex(df: DataFrame, idCol: String, textCol: String,
+                indexDf: DataFrame, indexTextCol: String,
+                cfg: SentenceDedupConfig = SentenceDedupConfig(),
+                onlyDedupInIndex: Boolean = true)
+               (implicit spark: SparkSession): DataFrame = {
+    val sigs = sigsOf(df, idCol, textCol, cfg)
+    val indexHashes = indexDf
+      .select(explode(windowHashesUdf(cfg)(col(indexTextCol))).as("w"))
+      .select(col("w._2").as("__hash")).distinct()
+    val fromIndex = sigs.join(indexHashes, Seq("__hash"), "left_semi")
+    val dupRows =
+      if (onlyDedupInIndex) fromIndex
+      else {
+        val firsts = sigs.groupBy("__hash")
+          .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
+        val corpusDups = sigs
+          .join(firsts, Seq("__hash"))
+          .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
+          .select("__hash", "__doc", "__sent")
+        fromIndex.select("__hash", "__doc", "__sent")
+          .union(corpusDups).distinct()
+      }
+    val dups = dupRows.groupBy("__doc")
+      .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
+    finish(df, idCol, textCol, cfg, dups)
+  }
+
+  private def finish(df: DataFrame, idCol: String, textCol: String,
+                     cfg: SentenceDedupConfig, dups: DataFrame): DataFrame = {
+    val n = cfg.nSentences
+    val splitSent = cfg.splitSentences
 
     val minWordsSpan = cfg.minWordsToRemoveSpan
     val rewrite = udf { (text: String, dupSents: Seq[Int]) =>

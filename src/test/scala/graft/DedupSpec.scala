@@ -137,6 +137,36 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(off(2L) == 3)
   }
 
+  test("sentence dedup index mode: only index matches dedup; corpus-vs-corpus optional") {
+    val indexed = "Index line alpha one.\nIndex line beta two.\nIndex line gamma three."
+    val corpusShared = "Corpus shared aa.\nCorpus shared bb.\nCorpus shared cc."
+    val pad = ("pad " * 40).trim
+    val df = Seq(
+      (1L, indexed + "\n" + pad),          // matches the index -> span removed
+      (2L, corpusShared + "\n" + pad),     // corpus-only dup, first copy
+      (3L, corpusShared + "\nother tail " + pad)) // corpus-only dup, second copy
+      .toDF("doc_id", "text")
+    val indexDf = Seq(indexed).toDF("text")
+    val cfg = SentenceDedupConfig(minDocWords = 10, minNumSentences = 0)
+    // only_dedup_in_index=true: the index match is removed from EVERY doc
+    // carrying it; the corpus-vs-corpus dup is untouched in both copies
+    val strict = SentenceDedup.withIndex(df, "doc_id", "text", indexDf, "text", cfg)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Int]("removed_sentences")))).toMap
+    assert(!strict(1L)._1.contains("Index line") && strict(1L)._2 == 3)
+    assert(strict(2L)._1.contains("Corpus shared") && strict(2L)._2 == 0)
+    assert(strict(3L)._1.contains("Corpus shared") && strict(3L)._2 == 0)
+    // only_dedup_in_index=false: corpus first-wins applies on top — the
+    // SECOND corpus copy loses the shared span, the first keeps it
+    val loose = SentenceDedup.withIndex(df, "doc_id", "text", indexDf, "text", cfg,
+        onlyDedupInIndex = false)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Int]("removed_sentences")))).toMap
+    assert(!loose(1L)._1.contains("Index line"))
+    assert(loose(2L)._1.contains("Corpus shared") && loose(2L)._2 == 0)
+    assert(!loose(3L)._1.contains("Corpus shared") && loose(3L)._2 == 3)
+  }
+
   test("sentence dedup drops doc shrunk below min words") {
     val shared = "Alpha shared line one.\nBeta shared line two.\nGamma shared line three."
     val df = Seq((1L, shared + "\n" + ("extra " * 60).trim), (2L, shared)).toDF("doc_id", "text")
