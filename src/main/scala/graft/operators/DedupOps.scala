@@ -94,6 +94,35 @@ object UrlDedup {
       .withColumn("url_keep", col("url_dup_rep") === col(idCol))
       .drop("__ukey", "__bkey")
   }
+
+  /** UrlDedup against a PRE-BUILT url index (url_dedup.py index_folder):
+    * every corpus doc whose (normalized) url appears in the index is
+    * dropped — the index entry always wins (is_from_index ordering). With
+    * onlyDedupInIndex=false the within-corpus best-priority rule applies
+    * on top; with true (the reference default) corpus-vs-corpus
+    * duplicates are NOT deduped. */
+  def withIndex(df: DataFrame, urlCol: String, idCol: String, priorityCol: String,
+                indexDf: DataFrame, indexUrlCol: String,
+                normalize: Boolean = false,
+                onlyDedupInIndex: Boolean = true): DataFrame = {
+    val key: Column => Column =
+      if (normalize) normalizeUdf(_) else identity
+    val idxKeys = indexDf.select(key(col(indexUrlCol)).as("__ikey"))
+      .where(col("__ikey").isNotNull).distinct()
+    val keyed = df.withColumn("__ukey", key(col(urlCol)))
+    val base =
+      if (onlyDedupInIndex)
+        // no corpus-vs-corpus dedup: every doc is its own representative
+        keyed.withColumn("url_dup_rep", col(idCol))
+          .withColumn("url_keep", lit(true))
+      else
+        applyWithKey(df, key(col(urlCol)), idCol, priorityCol)
+          .withColumn("__ukey", key(col(urlCol)))
+    base
+      .join(idxKeys, col("__ukey") <=> col("__ikey"), "left")
+      .withColumn("url_keep", col("url_keep") && col("__ikey").isNull)
+      .drop("__ukey", "__ikey")
+  }
 }
 
 /** Sentence-level dedup (dedup/sentence_dedup.py): hash every window of

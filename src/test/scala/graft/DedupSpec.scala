@@ -137,6 +137,25 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(off(2L) == 3)
   }
 
+  test("url dedup index mode: index urls drop everywhere; corpus-vs-corpus optional") {
+    val df = Seq(
+      (1L, "https://a.com/page", 5),
+      (2L, "https://a.com/page", 9),  // corpus dup of 1, higher priority
+      (3L, "https://b.com/x", 1),     // in the index
+      (4L, null.asInstanceOf[String], 1)) // null url passes through
+      .toDF("id", "url", "priority")
+    val idx = Seq("https://b.com/x").toDF("url")
+    // strict: index match drops doc 3; corpus dups 1/2 BOTH stay
+    val strict = UrlDedup.withIndex(df, "url", "id", "priority", idx, "url")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("url_keep")).toMap
+    assert(strict == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+    // loose: corpus best-priority applies on top (doc 2 wins over doc 1)
+    val loose = UrlDedup.withIndex(df, "url", "id", "priority", idx, "url",
+        onlyDedupInIndex = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("url_keep")).toMap
+    assert(loose == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("sentence dedup index mode: only index matches dedup; corpus-vs-corpus optional") {
     val indexed = "Index line alpha one.\nIndex line beta two.\nIndex line gamma three."
     val corpusShared = "Corpus shared aa.\nCorpus shared bb.\nCorpus shared cc."
