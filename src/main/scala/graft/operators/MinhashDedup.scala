@@ -257,4 +257,44 @@ object MinhashDedup {
       .drop("cluster")
       .withColumn("minhash_keep", col("minhash_cluster") === col(idCol))
   }
+
+  /** MinhashBuildIndex (minhash.py:419-474): the persistable index IS the
+    * distinct (bucket, sig) table — write it to parquet and feed it back
+    * through [[dedupWithIndex]]. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 cfg: MinhashDedupConfig = MinhashDedupConfig()): DataFrame =
+    signatures(df, idCol, textCol, cfg).select("bucket", "sig").distinct()
+
+  /** MinhashDedupBuckets with index_folder (minhash.py:290-314,380): a
+    * corpus doc sharing any (bucket, sig) with the index is a duplicate —
+    * dropped outright, the index side always wins. onlyDedupInIndex=true
+    * (the reference default) ignores corpus-vs-corpus matches entirely;
+    * false additionally clusters the corpus and keeps one doc per
+    * component as usual. The index must have been built with the SAME
+    * MinhashConfig (the reference asserts this via the config string). */
+  def dedupWithIndex(df: DataFrame, idCol: String, textCol: String,
+                     indexSigs: DataFrame,
+                     cfg: MinhashDedupConfig = MinhashDedupConfig(),
+                     onlyDedupInIndex: Boolean = true)
+                    (implicit spark: SparkSession): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, cfg)
+    val inIndex = sigs
+      .join(indexSigs.select("bucket", "sig").distinct(), Seq("bucket", "sig"), "left_semi")
+      .select(col("doc")).distinct()
+      .withColumn("__in_index", lit(true))
+    val base =
+      if (onlyDedupInIndex)
+        df.withColumn("minhash_cluster", col(idCol))
+      else {
+        val comps = components(duplicateEdges(sigs))
+        df.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+          .withColumn("minhash_cluster", coalesce(col("cluster"), col(idCol)))
+          .drop("cluster")
+      }
+    base
+      .join(inIndex.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .withColumn("minhash_keep",
+        col("__in_index").isNull && col("minhash_cluster") === col(idCol))
+      .drop("__in_index")
+  }
 }

@@ -137,6 +137,26 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     assert(off(2L) == 3)
   }
 
+  test("minhash index mode: index matches drop; corpus clustering optional") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about mountains rivers and ancient forests here"
+    val df = Seq((1L, a), (2L, a + " extra"), (3L, b)).toDF("id", "text")
+    val idx = MinhashDedup.buildIndex(Seq((100L, a)).toDF("id", "text"), "id", "text")
+    assert(idx.columns.toSet == Set("bucket", "sig"))
+    // strict: docs 1 and 2 (near-dups of the indexed text) drop; 3 stays;
+    // corpus-vs-corpus matches between 1 and 2 are ignored
+    val strict = MinhashDedup.dedupWithIndex(df, "id", "text", idx)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("minhash_keep")).toMap
+    assert(!strict(1L) && !strict(2L) && strict(3L))
+    // loose with an EMPTY index degenerates to normal clustering: one of
+    // the near-dup pair survives
+    val empty = idx.limit(0)
+    val loose = MinhashDedup.dedupWithIndex(df, "id", "text", empty,
+        onlyDedupInIndex = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("minhash_keep")).toMap
+    assert(loose == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("url dedup index mode: index urls drop everywhere; corpus-vs-corpus optional") {
     val df = Seq(
       (1L, "https://a.com/page", 5),
