@@ -75,7 +75,7 @@ object UrlDedup {
   }
 
   private def applyWithKey(df: DataFrame, keyCol: Column, idCol: String,
-                           priorityCol: String): DataFrame = {
+                           priorityCol: String, keepKey: Boolean = false): DataFrame = {
     val keyed = df.withColumn("__ukey", keyCol)
     // min over (priority-is-null, -priority, id) = highest non-null priority,
     // nulls last (matching the old orderBy(desc) semantics), ties to the
@@ -92,7 +92,7 @@ object UrlDedup {
       .withColumn("url_dup_rep",
         when(col("__ukey").isNull, col(idCol)).otherwise(col("url_dup_rep")))
       .withColumn("url_keep", col("url_dup_rep") === col(idCol))
-      .drop("__ukey", "__bkey")
+      .drop((if (keepKey) Seq("__bkey") else Seq("__ukey", "__bkey")): _*)
   }
 
   /** UrlDedup against a PRE-BUILT url index (url_dedup.py index_folder):
@@ -109,6 +109,8 @@ object UrlDedup {
       if (normalize) normalizeUdf(_) else identity
     val idxKeys = indexDf.select(key(col(indexUrlCol)).as("__ikey"))
       .where(col("__ikey").isNotNull).distinct()
+    // normalize ONCE: both branches reuse keyed's __ukey (self-assignment
+    // inside applyWithKey is a no-op column reference)
     val keyed = df.withColumn("__ukey", key(col(urlCol)))
     val base =
       if (onlyDedupInIndex)
@@ -116,8 +118,7 @@ object UrlDedup {
         keyed.withColumn("url_dup_rep", col(idCol))
           .withColumn("url_keep", lit(true))
       else
-        applyWithKey(df, key(col(urlCol)), idCol, priorityCol)
-          .withColumn("__ukey", key(col(urlCol)))
+        applyWithKey(keyed, col("__ukey"), idCol, priorityCol, keepKey = true)
     base
       .join(idxKeys, col("__ukey") <=> col("__ikey"), "left")
       .withColumn("url_keep", col("url_keep") && col("__ikey").isNull)
@@ -166,7 +167,8 @@ object SentenceDedup {
     val hashFn = Hashes.forConfig(cfg.hashPrecision, cfg.hashFc)
     udf { text: String =>
       val sents =
-        if (splitSent) Tokenizer.sentences(text)
+        if (text == null) Array.empty[String] // null text: no windows, not an NPE
+        else if (splitSent) Tokenizer.sentences(text)
         else PyText.splitLines(text)
       if (sents.length < n) Array.empty[(Int, Long)]
       else {
@@ -191,21 +193,25 @@ object SentenceDedup {
             cfg: SentenceDedupConfig = SentenceDedupConfig())
            (implicit spark: SparkSession): DataFrame = {
     val sigs = sigsOf(df, idCol, textCol, cfg)
-
-    // first occurrence per hash wins; all others are duplicate spans.
-    // Scale shape: groupBy-min + join-back instead of a row_number window —
-    // a ubiquitous boilerplate window (one hash, millions of rows) is
-    // absorbed by map-side partial aggregation, and the join back gets AQE
-    // skew-splitting; WindowExec would sort the whole hot group on one
-    // reducer with no mitigation.
-    val firsts = sigs.groupBy("__hash")
-      .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
-    val dups = sigs
-      .join(firsts, Seq("__hash"))
-      .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
+    val dups = corpusDups(sigs)
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
     finish(df, idCol, textCol, cfg, dups)
+  }
+
+  /** First occurrence per hash wins; all others are duplicate spans.
+    * Scale shape: groupBy-min + join-back instead of a row_number window —
+    * a ubiquitous boilerplate window (one hash, millions of rows) is
+    * absorbed by map-side partial aggregation, and the join back gets AQE
+    * skew-splitting; WindowExec would sort the whole hot group on one
+    * reducer with no mitigation. */
+  private def corpusDups(sigs: DataFrame): DataFrame = {
+    val firsts = sigs.groupBy("__hash")
+      .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
+    sigs
+      .join(firsts, Seq("__hash"))
+      .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
+      .select("__hash", "__doc", "__sent")
   }
 
   /** SentenceDedup against a PRE-BUILT index corpus (sentence_dedup.py
@@ -220,23 +226,22 @@ object SentenceDedup {
                 cfg: SentenceDedupConfig = SentenceDedupConfig(),
                 onlyDedupInIndex: Boolean = true)
                (implicit spark: SparkSession): DataFrame = {
-    val sigs = sigsOf(df, idCol, textCol, cfg)
+    // loose mode consumes the corpus window hashes THREE times (index
+    // probe, first-wins agg, join-back) — persist the slim sigs projection
+    // so the hashing UDF runs once, same pattern as SimHashDedup
+    val sigs0 = sigsOf(df, idCol, textCol, cfg)
+    val sigs =
+      if (onlyDedupInIndex) sigs0
+      else CacheRegistry.swapRotating("sentencededup.indexsigs", sigs0)
     val indexHashes = indexDf
+      .where(col(indexTextCol).isNotNull) // null index rows: skip, not NPE
       .select(explode(windowHashesUdf(cfg)(col(indexTextCol))).as("w"))
       .select(col("w._2").as("__hash")).distinct()
     val fromIndex = sigs.join(indexHashes, Seq("__hash"), "left_semi")
     val dupRows =
       if (onlyDedupInIndex) fromIndex
-      else {
-        val firsts = sigs.groupBy("__hash")
-          .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
-        val corpusDups = sigs
-          .join(firsts, Seq("__hash"))
-          .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
-          .select("__hash", "__doc", "__sent")
-        fromIndex.select("__hash", "__doc", "__sent")
-          .union(corpusDups).distinct()
-      }
+      else fromIndex.select("__hash", "__doc", "__sent")
+        .union(corpusDups(sigs)).distinct()
     val dups = dupRows.groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
     finish(df, idCol, textCol, cfg, dups)
@@ -248,7 +253,10 @@ object SentenceDedup {
     val splitSent = cfg.splitSentences
 
     val minWordsSpan = cfg.minWordsToRemoveSpan
-    val rewrite = udf { (text: String, dupSents: Seq[Int]) =>
+    val rewrite = udf { (text0: String, dupSents: Seq[Int]) =>
+      // a null-text row never has dup windows, so the __touched guard keeps
+      // its original value — but the udf is still evaluated and must not NPE
+      val text = if (text0 == null) "" else text0
       // min_words_to_remove_span restore (sentence_dedup.py:341-372): the
       // reference records only a removed span's FIRST unit (its
       // `elif not removed_span` guard), so the word check and restoration

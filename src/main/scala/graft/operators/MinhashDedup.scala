@@ -96,7 +96,11 @@ object MinhashDedup {
     val useSha1 = cfg.hashFunc == "sha1"
 
     val sigUdf = udf { text: String =>
-      val words = Tokenizer.words(TextKernels.simplifyText(text))
+      // null text (missing column values in an external corpus/index) has
+      // no shingles — pass-through, not an NPE
+      val words =
+        if (text == null) Array.empty[String]
+        else Tokenizer.words(TextKernels.simplifyText(text))
       if (words.length < ng) Array.empty[String]
       else {
         val mins = Array.fill(n)(-1L) // unsigned max
@@ -258,26 +262,52 @@ object MinhashDedup {
       .withColumn("minhash_keep", col("minhash_cluster") === col(idCol))
   }
 
+  /** The reference's MinhashConfig.__str__ config fingerprint, carried as
+    * column metadata on the index so a mismatched query config fails fast
+    * instead of silently matching nothing. */
+  def configString(cfg: MinhashDedupConfig): String =
+    s"${cfg.nGrams}ng_${cfg.numBuckets}bs_${cfg.hashesPerBucket}hs_" +
+      s"${cfg.seed}seed_${cfg.hashFunc}"
+
   /** MinhashBuildIndex (minhash.py:419-474): the persistable index IS the
     * distinct (bucket, sig) table — write it to parquet and feed it back
-    * through [[dedupWithIndex]]. */
+    * through [[dedupWithIndex]]. The config fingerprint rides in the sig
+    * column's metadata (survives a parquet round trip). */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
-                 cfg: MinhashDedupConfig = MinhashDedupConfig()): DataFrame =
-    signatures(df, idCol, textCol, cfg).select("bucket", "sig").distinct()
+                 cfg: MinhashDedupConfig = MinhashDedupConfig()): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.minhash.config", configString(cfg)).build()
+    signatures(df, idCol, textCol, cfg)
+      .select(col("bucket"), col("sig").as("sig", meta)).distinct()
+  }
 
   /** MinhashDedupBuckets with index_folder (minhash.py:290-314,380): a
     * corpus doc sharing any (bucket, sig) with the index is a duplicate —
     * dropped outright, the index side always wins. onlyDedupInIndex=true
     * (the reference default) ignores corpus-vs-corpus matches entirely;
     * false additionally clusters the corpus and keeps one doc per
-    * component as usual. The index must have been built with the SAME
-    * MinhashConfig (the reference asserts this via the config string). */
+    * component as usual. An index carrying a config fingerprint from
+    * [[buildIndex]] is verified against `cfg` (≙ the reference's config
+    * assertion) — a mismatch would otherwise silently match nothing. */
   def dedupWithIndex(df: DataFrame, idCol: String, textCol: String,
                      indexSigs: DataFrame,
                      cfg: MinhashDedupConfig = MinhashDedupConfig(),
                      onlyDedupInIndex: Boolean = true)
                     (implicit spark: SparkSession): DataFrame = {
-    val sigs = signatures(df, idCol, textCol, cfg)
+    indexSigs.schema.fields.find(_.name == "sig")
+      .filter(_.metadata.contains("graft.minhash.config"))
+      .map(_.metadata.getString("graft.minhash.config"))
+      .foreach { idxCfg =>
+        require(idxCfg == configString(cfg),
+          s"index was built with config '$idxCfg' but dedupWithIndex got " +
+            s"'${configString(cfg)}' — signatures cannot match")
+      }
+    // loose mode consumes the signature UDF's output twice (index probe +
+    // clustering) — persist the slim projection so hashing runs once
+    val sigs0 = signatures(df, idCol, textCol, cfg)
+    val sigs =
+      if (onlyDedupInIndex) sigs0
+      else graft.operators.CacheRegistry.swapRotating("minhash.indexsigs", sigs0)
     val inIndex = sigs
       .join(indexSigs.select("bucket", "sig").distinct(), Seq("bucket", "sig"), "left_semi")
       .select(col("doc")).distinct()

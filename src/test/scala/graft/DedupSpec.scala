@@ -155,6 +155,18 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
         onlyDedupInIndex = false)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("minhash_keep")).toMap
     assert(loose == Map(1L -> true, 2L -> false, 3L -> true))
+    // a config mismatch fails fast via the metadata fingerprint instead of
+    // silently matching nothing
+    val e = intercept[IllegalArgumentException] {
+      MinhashDedup.dedupWithIndex(df, "id", "text", idx,
+        MinhashDedupConfig(numBuckets = 7))
+    }
+    assert(e.getMessage.contains("cannot match"))
+    // null index/corpus texts pass through instead of NPE-ing the job
+    val withNull = df.union(Seq((9L, null.asInstanceOf[String])).toDF("id", "text"))
+    val nullSafe = MinhashDedup.dedupWithIndex(withNull, "id", "text", idx)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("minhash_keep")).toMap
+    assert(nullSafe(9L)) // no shingles -> never an index match
   }
 
   test("url dedup index mode: index urls drop everywhere; corpus-vs-corpus optional") {
