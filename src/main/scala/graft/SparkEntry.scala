@@ -456,8 +456,12 @@ object SparkEntry {
         }
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
+      // groups of exactly 5 consecutive ids (doc_ids are contiguous 0..N-1
+      // at every SF): candidate volume is bands x clique^2 per group, so
+      // 5-member cliques cost ~25x less than the former 25-member ones at
+      // sf0.1 while the oracle (top-1 = identical sibling) is equally strict
       val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(col("doc_id") % 200).as("embedding"))
+        .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
       Similarity.lshTopK(df, "doc_id", "embedding", 1)
         .select(col("doc_id"), col("neighbor"))
         .orderBy("doc_id")
@@ -479,7 +483,7 @@ object SparkEntry {
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
       val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(col("doc_id") % 200).as("embedding"))
+        .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
       // nProbe=1 is sufficient AND exact for this construction: a query's
       // identical siblings share its cell, and their cosine (the max
       // possible) dominates any cross-group candidate. Uniform random
@@ -491,7 +495,7 @@ object SparkEntry {
     }),
     "cosine_near_dup" -> ((s, dir) => {
       // embedding near-dup via LSH candidates + cosine threshold +
-      // connected components, over planted identical-vector groups of 10
+      // connected components, over planted identical-vector groups of 5
       // (64-dim uniform vectors keep cross-group cosine << threshold)
       implicit val sp: SparkSession = s
       val vecUdf = udf { g: Long =>
@@ -506,7 +510,7 @@ object SparkEntry {
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
       val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(col("doc_id") % 200).as("embedding"))
+        .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
       Similarity.cosineNearDupes(df, "doc_id", "embedding", threshold = 0.95)
         .select(col("doc_id"), col("cosine_cluster"), col("cosine_keep"))
         .orderBy("doc_id")
@@ -1325,7 +1329,7 @@ SELECT doc_id, doc_id = rep AS exact_substr_keep,
 FROM g ORDER BY doc_id""",
     "ann_ivf_topk_exact" ->
       """WITH g AS (
-  SELECT doc_id, doc_id % 200 AS grp FROM documents
+  SELECT doc_id, doc_id // 5 AS grp FROM documents
 ), m AS (
   SELECT grp, min(doc_id) AS m1 FROM g GROUP BY grp
 ), m2 AS (
@@ -1338,7 +1342,7 @@ FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
 ORDER BY g.doc_id""",
     "ann_lsh_topk_exact" ->
       """WITH g AS (
-  SELECT doc_id, doc_id % 200 AS grp FROM documents
+  SELECT doc_id, doc_id // 5 AS grp FROM documents
 ), m AS (
   SELECT grp, min(doc_id) AS m1 FROM g GROUP BY grp
 ), m2 AS (
@@ -1351,8 +1355,8 @@ FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
 ORDER BY g.doc_id""",
     "cosine_near_dup" ->
       """SELECT doc_id,
-  min(doc_id) OVER (PARTITION BY doc_id % 200) AS cosine_cluster,
-  doc_id = min(doc_id) OVER (PARTITION BY doc_id % 200) AS cosine_keep
+  min(doc_id) OVER (PARTITION BY doc_id // 5) AS cosine_cluster,
+  doc_id = min(doc_id) OVER (PARTITION BY doc_id // 5) AS cosine_keep
 FROM documents ORDER BY doc_id""",
     "lexical_diversity" ->
       """WITH t AS (
