@@ -891,6 +891,26 @@ object SparkEntry {
         .select(col("doc_id"), langOnly(planted).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "language_id_ft" -> ((s, dir) => {
+      // REAL fastText .bin inference over the committed self-trained fixture
+      // (tools/gen_fasttext_model.py): resource load -> vocab lookup -> mean
+      // of input vectors -> output matmul -> softmax (utils/lid.py:53-59).
+      // Ground-truth labels pinned in the oracle; ft_keep mirrors
+      // LanguageFilter's score>0.65 rule (filters/language_filter.py:29).
+      val planted = plantedVariants(Seq(
+        "the quiet market and the bright garden of the village in the morning",
+        "le marché était calme ce matin et les enfants dans la rue près du pont",
+        "der markt war heute ruhig und die kinder auf der straße nähe brücke",
+        "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente",
+        "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte"))
+      val u = udf { t: String =>
+        val (lang, score, _) = graft.functions.FastTextModel.fixture.predict(t)
+        (lang, score > 0.65)
+      }
+      documents(s, dir).select(col("doc_id"), u(planted).as("r"))
+        .select(col("doc_id"), col("r._1").as("ft_lang"), col("r._2").as("ft_keep"))
+        .orderBy("doc_id")
+    }),
     "fingerprint_exact" -> ((s, dir) => {
       // planted pre-normalized texts (simplify_text is the identity on
       // them), fingerprints + winnowing sketches pinned against an
@@ -1208,6 +1228,12 @@ FROM documents ORDER BY doc_id""",
       """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
   WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
   WHEN 3 THEN 'es' ELSE 'zh' END AS lang_pred
+FROM documents ORDER BY doc_id""",
+    "language_id_ft" ->
+      """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+  WHEN 3 THEN 'es' ELSE 'it' END AS ft_lang,
+  TRUE AS ft_keep
 FROM documents ORDER BY doc_id""",
     "fingerprint_exact" ->
       """SELECT doc_id,

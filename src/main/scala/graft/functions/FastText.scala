@@ -177,6 +177,19 @@ object FastTextModel {
       labels.toArray, nWords, inputM, outputM)
   }
 
+  /** The committed self-trained fixture model (13 KB, 5 European languages,
+    * word-level: minn=maxn=bucket=0). Trained and serialized by
+    * tools/gen_fasttext_model.py (fixed seed, self-authored corpus — see the
+    * script header for provenance); loading it here exercises the REAL .bin
+    * loader + mean-of-input-vectors → output matmul → softmax path that a
+    * production lid.176.bin would take (utils/lid.py:53-59). */
+  lazy val fixture: FastTextModel = {
+    val res = getClass.getResourceAsStream("/graft/lid.mini.bin")
+    require(res != null, "lid.mini.bin resource missing")
+    val in = new DataInputStream(new java.io.BufferedInputStream(res, 1 << 16))
+    try loadFrom(in) finally in.close()
+  }
+
   private def readFloats(in: InputStream, n: Int): Array[Float] = {
     val bytes = new Array[Byte](n * 4)
     var off = 0

@@ -75,6 +75,24 @@ class FastTextSpec extends AnyFunSuite {
     assert(FastTextModel.hash("a") == (h.toLong & 0xffffffffL))
   }
 
+  test("committed self-trained fixture model loads and classifies 5 languages") {
+    val m = FastTextModel.fixture
+    assert(m.dim == 16 && m.bucket == 0 && m.minn == 0)
+    assert(m.labels.toSeq == Seq("de", "en", "es", "fr", "it").map("__label__" + _))
+    val cases = Seq(
+      "the quiet market and the bright garden of the village in the morning" -> "en",
+      "le marché était calme ce matin et les enfants dans la rue près du pont" -> "fr",
+      "der markt war heute ruhig und die kinder auf der straße nähe brücke" -> "de",
+      "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente" -> "es",
+      "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte" -> "it")
+    for ((text, want) <- cases) {
+      val (lang, score, all) = m.predict(text)
+      assert(lang == want, s"'$text' -> $lang ($score)")
+      assert(score > 0.65, s"'$text' score $score below the LanguageFilter bar")
+      assert(math.abs(all.values.sum - 1.0) < 1e-6)
+    }
+  }
+
   test("drops into the LanguageFilter via the Lid seam") {
     val lf = new graft.operators.LanguageFilter(
       languages = Some(Seq("en")), lid = model)
