@@ -911,6 +911,191 @@ object SparkEntry {
         .select(col("doc_id"), col("r._1").as("ft_lang"), col("r._2").as("ft_keep"))
         .orderBy("doc_id")
     }),
+    "line_stats" -> ((s, dir) => {
+      // stats/line_stats.py metrics over hand-computable planted texts;
+      // float ratios quantized to x1e6 longs (identical IEEE ops both sides)
+      val planted = plantedVariants(Seq(
+        "One. Two!\nAbc def.\n• point\nxx",
+        "ab " * 26 + "end",
+        "- item one\n- item two\nDone.",
+        "•\n-"))
+      StatsOps.lineStats(documents(s, dir).withColumn("text", planted))
+        .select(col("doc_id"), col("n_lines"),
+          rint(col("avg_line_length") * 1e6).cast("long").as("avg_line_len_q"),
+          rint(col("short_line_ratio_chars_10") * 1e6).cast("long").as("short_q"),
+          rint(col("long_line_ratio_chars_66") * 1e6).cast("long").as("long_q"),
+          rint(col("lines_ending_with_terminal_mark_ratio") * 1e6).cast("long").as("terminal_q"),
+          rint(col("bullet_point_lines_ratio") * 1e6).cast("long").as("bullet_q"))
+        .orderBy("doc_id")
+    }),
+    "sentence_stats" -> ((s, dir) => {
+      // stats/sentence_stats.py over planted texts with unambiguous
+      // sentence boundaries for the deterministic splitter
+      val planted = plantedVariants(Seq(
+        "Hello there. How are you? Fine!",
+        "no terminal punctuation here",
+        "One two three. And more...",
+        "A. B. C. D."))
+      StatsOps.sentenceStats(documents(s, dir).withColumn("text", planted))
+        .select(col("doc_id"), col("n_sentences"),
+          rint(col("avg_sentence_length") * 1e6).cast("long").as("avg_sentence_len_q"))
+        .orderBy("doc_id")
+    }),
+    "paragraph_stats" -> ((s, dir) => {
+      val planted = plantedVariants(Seq(
+        "Para one.\n\nPara two longer here.\n\nP3",
+        "Single paragraph only",
+        "A\n\nB\n\nC\n\nD",
+        "aa bb\n\ncc dd ee"))
+      StatsOps.paragraphStats(documents(s, dir).withColumn("text", planted))
+        .select(col("doc_id"), col("n_paragraphs"),
+          rint(col("avg_paragraph_length") * 1e6).cast("long").as("avg_para_len_q"))
+        .orderBy("doc_id")
+    }),
+    "contamination_stats" -> ((s, dir) => {
+      // stats/contamination_stats.py — target-word frequency (case-folded)
+      val planted = plantedVariants(Seq(
+        "lorem ipsum dolor sit amet",
+        "clean text with no bad words here",
+        "Lorem LOREM xyz",
+        "ipsum"))
+      StatsOps.wordsContamination(
+          documents(s, dir).withColumn("text", planted), Seq("lorem", "ipsum"))
+        .select(col("doc_id"),
+          rint(col("words_contamination_ratio") * 1e6).cast("long").as("contamination_q"))
+        .orderBy("doc_id")
+    }),
+    "classifier_filter" -> ((s, dir) => {
+      // paragraph-granularity span REWRITE (fasttext_filter.py:96-112) with
+      // a deterministic scorer behind the classifier seam: keep units
+      // containing "good"; all spans failing drops the doc
+      val planted = plantedVariants(Seq(
+        "good line one\nbad line\ngood two",
+        "bad\nworse",
+        "good only",
+        "good start\ngood end"))
+      val stage = ClassifierFilter.stage("cls",
+        t => Map("keep" -> (if (t.contains("good")) 1.0 else 0.0)),
+        keepLabels = Seq(("keep", 0.5)),
+        granularity = ClassifierFilter.Paragraph)
+      val u = udf { t: String =>
+        val ctx = new StageContext(0, PipelineConfig())
+        val d = stage.process(PipeDoc(null, null, t, "", "", 0.0, 0L, true, "", ""), ctx)
+        (d.keep, d.text, d.drop_reason)
+      }
+      documents(s, dir).select(col("doc_id"), u(planted).as("r"))
+        .select(col("doc_id"), col("r._1").as("cls_keep"),
+          col("r._2").as("cls_text"), col("r._3").as("cls_reason"))
+        .orderBy("doc_id")
+    }),
+    "regex_filter" -> ((s, dir) => {
+      // filters/regex_filter.py — drop on match; word-boundary + case
+      // sensitivity exercised by the planted variants
+      val planted = plantedVariants(Seq(
+        "contains badword here",
+        "totally clean content",
+        "BADWORD uppercase does not match",
+        "edge badwords plural"))
+      val rf = new RegexFilter("\\bbadword\\b")
+      val u = udf { t: String => rf.check(t).getOrElse("") }
+      documents(s, dir).select(col("doc_id"), u(planted).as("regex_reason"))
+        .withColumn("regex_keep", col("regex_reason") === "")
+        .orderBy("doc_id")
+    }),
+    "sampler_filter" -> ((s, dir) => {
+      // filters/sampler_filter.py at its deterministic endpoints: rate=1
+      // keeps all, rate=0 drops all (nextDouble() in [0,1)); the mid-rate
+      // distribution itself is seeded-RNG and unit-tested, not oracle-able
+      val s1 = Stages.sampler(1.0)
+      val s0 = Stages.sampler(0.0)
+      val u = udf { t: String =>
+        val ctx = new StageContext(0, PipelineConfig())
+        val d = PipeDoc(null, null, t, "", "", 0.0, 0L, true, "", "")
+        (s1.process(d, ctx).keep, s0.process(d, ctx).keep)
+      }
+      documents(s, dir).select(col("doc_id"), u(col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("keep_rate1"), col("r._2").as("keep_rate0"))
+        .orderBy("doc_id")
+    }),
+    "hard_sampler_frac" -> ((s, dir) => {
+      // hardTopP's full config surface (hard_sampler.py:10-47): top_p as a
+      // doc-count fraction, a token-mass fraction, and lowest-first
+      val base = documents(s, dir)
+        .withColumn("score", col("doc_id"))
+        .withColumn("tokens", tokenCountCol(col("text")))
+      val docKept = Sampling.hardTopP(base, "score", 0.25, "doc")
+        .select(col("doc_id"), lit(true).as("k1"))
+      val tokKept = Sampling.hardTopP(base, "score", 0.3, "token", "tokens")
+        .select(col("doc_id"), lit(true).as("k2"))
+      val lowKept = Sampling.hardTopP(base, "score", 0.1, "doc", highest = false)
+        .select(col("doc_id"), lit(true).as("k3"))
+      base.select("doc_id")
+        .join(docKept, Seq("doc_id"), "left")
+        .join(tokKept, Seq("doc_id"), "left")
+        .join(lowKept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("k1"), lit(false)).as("keep_doc_frac"),
+          coalesce(col("k2"), lit(false)).as("keep_token_frac"),
+          coalesce(col("k3"), lit(false)).as("keep_doc_low"))
+        .orderBy("doc_id")
+    }),
+    "c4_quality_sent" -> ((s, dir) => {
+      // C4's sentence-unit mode (split_paragraph=False, c4_filters.py:63,89):
+      // units from the deterministic splitter, +1 numSentences per kept
+      // unit, " "-join on output
+      val planted = plantedVariants(Seq(
+        "This is the first good sentence here. And here is another proper sentence.",
+        "One good sentence is right here. Another fine sentence is here too. trailing fragment no punct",
+        "Just one sentence here.",
+        "The result was shown[1] in the paper. A second sentence confirms the claim.",
+        "Tiny one. This proper sentence has many words in it. Also this second one has enough words."))
+      val cfg = C4QualityConfig(splitParagraph = false, minNumSentences = 2)
+      val u = udf { t: String =>
+        C4QualityFilter.check(t, cfg) match {
+          case Right(rewritten) => (true, rewritten, "")
+          case Left(reason) => (false, "", reason)
+        }
+      }
+      documents(s, dir).select(col("doc_id"), u(planted).as("r"))
+        .select(col("doc_id"), col("r._1").as("c4s_keep"),
+          col("r._2").as("c4s_text"), col("r._3").as("c4s_reason"))
+        .orderBy("doc_id")
+    }),
+    "minhash_dedup_index" -> ((s, dir) => {
+      // index-mode minhash (minhash.py:290-314,419-474): index built from
+      // the even-group half of the synthetic dup corpus; a doc sharing any
+      // (bucket, sig) with the index is dropped. Group parity == doc parity
+      // (group stride 100 is even), so in-index membership is SQL-derivable
+      implicit val sp: SparkSession = s
+      val docs = syntheticDupDocs(s, dir)
+      val idx = MinhashDedup.buildIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      val strict = MinhashDedup.dedupWithIndex(docs, "doc_id", "text", idx)
+        .select(col("doc_id"), col("minhash_keep").as("keep_index_only"))
+      val loose = MinhashDedup.dedupWithIndex(docs, "doc_id", "text", idx,
+          onlyDedupInIndex = false)
+        .select(col("doc_id"), col("minhash_keep").as("keep_with_corpus"),
+          col("minhash_cluster"))
+      strict.join(loose, Seq("doc_id"))
+        .select("doc_id", "keep_index_only", "keep_with_corpus", "minhash_cluster")
+        .orderBy("doc_id")
+    }),
+    "url_dedup_index" -> ((s, dir) => {
+      // index-mode url dedup (url_dedup.py index_folder): index holds url
+      // keys 0..9; strict mode drops exactly those, loose mode adds the
+      // within-corpus best-priority rule on top
+      val docs = documents(s, dir)
+        .withColumn("url2", (col("doc_id") % 37).cast("string"))
+        .withColumn("priority", col("doc_id") % 5)
+      val idx = docs.where(col("doc_id") % 37 < 10).select(col("url2").as("iurl"))
+      val strict = UrlDedup.withIndex(docs, "url2", "doc_id", "priority", idx, "iurl")
+        .select(col("doc_id"), col("url_keep").as("keep_index_only"))
+      val loose = UrlDedup.withIndex(docs, "url2", "doc_id", "priority", idx, "iurl",
+          onlyDedupInIndex = false)
+        .select(col("doc_id"), col("url_keep").as("keep_with_corpus"), col("url_dup_rep"))
+      strict.join(loose, Seq("doc_id"))
+        .select("doc_id", "keep_index_only", "keep_with_corpus", "url_dup_rep")
+        .orderBy("doc_id")
+    }),
     "fingerprint_exact" -> ((s, dir) => {
       // planted pre-normalized texts (simplify_text is the identity on
       // them), fingerprints + winnowing sketches pinned against an
@@ -1235,6 +1420,93 @@ FROM documents ORDER BY doc_id""",
   WHEN 3 THEN 'es' ELSE 'it' END AS ft_lang,
   TRUE AS ft_keep
 FROM documents ORDER BY doc_id""",
+    "line_stats" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END AS n_lines,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 6500000 WHEN 1 THEN 81000000 WHEN 2 THEN 8333333 ELSE 1000000 END AS avg_line_len_q,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1000000 WHEN 1 THEN 0 WHEN 2 THEN 1000000 ELSE 1000000 END AS short_q,
+  CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 1000000 ELSE 0 END AS long_q,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 500000 WHEN 2 THEN 333333 ELSE 0 END AS terminal_q,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 250000 WHEN 2 THEN 666667 WHEN 3 THEN 1000000 ELSE 0 END AS bullet_q
+FROM documents ORDER BY doc_id""",
+    "sentence_stats" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 4 END AS n_sentences,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10333333 WHEN 1 THEN 28000000 WHEN 2 THEN 13000000 ELSE 2750000 END AS avg_sentence_len_q
+FROM documents ORDER BY doc_id""",
+    "paragraph_stats" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 4 ELSE 2 END AS n_paragraphs,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10666667 WHEN 1 THEN 21000000 WHEN 2 THEN 1000000 ELSE 6500000 END AS avg_para_len_q
+FROM documents ORDER BY doc_id""",
+    "contamination_stats" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 400000 WHEN 1 THEN 0 WHEN 2 THEN 666667 ELSE 1000000 END AS contamination_q
+FROM documents ORDER BY doc_id""",
+    "classifier_filter" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS INT) <> 1 AS cls_keep,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'good line one' || chr(10) || 'good two'
+    WHEN 1 THEN 'bad' || chr(10) || 'worse'
+    WHEN 2 THEN 'good only'
+    ELSE 'good start' || chr(10) || 'good end' END AS cls_text,
+  CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 'classifier_all_spans' ELSE '' END AS cls_reason
+FROM documents ORDER BY doc_id""",
+    "regex_filter" ->
+      """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'regex' ELSE '' END AS regex_reason,
+  CAST(doc_id % 4 AS INT) <> 0 AS regex_keep
+FROM documents ORDER BY doc_id""",
+    "sampler_filter" ->
+      """SELECT doc_id, TRUE AS keep_rate1, FALSE AS keep_rate0
+FROM documents ORDER BY doc_id""",
+    "hard_sampler_frac" ->
+      """WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS tokens,
+    count(*) OVER () AS n
+  FROM documents
+), r AS (
+  SELECT doc_id, tokens, n,
+    row_number() OVER (ORDER BY doc_id DESC) AS rn_hi,
+    row_number() OVER (ORDER BY doc_id ASC) AS rn_lo,
+    sum(tokens) OVER (ORDER BY doc_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_hi,
+    sum(tokens) OVER () AS tot
+  FROM t
+)
+SELECT doc_id,
+  rn_hi <= CAST(floor(CAST(0.25 AS DOUBLE) * n) AS BIGINT) AS keep_doc_frac,
+  run_hi - tokens < CAST(floor(CAST(0.3 AS DOUBLE) * tot) AS BIGINT) AS keep_token_frac,
+  rn_lo <= CAST(floor(CAST(0.1 AS DOUBLE) * n) AS BIGINT) AS keep_doc_low
+FROM r ORDER BY doc_id""",
+    "c4_quality_sent" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS INT) <> 2 AS c4s_keep,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'This is the first good sentence here. And here is another proper sentence.'
+    WHEN 1 THEN 'One good sentence is right here. Another fine sentence is here too.'
+    WHEN 2 THEN ''
+    WHEN 3 THEN 'The result was shown in the paper. A second sentence confirms the claim.'
+    ELSE 'This proper sentence has many words in it. Also this second one has enough words.' END AS c4s_text,
+  CASE CAST(doc_id % 5 AS INT) WHEN 2 THEN 'too_few_sentences' ELSE '' END AS c4s_reason
+FROM documents ORDER BY doc_id""",
+    "minhash_dedup_index" ->
+      """WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 100) AS rep FROM documents
+)
+SELECT doc_id, doc_id % 2 = 1 AS keep_index_only,
+  doc_id % 2 = 1 AND doc_id = rep AS keep_with_corpus,
+  rep AS minhash_cluster
+FROM g ORDER BY doc_id""",
+    "url_dedup_index" ->
+      """WITH t AS (
+  SELECT doc_id, doc_id % 37 AS k, doc_id % 5 AS p FROM documents
+), b AS (
+  SELECT k, min_by(doc_id, doc_id - p * 10000000) AS rep FROM t GROUP BY k
+)
+SELECT t.doc_id, t.k >= 10 AS keep_index_only,
+  t.k >= 10 AND t.doc_id = b.rep AS keep_with_corpus,
+  b.rep AS url_dup_rep
+FROM t JOIN b ON t.k = b.k ORDER BY t.doc_id""",
     "fingerprint_exact" ->
       """SELECT doc_id,
   CASE CAST(doc_id % 4 AS INT)
