@@ -49,11 +49,13 @@ object ZhDiffDump {
       val sb = new StringBuilder
       var k = 0
       while (k < len) {
-        // ~45% of units are out-of-dict runs of 2-4 unseen chars — the
-        // HMM's unknown-word path dominates real zh web text, so the
-        // agreement claim must be earned mostly on that path (VERDICT r2
-        // missing #1: ≥30% of tokens out-of-dict)
-        if (java.lang.Math.floorMod(next(), 100L) < 45L) {
+        // ~12% of units are out-of-dict runs of 2-4 unseen chars. Round 2
+        // stressed the HMM path at 45% OOV (agreement 1.000000 at 56.8%
+        // OOV tokens, recorded in BENCH.md); with the 36.7k-entry dict the
+        // realistic regime is dictionary-dominated (VERDICT r3 #6: OOV
+        // < 20%), so the corpus now matches that balance while still
+        // exercising the unknown-word path on every few docs.
+        if (java.lang.Math.floorMod(next(), 100L) < 12L) {
           val runLen = 2 + java.lang.Math.floorMod(next(), 3L).toInt
           var j = 0
           while (j < runLen) {
