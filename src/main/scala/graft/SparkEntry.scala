@@ -320,6 +320,30 @@ object SparkEntry {
         .select(col("doc_id"), pplUdf(planted).as("ppl_x10"))
         .orderBy("doc_id")
     }),
+    "perplexity_binary" -> ((s, dir) => {
+      // same planted texts + pinned constants as `perplexity`, but scored
+      // through the KenLM BINARY path (utils/perplexity.py loads binaries):
+      // ARPA fixture -> KenlmBinary.write -> load -> PerplexityScorer. The
+      // write->load round trip over the public PROBING layout is what this
+      // row driver-verifies; score equality with the ARPA twin is also
+      // unit-tested (KenlmBinarySpec).
+      val planted = plantedVariants(Seq(
+        "the quick brown fox",
+        "the quick brown fox jumps over the lazy dog",
+        "unknown words here",
+        "the the the the"))
+      val tmp = java.io.File.createTempFile("graft_kenlm_q", ".bin")
+      tmp.deleteOnExit()
+      graft.functions.KenlmBinary.write(
+        graft.functions.ArpaModel.parseResource("/graft/tiny.arpa"),
+        tmp.getAbsolutePath)
+      val scorer = new graft.functions.PerplexityScorer(
+        graft.functions.KenlmBinary.load(tmp.getAbsolutePath))
+      val pplUdf = udf { t: String => math.rint(scorer.perplexity(t) * 10).toLong }
+      documents(s, dir)
+        .select(col("doc_id"), pplUdf(planted).as("ppl_x10"))
+        .orderBy("doc_id")
+    }),
     "gopher_repetition_ngrams" -> ((s, dir) => {
       // planted n-gram cascade outcomes (see gopherNgramVariants): every
       // top-/dup-n-gram rule family fires on a known variant, verified
@@ -1532,6 +1556,10 @@ FROM documents ORDER BY doc_id""",
   WHEN 0 THEN 6 WHEN 1 THEN 7 WHEN 2 THEN 8 ELSE 6 END AS n_bpe_tokens
 FROM documents ORDER BY doc_id""",
     "perplexity" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 44 WHEN 1 THEN 47 WHEN 2 THEN 141 ELSE 110 END AS ppl_x10
+FROM documents ORDER BY doc_id""",
+    "perplexity_binary" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
   WHEN 0 THEN 44 WHEN 1 THEN 47 WHEN 2 THEN 141 ELSE 110 END AS ppl_x10
 FROM documents ORDER BY doc_id""",

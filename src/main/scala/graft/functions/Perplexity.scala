@@ -63,10 +63,21 @@ object CcNetNormalizer {
   }
 }
 
+/** Line scorer seam: Σ log10 P over a line's tokens (KenLM Model.score
+  * semantics). Implemented by the ARPA text model and the KenLM-binary
+  * loader's [[KenlmModel]], so [[PerplexityScorer]] runs over either. */
+trait LineScorer extends Serializable {
+  def score(line: String): Double
+}
+
 /** ARPA text-format n-gram backoff language model (log10 probabilities). */
 final class ArpaModel(
     ngrams: Array[java.util.HashMap[String, (Float, Float)]], // index = order-1
-    val order: Int) extends Serializable {
+    val order: Int) extends LineScorer {
+
+  /** Raw (prob, backoff) tables by order — used by [[KenlmBinary]] to
+    * serialize the model into the KenLM binary layout. */
+  private[functions] def ngramMaps: Array[java.util.HashMap[String, (Float, Float)]] = ngrams
 
   private def lookup(tokens: Array[String], from: Int, until: Int): Option[(Float, Float)] = {
     val key = tokens.slice(from, until).mkString(" ")
@@ -153,7 +164,7 @@ object ArpaModel {
 
 /** Document perplexity scorer (utils/perplexity.py:123-139). */
 final class PerplexityScorer(
-    model: ArpaModel,
+    model: LineScorer,
     tokenize: String => String = identity,
     normalizeCcNet: Boolean = true) extends Serializable {
 
