@@ -152,7 +152,18 @@ object Tokenizer {
     "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "fig",
     "gen", "col", "capt", "sgt", "rev", "hon", "approx", "dept", "est",
     "inc", "ltd", "co", "mt", "ave", "blvd", "rd", "univ", "assn", "bros",
-    "vol", "pp", "para", "sec", "chap", "al", "ed", "eds", "op", "cit")
+    "vol", "pp", "para", "sec", "chap", "al", "ed", "eds", "op", "cit",
+    // months/weekdays (entries that double as common English words —
+    // may, mar, sun, sat, wed, no — are deliberately EXCLUDED: a
+    // deterministic list can't disambiguate "the sun." the way a trained
+    // punkt model does, and a false merge is worse than a false split)
+    "jan", "feb", "apr", "jun", "jul", "aug", "sep", "sept", "oct", "nov",
+    "dec", "mon", "tue", "tues", "thu", "thur", "thurs", "fri",
+    // titles/honorifics and citation forms
+    "gov", "atty", "supt", "det", "sen", "rep", "pres", "cmdr", "lt",
+    "maj", "adm", "msgr", "messrs", "mme", "mmes", "cf", "viz", "resp",
+    "corp", "dist", "div", "hwy", "apt", "ste", "dept", "acad", "assoc",
+    "bldg", "intl", "natl", "mfg")
 
   /** True when the terminal run [runStart, runEnd) is a lone '.' whose
     * preceding letters-only token is a known abbreviation or single letter
@@ -167,15 +178,38 @@ object Tokenizer {
     else Abbrevs.contains(word.toLowerCase)
   }
 
+  /** True when [runStart, runEnd) is an ellipsis-like run: contains '…' or
+    * two-plus '.' — punkt treats these as sentence-internal unless the next
+    * token carries orthographic start-of-sentence evidence. */
+  private def isEllipsisRun(text: String, runStart: Int, runEnd: Int): Boolean = {
+    var dots = 0
+    var i = runStart
+    while (i < runEnd) {
+      val c = text.charAt(i)
+      if (c == '…') return true
+      if (c == '.') dots += 1
+      i += 1
+    }
+    dots >= 2
+  }
+
+  @inline private def isOpener(c: Char): Boolean =
+    c == '"' || c == '\'' || c == '“' || c == '‘' || c == '(' ||
+    c == '[' || c == '«' || c == '「' || c == '『'
+
   /** Deterministic sentence spans (trimmed [start, end) offsets into `text`):
     * a boundary is a run of terminal punctuation [.!?…。！？] + optional
     * closing quotes/brackets followed by whitespace-or-end, with an
-    * abbreviation guard on lone '.'. A documented approximation of the
-    * reference's nltk/spaCy sentence models (sentence_dedup.py:134). NOTE:
-    * this is stricter than sentenceCount — the abbreviation guard and the
-    * whitespace-follows requirement are absent there (sentenceCount mirrors
-    * the quality filters' simpler counting and must stay diff-harness
-    * compatible), so the two can disagree on e.g. "Dr. Smith arrived." */
+    * abbreviation guard on lone '.' and a punkt-style orthographic guard on
+    * ellipses ("…"/"..." continue the sentence unless the next token starts
+    * with an uppercase letter or digit — nltk punkt's sentence-starter
+    * evidence, deterministically approximated). A documented approximation
+    * of the reference's nltk/spaCy sentence models (sentence_dedup.py:134).
+    * NOTE: this is stricter than sentenceCount — the abbreviation,
+    * whitespace-follows, and ellipsis guards are absent there
+    * (sentenceCount mirrors the quality filters' simpler counting and must
+    * stay diff-harness compatible), so the two can disagree on e.g.
+    * "Dr. Smith arrived." */
   def sentenceSpans(text: String): Array[(Int, Int)] = {
     val bounds = new ArrayBuffer[Int]()
     val n = text.length
@@ -187,8 +221,18 @@ object Tokenizer {
         while (j < n && isTerminal(text.charAt(j))) j += 1
         var k = j
         while (k < n && isCloser(text.charAt(k))) k += 1
-        if ((k >= n || PyText.pyIsSpace(text.charAt(k))) && !isAbbrevDot(text, runStart, j))
-          bounds += k
+        val boundary = (k >= n || PyText.pyIsSpace(text.charAt(k))) &&
+          !isAbbrevDot(text, runStart, j) && {
+            if (k < n && isEllipsisRun(text, runStart, j)) {
+              // orthographic evidence check past whitespace and openers
+              var m = k
+              while (m < n && PyText.pyIsSpace(text.charAt(m))) m += 1
+              while (m < n && isOpener(text.charAt(m))) m += 1
+              m >= n || Character.isUpperCase(text.charAt(m)) ||
+                Character.isDigit(text.charAt(m))
+            } else true
+          }
+        if (boundary) bounds += k
         i = k
       } else i += 1
     }
