@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Stage-level timing breakdown for the ANN oracle queries — used to
+  * attribute their bench cost to plan phases (hashing, bucket join, pair
+  * dedup, vector join-back, ranking) rather than guessing. */
+object AnnProfile {
+  def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[ann-profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    implicit val spark: SparkSession = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: String): Unit = {
+      val fn = SparkEntry.queries(name)
+      // warmup (plan compile + codegen)
+      fn(spark, dir.replace("sf0.1", "sf0.001")).write.format("noop").mode("overwrite").save()
+      t(s"$name full (1)") { fn(spark, dir).write.format("noop").mode("overwrite").save() }
+      t(s"$name full (2)") { fn(spark, dir).write.format("noop").mode("overwrite").save() }
+    }
+    run("ann_lsh_topk_exact")
+    run("ann_ivf_topk_exact")
+    run("cosine_near_dup")
+
+    // stage breakdown of the lsh query's internals at this sf
+    val vecUdf = udf { g: Long =>
+      var st = g * 0x9e3779b97f4a7c15L + 7L
+      def next(): Long = {
+        st += 0x9e3779b97f4a7c15L
+        var z = st
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
+    }
+    val df: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
+    t("input count") { df.count() }
+    t("lshTopK build+run") {
+      Similarity.lshTopK(df, "doc_id", "embedding", 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("lshTopK again (same session)") {
+      Similarity.lshTopK(df, "doc_id", "embedding", 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // internal decomposition (mirrors lshTopK's stages)
+    import org.apache.spark.sql.expressions.Window
+    val dim = t("dim first()") { df.select(size(col("embedding"))).first().getInt(0) }
+    val planes = spark.sparkContext.broadcast(
+      Similarity.hyperplanes(dim, 64, 42L))
+    val bucketUdf = udf { vec: Seq[Float] =>
+      val p = planes.value
+      val bits = new Array[Boolean](p.length)
+      var i = 0
+      while (i < p.length) {
+        var dot = 0.0
+        val plane = p(i)
+        var j = 0
+        while (j < plane.length && j < vec.length) { dot += plane(j) * vec(j); j += 1 }
+        bits(i) = dot >= 0
+        i += 1
+      }
+      (0 until 8).map { b =>
+        var key = 0L
+        var j = 0
+        while (j < 8) { key = (key << 1) | (if (bits(b * 8 + j)) 1L else 0L); j += 1 }
+        (b.toLong << 32) | key
+      }.toArray
+    }
+    val base = df.select(col("doc_id").as("__qid"),
+      col("embedding").cast("array<float>").as("__qv"))
+    val bucketed = base
+      .select(col("__qid"), explode(bucketUdf(col("__qv"))).as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("embedding only count") { df.select(col("embedding")).count() }
+    t("bucketUdf no explode") { df.select(bucketUdf(col("embedding"))).count() }
+    t("explode no persist") {
+      base.select(col("__qid"), explode(bucketUdf(col("__qv"))).as("__bucket")).count()
+    }
+    t("bucketed materialize") { bucketed.count() }
+    t("forced udf eval (sum of sizes)") {
+      base.select(bucketUdf(col("__qv")).as("__arr"))
+        .agg(sum(size(col("__arr")))).first()
+    }
+    t("trivial udf forced (v.length)") {
+      val triv = udf { v: Seq[Float] => v.length }
+      base.select(triv(col("__qv")).as("n")).agg(sum(col("n"))).first()
+    }
+    locally {
+      val plainPlanes = Similarity.hyperplanes(dim, 64, 42L)
+      val bucketUdfPlain = udf { vec: Seq[Float] =>
+        val p = plainPlanes
+        val bits = new Array[Boolean](p.length)
+        var i = 0
+        while (i < p.length) {
+          var dot = 0.0
+          val plane = p(i)
+          var j = 0
+          while (j < plane.length && j < vec.length) { dot += plane(j) * vec(j); j += 1 }
+          bits(i) = dot >= 0
+          i += 1
+        }
+        (0 until 8).map { b =>
+          var key = 0L
+          var j = 0
+          while (j < 8) { key = (key << 1) | (if (bits(b * 8 + j)) 1L else 0L); j += 1 }
+          (b.toLong << 32) | key
+        }.toArray
+      }
+      t("bucketUdf no broadcast forced") {
+        base.select(bucketUdfPlain(col("__qv")).as("__arr"))
+          .agg(sum(size(col("__arr")))).first()
+      }
+      val bucketUdfArr = udf { vec: Array[Float] =>
+        val p = plainPlanes
+        val bits = new Array[Boolean](p.length)
+        var i = 0
+        while (i < p.length) {
+          var dot = 0.0
+          val plane = p(i)
+          var j = 0
+          while (j < plane.length && j < vec.length) { dot += plane(j) * vec(j); j += 1 }
+          bits(i) = dot >= 0
+          i += 1
+        }
+        Array.tabulate(8) { b =>
+          var key = 0L
+          var j = 0
+          while (j < 8) { key = (key << 1) | (if (bits(b * 8 + j)) 1L else 0L); j += 1 }
+          (b.toLong << 32) | key
+        }
+      }
+      t("bucketUdf Array[Float] input forced") {
+        base.select(bucketUdfArr(col("__qv")).as("__arr"))
+          .agg(sum(size(col("__arr")))).first()
+      }
+    }
+    t("driver-side 5000x raw kernel") {
+      val p = planes.value
+      var r = 0L
+      var g = 0L
+      while (g < 5000) {
+        var st = (g / 5) * 0x9e3779b97f4a7c15L + 7L
+        def next(): Long = {
+          st += 0x9e3779b97f4a7c15L
+          var z = st
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        val vec = Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
+        val bits = new Array[Boolean](p.length)
+        var i = 0
+        while (i < p.length) {
+          var dot = 0.0
+          val plane = p(i)
+          var j = 0
+          while (j < plane.length && j < vec.length) { dot += plane(j) * vec(j); j += 1 }
+          bits(i) = dot >= 0
+          i += 1
+        }
+        r += (if (bits(0)) 1 else 0)
+        g += 1
+      }
+      r
+    }
+    val pairs = bucketed
+      .join(bucketed.withColumnRenamed("__qid", "neighbor"), Seq("__bucket"))
+      .where(col("__qid") =!= col("neighbor"))
+      .select("__qid", "neighbor")
+      .dropDuplicates("__qid", "neighbor")
+    t("pairs count") { pairs.count() }
+    val nside = base.select(col("__qid").as("neighbor"), col("__qv").as("__nv"))
+    t("pairs+joinback count") {
+      pairs.join(base, Seq("__qid")).join(nside, Seq("neighbor")).count()
+    }
+    val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
+    t("full rank write") {
+      pairs.join(base, Seq("__qid")).join(nside, Seq("neighbor"))
+        .withColumn("cosine", lit(1.0))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

@@ -31,7 +31,11 @@ object Similarity {
   /** dot(a,b)/(na*nb) with precomputed norms — the norms are computed once
     * per row (not per pair) and the left-to-right double accumulation stays
     * bit-identical to the oracle's per-pair formula. */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  // Array[Float] (not Seq[Float]) parameters: Spark 4's Seq deserializer
+  // hands the UDF a LINEAR sequence, turning every indexed inner loop into
+  // O(n^2) boxed pointer chasing — measured 23x slower on the 64-dim LSH
+  // bucket kernel (AnnProfile). Array keeps the primitive fast path.
+  private val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -114,7 +118,7 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes from a seed. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     var s = seed
     def next(): Long = {
       s += 0x9e3779b97f4a7c15L
@@ -142,7 +146,7 @@ object Similarity {
     val nb = bands
     val bpb = bitsPerBand
 
-    val bucketUdf = udf { vec: Seq[Float] =>
+    val bucketUdf = udf { vec: Array[Float] =>
       val p = planes.value
       val bits = new Array[Boolean](p.length)
       var i = 0
@@ -281,8 +285,8 @@ object Similarity {
     val cents = spark.sparkContext.broadcast(trainCentroids(sample, nLists, kmeansIters))
     val np = nProbe
 
-    val cellUdf = udf { v: Seq[Float] => nearestCentroid(v.toArray, cents.value) }
-    val probeUdf = udf { v: Seq[Float] => nearestCells(v.toArray, cents.value, np) }
+    val cellUdf = udf { v: Array[Float] => nearestCentroid(v, cents.value) }
+    val probeUdf = udf { v: Array[Float] => nearestCells(v, cents.value, np) }
 
     val base = df.select(col(idCol).as("__id"),
       col(vecCol).cast("array<float>").as("__v"), normCol(col(vecCol)).as("__n"))
