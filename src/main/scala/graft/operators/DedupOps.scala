@@ -253,7 +253,11 @@ object SentenceDedup {
     val splitSent = cfg.splitSentences
 
     val minWordsSpan = cfg.minWordsToRemoveSpan
-    val rewrite = udf { (text0: String, dupSents: Seq[Int]) =>
+    val rewrite = udf { (text0: String, dupSents0: Seq[Int]) =>
+      // materialize once: Spark's Seq deserializer can hand a LINEAR
+      // sequence, and dupSents is random-accessed in the unit loop below —
+      // a mass-duplicated doc (thousands of dup windows) would go quadratic
+      val dupSents: Array[Int] = if (dupSents0 == null) Array.empty else dupSents0.toArray
       // a null-text row never has dup windows, so the __touched guard keeps
       // its original value — but the udf is still evaluated and must not NPE
       val text = if (text0 == null) "" else text0
