@@ -649,6 +649,48 @@ object SparkEntry {
       graft.sources.HfDatasetWriter.write(df.repartition(4), out)
       graft.sources.HfDatasetReader.read(s, out).orderBy("doc_id")
     }),
+    "csv_roundtrip" -> ((s, dir) => {
+      // CsvReader (readers/csv.py) over a real write->read round trip:
+      // corpus text is newline-free words, so CSV quoting is exercised but
+      // lossless; identity oracle catches any header/quote/row corruption
+      val out = scratchDir("csv_roundtrip")
+      documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+        .repartition(2)
+        .write.option("header", "true").mode("overwrite").csv(out)
+      graft.sources.Readers.csv(s, out,
+          graft.sources.Readers.Adapter(idCol = Some("doc_id")))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("source"), col("id"))
+        .withColumn("id_matches_doc", col("id") === col("doc_id").cast("string"))
+        .drop("id")
+        .orderBy("doc_id")
+    }),
+    "ipc_roundtrip" -> ((s, dir) => {
+      // Arrow IPC reader (readers/ipc.py) over real stream-format shard
+      // files (emitted by the HF writer); identity oracle
+      val out = scratchDir("ipc_roundtrip")
+      val df = documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      graft.sources.HfDatasetWriter.write(df.repartition(2), out)
+      val paths = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted.toSeq
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("source", "string")
+      graft.sources.IpcReader.read(s, paths, schema, stream = true).orderBy("doc_id")
+    }),
+    "sentence_dedup_index" -> ((s, dir) => {
+      // index-mode sentence dedup (sentence_dedup.py index_folder): the
+      // index holds the even-group 3-line docs; any corpus doc whose window
+      // hash appears in the index loses that window (the index always wins),
+      // so even-group docs empty out and odd-group docs pass untouched
+      implicit val sp: SparkSession = s
+      val threeLine = syntheticDupDocs(s, dir)
+        .withColumn("text", concat(col("text"), lit("\nmid "), col("text"),
+          lit("\n"), col("text"), lit(" end")))
+      val idx = threeLine.where(col("doc_id") % 2 === 0).select(col("text").as("itext"))
+      SentenceDedup.withIndex(threeLine, "doc_id", "text", idx, "itext")
+        .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
+        .orderBy("doc_id")
+    }),
     "sentence_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       SentenceDedup(documents(s, dir), "doc_id", "text")
@@ -1622,6 +1664,15 @@ FROM g ORDER BY doc_id""",
 ), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
 SELECT doc_id, rep AS simhash_cluster, doc_id = rep AS simhash_keep
 FROM g ORDER BY doc_id""",
+    "csv_roundtrip" ->
+      """SELECT doc_id, text, source, TRUE AS id_matches_doc
+FROM documents ORDER BY doc_id""",
+    "ipc_roundtrip" ->
+      """SELECT doc_id, text, source FROM documents ORDER BY doc_id""",
+    "sentence_dedup_index" ->
+      """SELECT doc_id, doc_id % 2 = 1 AS sentence_dedup_keep,
+  CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 3 END AS removed_sentences
+FROM documents ORDER BY doc_id""",
     "sentence_dedup_exact" ->
       """WITH a AS (
   SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
