@@ -25,8 +25,9 @@ object AnnProfile {
 
     def run(name: String): Unit = {
       val fn = SparkEntry.queries(name)
-      // warmup (plan compile + codegen)
-      fn(spark, dir.replace("sf0.1", "sf0.001")).write.format("noop").mode("overwrite").save()
+      // warmup (plan compile + codegen) at the smallest SF — fixed path so
+      // a non-default `dir` argument still warms up small, not full-size
+      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       t(s"$name full (1)") { fn(spark, dir).write.format("noop").mode("overwrite").save() }
       t(s"$name full (2)") { fn(spark, dir).write.format("noop").mode("overwrite").save() }
     }

@@ -480,12 +480,17 @@ object SparkEntry {
         }
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
-      // groups of exactly 5 consecutive ids (doc_ids are contiguous 0..N-1
-      // at every SF): candidate volume is bands x clique^2 per group, so
-      // 5-member cliques cost ~25x less than the former 25-member ones at
-      // sf0.1 while the oracle (top-1 = identical sibling) is equally strict
-      val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
+      // groups of 5 consecutive ids (doc_ids are contiguous 0..N-1 at every
+      // SF): candidate volume is bands x clique^2 per group, so 5-member
+      // cliques cost ~25x less than the former 25-member ones at sf0.1
+      // while the oracle (top-1 = identical sibling) is equally strict.
+      // least() merges a would-be singleton last group (N % 5 == 1) into
+      // its neighbor - a singleton has no identical sibling and would
+      // break the deterministic top-1 (mirrored in the DuckDB oracle)
+      val docs0 = documents(s, dir)
+      val gmax = (docs0.count() - 2) / 5
+      val df = docs0
+        .select(col("doc_id"), vecUdf(least(expr("doc_id DIV 5"), lit(gmax))).as("embedding"))
       Similarity.lshTopK(df, "doc_id", "embedding", 1)
         .select(col("doc_id"), col("neighbor"))
         .orderBy("doc_id")
@@ -506,8 +511,10 @@ object SparkEntry {
         }
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
-      val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
+      val docs0 = documents(s, dir)
+      val gmax = (docs0.count() - 2) / 5
+      val df = docs0
+        .select(col("doc_id"), vecUdf(least(expr("doc_id DIV 5"), lit(gmax))).as("embedding"))
       // nProbe=1 is sufficient AND exact for this construction: a query's
       // identical siblings share its cell, and their cosine (the max
       // possible) dominates any cross-group candidate. Uniform random
@@ -533,8 +540,10 @@ object SparkEntry {
         }
         Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
       }
-      val df = documents(s, dir)
-        .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
+      val docs0 = documents(s, dir)
+      val gmax = (docs0.count() - 2) / 5
+      val df = docs0
+        .select(col("doc_id"), vecUdf(least(expr("doc_id DIV 5"), lit(gmax))).as("embedding"))
       Similarity.cosineNearDupes(df, "doc_id", "embedding", threshold = 0.95)
         .select(col("doc_id"), col("cosine_cluster"), col("cosine_keep"))
         .orderBy("doc_id")
@@ -1567,7 +1576,11 @@ FROM g ORDER BY doc_id""",
       """WITH t AS (
   SELECT doc_id, doc_id % 37 AS k, doc_id % 5 AS p FROM documents
 ), b AS (
-  SELECT k, min_by(doc_id, doc_id - p * 10000000) AS rep FROM t GROUP BY k
+  SELECT k, doc_id AS rep FROM (
+    SELECT k, doc_id,
+      row_number() OVER (PARTITION BY k ORDER BY p DESC, doc_id ASC) AS rn
+    FROM t
+  ) WHERE rn = 1
 )
 SELECT t.doc_id, t.k >= 10 AS keep_index_only,
   t.k >= 10 AND t.doc_id = b.rep AS keep_with_corpus,
@@ -1706,7 +1719,8 @@ SELECT doc_id, doc_id = rep AS exact_substr_keep,
 FROM g ORDER BY doc_id""",
     "ann_ivf_topk_exact" ->
       """WITH g AS (
-  SELECT doc_id, doc_id // 5 AS grp FROM documents
+  SELECT doc_id, least(doc_id // 5,
+    (SELECT (count(*) - 2) // 5 FROM documents)) AS grp FROM documents
 ), m AS (
   SELECT grp, min(doc_id) AS m1 FROM g GROUP BY grp
 ), m2 AS (
@@ -1719,7 +1733,8 @@ FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
 ORDER BY g.doc_id""",
     "ann_lsh_topk_exact" ->
       """WITH g AS (
-  SELECT doc_id, doc_id // 5 AS grp FROM documents
+  SELECT doc_id, least(doc_id // 5,
+    (SELECT (count(*) - 2) // 5 FROM documents)) AS grp FROM documents
 ), m AS (
   SELECT grp, min(doc_id) AS m1 FROM g GROUP BY grp
 ), m2 AS (
@@ -1731,10 +1746,14 @@ SELECT g.doc_id,
 FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
 ORDER BY g.doc_id""",
     "cosine_near_dup" ->
-      """SELECT doc_id,
-  min(doc_id) OVER (PARTITION BY doc_id // 5) AS cosine_cluster,
-  doc_id = min(doc_id) OVER (PARTITION BY doc_id // 5) AS cosine_keep
-FROM documents ORDER BY doc_id""",
+      """WITH g AS (
+  SELECT doc_id, least(doc_id // 5,
+    (SELECT (count(*) - 2) // 5 FROM documents)) AS grp FROM documents
+)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY grp) AS cosine_cluster,
+  doc_id = min(doc_id) OVER (PARTITION BY grp) AS cosine_keep
+FROM g ORDER BY doc_id""",
     "lexical_diversity" ->
       """WITH t AS (
   SELECT doc_id, text || ' quickly running jumped joyful tables of it and' ||

@@ -35,8 +35,10 @@ import java.nio.charset.StandardCharsets
   * round-tripped model is score-identical to its ARPA twin (unit-tested).
   * Documented seam: no real KenLM binary can reach this sandbox (egress),
   * so cross-fidelity against `build_binary` output is asserted on layout
-  * constants, not on a reference file. Word ids follow kenlm's assignment:
-  * <unk> = 0, then unigram ARPA order.
+  * constants, not on a reference file. Word ids: <unk> = 0, then SORTED
+  * unigram order (deterministic file bytes; kenlm itself assigns ids in
+  * ARPA unigram order, which ArpaModel's HashMap does not retain — a
+  * documented divergence that cannot affect scores, only byte layout).
   */
 object KenlmBinary {
 
@@ -81,10 +83,14 @@ object KenlmBinary {
   def combine(current: Long, nextId: Int): Long =
     (current * 8978948897894561157L) ^ ((1L + nextId) * -551886589553063673L)
 
-  def chainHash(ids: Array[Int]): Long = {
-    var h = ids(0).toLong
-    var i = 1
-    while (i < ids.length) { h = combine(h, ids(i)); i += 1 }
+  def chainHash(ids: Array[Int]): Long = chainHash(ids, 0, ids.length)
+
+  /** Range form — lets the scoring hot path hash a context window without
+    * allocating a slice per probe. */
+  def chainHash(ids: Array[Int], from: Int, until: Int): Long = {
+    var h = ids(from).toLong
+    var i = from + 1
+    while (i < until) { h = combine(h, ids(i)); i += 1 }
     h
   }
 
@@ -107,7 +113,7 @@ object KenlmBinary {
     def f32(v: Float): Unit = u32(java.lang.Float.floatToIntBits(v))
 
     val maps = model.ngramMaps
-    // word ids: <unk> = 0, then ARPA unigram order (kenlm vocab assignment)
+    // word ids: <unk> = 0, then sorted unigram order (see class doc)
     val unigrams = {
       import scala.jdk.CollectionConverters._
       maps(0).keySet().asScala.toArray.sorted // deterministic file bytes
@@ -154,7 +160,11 @@ object KenlmBinary {
     for ((p, b) <- uniProbs) { f32(p); f32(b) }
 
     // 4b. middle orders: probing tables keyed by chained id hash
-    def idsOf(key: String): Array[Int] = key.split(" ").map(vocab.get(_).intValue())
+    def idsOf(key: String): Array[Int] = key.split(" ").map { w =>
+      val id = vocab.get(w)
+      require(id != null, s"n-gram word '$w' missing from the \\1-grams section")
+      id.intValue()
+    }
     for (o <- 2 to model.order) {
       val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Float, Float)]
       val isLongest = o == model.order
@@ -182,6 +192,12 @@ object KenlmBinary {
     def u64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
     def f32(v: Float): Unit = u32(java.lang.Float.floatToIntBits(v))
     val invalid = -1L
+    // the all-ones sentinel marks empty slots; an entry whose hash equals
+    // it would be silently lost on load and overwritable during probing —
+    // refuse loudly (1-in-2^64 per entry; a real model hitting this needs
+    // a different sentinel, not silent corruption)
+    entries.foreach(e => require(e._1 != invalid,
+      "entry hash collides with the empty-slot sentinel (-1)"))
     val buckets = math.max(1, math.ceil(entries.length * DefaultMultiplier.toDouble).toInt)
     u64(entries.length.toLong)
     u64(buckets.toLong)
@@ -309,7 +325,7 @@ final class KenlmModel(
       val id = ids(from)
       Some((uniProbs(id), uniBackoffs(id)))
     } else {
-      Option(midMaps(n - 2).get(KenlmBinary.chainHash(ids.slice(from, until))))
+      Option(midMaps(n - 2).get(KenlmBinary.chainHash(ids, from, until)))
     }
   }
 

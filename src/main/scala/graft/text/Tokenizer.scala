@@ -162,7 +162,7 @@ object Tokenizer {
     // titles/honorifics and citation forms
     "gov", "atty", "supt", "det", "sen", "rep", "pres", "cmdr", "lt",
     "maj", "adm", "msgr", "messrs", "mme", "mmes", "cf", "viz", "resp",
-    "corp", "dist", "div", "hwy", "apt", "ste", "dept", "acad", "assoc",
+    "corp", "dist", "div", "hwy", "apt", "ste", "acad", "assoc",
     "bldg", "intl", "natl", "mfg")
 
   /** True when the terminal run [runStart, runEnd) is a lone '.' whose

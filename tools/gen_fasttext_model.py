@@ -7,9 +7,10 @@ classifier over the mean of the input word vectors (fasttext model.cc:
 Model::computeHidden + SoftmaxLoss) — so a numpy SGD trainer reproduces
 the training semantics exactly. The training corpus below is self-authored
 (common function/content words per language, no external data). The model
-is committed at src/main/resources/graft/lid.mini.bin and loaded by
-graft.functions.FastTextLid for the `language_id_ft` driver query, which
-exercises the REAL .bin loader + inference path (FastText.scala).
+is committed at src/main/resources/graft/lid.mini.bin and loaded by the
+FastTextModel.fixture lazy val (src/main/scala/graft/functions/
+FastText.scala) for the `language_id_ft` driver query, which exercises
+the REAL .bin loader + inference path.
 
 Provenance: every byte of the committed model derives from this script
 (fixed seed), which ships in the repo. Re-run to regenerate:
