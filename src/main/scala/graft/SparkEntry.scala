@@ -700,6 +700,95 @@ object SparkEntry {
         .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
         .orderBy("doc_id")
     }),
+    "doc_tokenizer_roundtrip" -> ((s, dir) => {
+      // .ds/.index write -> read round trip (tokens/tokenizer.py): one rank
+      // in doc_id order (shuffle off), hash-bucket encoder; each doc's
+      // token count (words + EOS) must survive the byte round trip, and
+      // readRank depends on the TOKEN-offset .index format (write_idx).
+      // The id collect is bounded oracle-scale (the driver tables), not a
+      // production path.
+      implicit val sp: SparkSession = s
+      val out = scratchDir("doc_tokenizer_roundtrip")
+      val df = documents(s, dir).select(col("doc_id"), col("text"))
+        .coalesce(1).sortWithinPartitions("doc_id")
+      val written = DocTokenizer.write(df, "text", out,
+        DocTokenizerConfig(vocabSize = 1000, shuffle = false))
+      val ids = documents(s, dir).select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val counts = written.sortBy(_._1).flatMap { case (dsPath, _, _) =>
+        DocTokenizer.readRank(dsPath, wide = false).map(_.length.toLong)
+      }
+      require(ids.length == counts.length, "round trip lost docs")
+      import s.implicits._
+      ids.zip(counts).toSeq.toDF("doc_id", "n_tokens").orderBy("doc_id")
+    }),
+    "streaming_dedup" -> ((s, dir) => {
+      // Structured Streaming exact dedup (flatMapGroupsWithState) with
+      // deterministic micro-batches: batch 1 carries each text group's
+      // min-id doc (all distinct), batch 2 the rest — so the first-wins
+      // state logic must keep exactly batch 1. Memory-sink bounded demo of
+      // the streaming path; the driver-side doc build is oracle-scale only.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def doc(id: Long): PipeDoc = PipeDoc(
+        id.toString, new java.sql.Timestamp(1700000000000L + id), "grp " + (id % 100),
+        "en", "", 0.0, 0L, true, "", "")
+      val allIds = documents(s, dir).select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val ms = MemoryStream[PipeDoc]
+      val sinkName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingQuality.streamingExactDedup(ms.toDS())
+        .toDF().writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", scratchDir("streaming_dedup_ckpt"))
+        .outputMode("append").start()
+      try {
+        ms.addData(allIds.filter(_ < 100).map(doc).toSeq)
+        q.processAllAvailable()
+        ms.addData(allIds.filter(_ >= 100).map(doc).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sinkName).select(col("url").cast("long").as("doc_id")).orderBy("doc_id")
+    }),
+    "streaming_metrics" -> ((s, dir) => {
+      // watermarked windowed drop-reason metrics in append mode: real docs
+      // land in three 1-minute windows; two late sentinel batches push the
+      // watermark past them so all three finalize (the sentinels' own
+      // windows stay open and never emit)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def doc(id: Long): PipeDoc = PipeDoc(
+        id.toString, new java.sql.Timestamp((id % 3) * 60000L), "t", "en", "", 0.0,
+        0L, id % 2 == 0, if (id % 2 == 0) "" else "language", "")
+      def sentinel(tsMs: Long): PipeDoc = PipeDoc(
+        "s", new java.sql.Timestamp(tsMs), "t", "en", "", 0.0, 0L, true, "", "")
+      val allIds = documents(s, dir).select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val ms = MemoryStream[PipeDoc]
+      val sinkName = "graft_stream_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingQuality
+        .windowedDropMetrics(ms.toDS(), "1 minute", "0 seconds")
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", scratchDir("streaming_metrics_ckpt"))
+        .outputMode("append").start()
+      try {
+        ms.addData(allIds.map(doc).toSeq)
+        q.processAllAvailable()
+        ms.addData(Seq(sentinel(600000L * 1000)))
+        q.processAllAvailable()
+        // second sentinel stays INSIDE the first's window: the trailing
+        // empty micro-batch advances the watermark to 600030 < window end
+        // 600060, so the sentinels' own window never finalizes/emits
+        ms.addData(Seq(sentinel(600030L * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sinkName)
+        .select((unix_timestamp(col("window.start"))).as("win_start_s"),
+          col("reason"), col("count").as("n"))
+        .orderBy("win_start_s", "reason")
+    }),
     "sentence_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       SentenceDedup(documents(s, dir), "doc_id", "text")
@@ -1686,6 +1775,17 @@ FROM documents ORDER BY doc_id""",
       """SELECT doc_id, doc_id % 2 = 1 AS sentence_dedup_keep,
   CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 3 END AS removed_sentences
 FROM documents ORDER BY doc_id""",
+    "doc_tokenizer_roundtrip" ->
+      """SELECT doc_id,
+  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id""",
+    "streaming_dedup" ->
+      """SELECT doc_id FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "streaming_metrics" ->
+      """SELECT (doc_id % 3) * 60 AS win_start_s,
+  CASE WHEN doc_id % 2 = 0 THEN '(kept)' ELSE 'language' END AS reason,
+  count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     "sentence_dedup_exact" ->
       """WITH a AS (
   SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
