@@ -1075,6 +1075,28 @@ object SparkEntry {
         .select(col("doc_id"), col("r._1").as("ft_lang"), col("r._2").as("ft_keep"))
         .orderBy("doc_id")
     }),
+    "lang_stats" -> ((s, dir) => {
+      // stats/lang_stats.py: per-language grouped summary of the LID
+      // stage's output — real fastText fixture inference, grouped by the
+      // predicted language; identical planted texts per variant make the
+      // score uniform within each group (score_uniform pins min==max)
+      val planted = plantedVariants(Seq(
+        "the quiet market and the bright garden of the village in the morning",
+        "le marché était calme ce matin et les enfants dans la rue près du pont",
+        "der markt war heute ruhig und die kinder auf der straße nähe brücke",
+        "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente",
+        "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte"))
+      val u = udf { t: String =>
+        val (lang, score, _) = graft.functions.FastTextModel.fixture.predict(t)
+        (lang, math.rint(score * 1e6).toLong)
+      }
+      documents(s, dir).select(u(planted).as("r"))
+        .groupBy(col("r._1").as("language"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r._2") > 650000L, 1L).otherwise(0L)).as("n_above_065"),
+          (min(col("r._2")) === max(col("r._2"))).as("score_uniform"))
+        .orderBy("language")
+    }),
     "line_stats" -> ((s, dir) => {
       // stats/line_stats.py metrics over hand-computable planted texts;
       // float ratios quantized to x1e6 longs (identical IEEE ops both sides)
@@ -1584,6 +1606,12 @@ FROM documents ORDER BY doc_id""",
   WHEN 3 THEN 'es' ELSE 'it' END AS ft_lang,
   TRUE AS ft_keep
 FROM documents ORDER BY doc_id""",
+    "lang_stats" ->
+      """SELECT CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+  WHEN 3 THEN 'es' ELSE 'it' END AS language,
+  count(*) AS n_docs, count(*) AS n_above_065, TRUE AS score_uniform
+FROM documents GROUP BY 1 ORDER BY 1""",
     "line_stats" ->
       """SELECT doc_id,
   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END AS n_lines,
