@@ -24,9 +24,12 @@ object HtmlExtractor {
     "aside", "head", "form", "figure", "iframe", "svg", "button", "noscript")
   private val LineBreakTags = Set("p", "li", "h1", "h2", "h3", "h4", "h5", "h6",
     "br", "div", "article", "section", "tr", "title", "blockquote",
-    "ul", "ol", "table", "thead", "tbody", "tfoot", "caption")
-  // table cells: inline within their row, separated by a single space
-  private val CellTags = Set("td", "th")
+    "ul", "ol", "table", "thead", "tbody", "tfoot", "caption",
+    // preformatted blocks and definition lists break lines like trafilatura
+    "pre", "dl")
+  // table cells and definition terms/descriptions: inline within their
+  // row/entry, separated by a single space
+  private val CellTags = Set("td", "th", "dt", "dd")
   // void elements never get a matching close tag — they must not enter the
   // drop stack
   private val VoidTags = Set("br", "img", "hr", "meta", "link", "input",

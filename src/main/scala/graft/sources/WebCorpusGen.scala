@@ -237,9 +237,11 @@ object WebCorpusGen {
     WebPage(url, ts, html, text, lang)
   }
 
-  /** Wrap `text` in one of four structural HTML shapes (paragraphs, a
-    * table, nested lists, a blockquote) plus boilerplate the extractor must
-    * prune (nav/footer/aside, a form, and a favor_precision-style
+  /** Wrap `text` in one of eight structural HTML shapes (paragraphs, a
+    * table, nested lists, a blockquote, a <pre> block, a definition list,
+    * inline-markup paragraphs with comment/noscript/figure noise, and
+    * h1/section with <br>-separated lines) plus boilerplate the extractor
+    * must prune (nav/footer/aside, a form, and a favor_precision-style
     * class="social share" div). Invariant: HtmlExtractor.extract(html) ==
     * text for every shape — property-tested in OpsSpec and load-bearing for
     * the WARC end-to-end path. */
@@ -248,7 +250,7 @@ object WebCorpusGen {
     val boilerTop = "<nav>home | about</nav><div class=\"social share\">like | tweet | pin</div>" +
       "<form action=\"/search\"><input name=\"q\"/>search</form>"
     val boilerBottom = "<aside>related links</aside><footer>copyright</footer>"
-    val body = (id % 4) match {
+    val body = (id % 8) match {
       case 0 =>
         lines.map(p => s"<p>$p</p>").mkString("<article>", "", "</article>")
       case 1 =>
@@ -268,10 +270,44 @@ object WebCorpusGen {
           if (j == 1) s"<ul><li>$l</li></ul>" else s"<li>$l</li>"
         }.mkString
         s"<ul>$items</ul>"
-      case _ =>
+      case 3 =>
         val (head, tail) = lines.splitAt(1)
         head.map(l => s"<blockquote><p>$l</p></blockquote>").mkString +
           tail.map(p => s"<p>$p</p>").mkString("<article>", "", "</article>")
+      case 4 =>
+        // preformatted block: first line inside <pre>, rest as paragraphs
+        val (head, tail) = lines.splitAt(1)
+        head.map(l => s"<pre>$l</pre>").mkString +
+          tail.map(p => s"<p>$p</p>").mkString("<article>", "", "</article>")
+      case 5 =>
+        // definition list: each line split at the first space into a
+        // <dt>/<dd> entry (term + description re-join with one space)
+        val entries = lines.map { l =>
+          val sp = l.indexOf(' ')
+          if (sp > 0) s"<dt>${l.substring(0, sp)}</dt><dd>${l.substring(sp + 1)}</dd>"
+          else s"<dt>$l</dt>"
+        }.mkString("<dl>", "</dl><dl>", "</dl>")
+        entries
+      case 6 =>
+        // inline markup inside paragraphs + dropped noise subtrees: an HTML
+        // comment with text-like content, a <noscript> block, a <figure>
+        // with caption — none may leak into the extraction
+        val marked = lines.map { l =>
+          val sp = l.indexOf(' ')
+          val withEm = if (sp > 0)
+            s"<em>${l.substring(0, sp)}</em> <a href=\"/x\">${l.substring(sp + 1)}</a>"
+          else s"<strong>$l</strong>"
+          s"<p>$withEm</p>"
+        }.mkString
+        "<!-- hidden comment words that must not appear -->" +
+          "<noscript>enable javascript to continue</noscript>" +
+          s"<article>$marked</article>" +
+          "<figure><img src=\"x.png\"/><figcaption>a caption to drop</figcaption></figure>"
+      case _ =>
+        // heading + section with <br>-separated lines
+        val (head, tail) = lines.splitAt(1)
+        head.map(l => s"<h1>$l</h1>").mkString +
+          s"<section><p>${tail.mkString("<br/>")}</p></section>"
     }
     "<html><head><title>doc " + id + "</title></head><body>" +
       boilerTop + body + boilerBottom + "</body></html>"
