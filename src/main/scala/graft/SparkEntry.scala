@@ -722,6 +722,29 @@ object SparkEntry {
       import s.implicits._
       ids.zip(counts).toSeq.toDF("doc_id", "n_tokens").orderBy("doc_id")
     }),
+    "token_merge_roundtrip" -> ((s, dir) => {
+      // DocumentTokenizerMerger (tokens/merger.py): two range-partitioned
+      // ranks merged into <=5000-token output files; concatenation order
+      // (rank order x in-rank order) = doc_id order, so per-doc token
+      // counts after the merge mirror the same SQL as the .ds round trip.
+      // Any split-boundary variance only moves the range split point - the
+      // concatenated order stays sorted either way.
+      implicit val sp: SparkSession = s
+      val inDir = scratchDir("token_merge_in")
+      val outDir = scratchDir("token_merge_out")
+      val df = documents(s, dir).select(col("doc_id"), col("text"))
+        .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+      DocTokenizer.write(df, "text", inDir,
+        DocTokenizerConfig(vocabSize = 1000, shuffle = false))
+      val outFiles = TokenArtifacts.merge(inDir, outDir, maxTokensPerFile = 5000L)
+      val counts = outFiles.sorted.flatMap(p =>
+        DocTokenizer.readRank(p, wide = false).map(_.length.toLong))
+      val ids = documents(s, dir).select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      require(ids.length == counts.length, "merge lost docs")
+      import s.implicits._
+      ids.zip(counts).toSeq.toDF("doc_id", "n_tokens").orderBy("doc_id")
+    }),
     "streaming_dedup" -> ((s, dir) => {
       // Structured Streaming exact dedup (flatMapGroupsWithState) with
       // deterministic micro-batches: batch 1 carries each text group's
@@ -1804,6 +1827,10 @@ FROM documents ORDER BY doc_id""",
   CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 3 END AS removed_sentences
 FROM documents ORDER BY doc_id""",
     "doc_tokenizer_roundtrip" ->
+      """SELECT doc_id,
+  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id""",
+    "token_merge_roundtrip" ->
       """SELECT doc_id,
   CAST(len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
 FROM documents ORDER BY doc_id""",
