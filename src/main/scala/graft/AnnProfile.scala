@@ -36,19 +36,7 @@ object AnnProfile {
     run("cosine_near_dup")
 
     // stage breakdown of the lsh query's internals at this sf
-    val vecUdf = udf { g: Long =>
-      var st = g * 0x9e3779b97f4a7c15L + 7L
-      def next(): Long = {
-        st += 0x9e3779b97f4a7c15L
-        var z = st
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
-    }
-    val df: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), vecUdf(expr("doc_id DIV 5")).as("embedding"))
+    val df: DataFrame = SparkEntry.plantedCliqueEmbeddings(spark, dir)
     t("input count") { df.count() }
     t("lshTopK build+run") {
       Similarity.lshTopK(df, "doc_id", "embedding", 1)

@@ -84,6 +84,49 @@ object SparkEntry {
   private def plantedVariants(vs: Seq[String]): Column =
     element_at(typedlit(vs), (col("doc_id") % vs.length + 1).cast("int"))
 
+  /** Deterministic 64-dim embedding per planted group id (xorshift mix). */
+  private[graft] val groupVecUdf = udf { g: Long =>
+    var st = g * 0x9e3779b97f4a7c15L + 7L
+    def next(): Long = {
+      st += 0x9e3779b97f4a7c15L
+      var z = st
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
+  }
+
+  /** documents mapped to planted identical-vector cliques of 5 consecutive
+    * ids (doc_ids are contiguous 0..N-1 at every SF). Candidate volume is
+    * bands x clique^2 per group, so 5-member cliques stay cheap while the
+    * oracle (top-1 = identical sibling) is strict; least() merges a
+    * would-be singleton last group (N % 5 == 1) into its neighbor — a
+    * singleton has no identical sibling and would break the deterministic
+    * top-1. Shared by the three ANN oracle queries; the DuckDB oracles
+    * mirror the same grouping. */
+  private[graft] def plantedCliqueEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = documents(s, dir)
+    val gmax = (docs0.count() - 2) / 5
+    docs0.select(col("doc_id"),
+      groupVecUdf(least(expr("doc_id DIV 5"), lit(gmax))).as("embedding"))
+  }
+
+  /** All doc_ids in order — bounded oracle-scale collect for queries that
+    * drive driver-side artifacts (streams, .ds files). */
+  private def docIds(s: SparkSession, dir: String): Array[Long] =
+    documents(s, dir).select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+
+  /** Ground-truth planted texts for the committed fastText fixture, one
+    * per trained language (en fr de es it) — shared by language_id_ft and
+    * lang_stats; the oracle label order tracks doc_id % 5. */
+  private val LidPlantedTexts = Seq(
+    "the quiet market and the bright garden of the village in the morning",
+    "le marché était calme ce matin et les enfants dans la rue près du pont",
+    "der markt war heute ruhig und die kinder auf der straße nähe brücke",
+    "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente",
+    "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte")
+
   private def deleteRec(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -469,28 +512,7 @@ object SparkEntry {
       // for the min itself) — SQL-derivable end-to-end check of the
       // bucket -> pair -> cosine -> rank path
       implicit val sp: SparkSession = s
-      val vecUdf = udf { g: Long =>
-        var st = g * 0x9e3779b97f4a7c15L + 7L
-        def next(): Long = {
-          st += 0x9e3779b97f4a7c15L
-          var z = st
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
-      }
-      // groups of 5 consecutive ids (doc_ids are contiguous 0..N-1 at every
-      // SF): candidate volume is bands x clique^2 per group, so 5-member
-      // cliques cost ~25x less than the former 25-member ones at sf0.1
-      // while the oracle (top-1 = identical sibling) is equally strict.
-      // least() merges a would-be singleton last group (N % 5 == 1) into
-      // its neighbor - a singleton has no identical sibling and would
-      // break the deterministic top-1 (mirrored in the DuckDB oracle)
-      val docs0 = documents(s, dir)
-      val gmax = (docs0.count() - 2) / 5
-      val df = docs0
-        .select(col("doc_id"), vecUdf(least(expr("doc_id DIV 5"), lit(gmax))).as("embedding"))
+      val df = plantedCliqueEmbeddings(s, dir)
       Similarity.lshTopK(df, "doc_id", "embedding", 1)
         .select(col("doc_id"), col("neighbor"))
         .orderBy("doc_id")
@@ -500,21 +522,7 @@ object SparkEntry {
       // same deterministic top-1 as the LSH-exact query (identical vectors
       // share a cell; cosine ties break to the asc neighbor)
       implicit val sp: SparkSession = s
-      val vecUdf = udf { g: Long =>
-        var st = g * 0x9e3779b97f4a7c15L + 7L
-        def next(): Long = {
-          st += 0x9e3779b97f4a7c15L
-          var z = st
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
-      }
-      val docs0 = documents(s, dir)
-      val gmax = (docs0.count() - 2) / 5
-      val df = docs0
-        .select(col("doc_id"), vecUdf(least(expr("doc_id DIV 5"), lit(gmax))).as("embedding"))
+      val df = plantedCliqueEmbeddings(s, dir)
       // nProbe=1 is sufficient AND exact for this construction: a query's
       // identical siblings share its cell, and their cosine (the max
       // possible) dominates any cross-group candidate. Uniform random
@@ -529,21 +537,7 @@ object SparkEntry {
       // connected components, over planted identical-vector groups of 5
       // (64-dim uniform vectors keep cross-group cosine << threshold)
       implicit val sp: SparkSession = s
-      val vecUdf = udf { g: Long =>
-        var st = g * 0x9e3779b97f4a7c15L + 7L
-        def next(): Long = {
-          st += 0x9e3779b97f4a7c15L
-          var z = st
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        Array.fill(64)((((next() >>> 11).toDouble * 1.1102230246251565e-16) - 0.5).toFloat)
-      }
-      val docs0 = documents(s, dir)
-      val gmax = (docs0.count() - 2) / 5
-      val df = docs0
-        .select(col("doc_id"), vecUdf(least(expr("doc_id DIV 5"), lit(gmax))).as("embedding"))
+      val df = plantedCliqueEmbeddings(s, dir)
       Similarity.cosineNearDupes(df, "doc_id", "embedding", threshold = 0.95)
         .select(col("doc_id"), col("cosine_cluster"), col("cosine_keep"))
         .orderBy("doc_id")
@@ -713,8 +707,7 @@ object SparkEntry {
         .coalesce(1).sortWithinPartitions("doc_id")
       val written = DocTokenizer.write(df, "text", out,
         DocTokenizerConfig(vocabSize = 1000, shuffle = false))
-      val ids = documents(s, dir).select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0))
+      val ids = docIds(s, dir)
       val counts = written.sortBy(_._1).flatMap { case (dsPath, _, _) =>
         DocTokenizer.readRank(dsPath, wide = false).map(_.length.toLong)
       }
@@ -739,8 +732,7 @@ object SparkEntry {
       val outFiles = TokenArtifacts.merge(inDir, outDir, maxTokensPerFile = 5000L)
       val counts = outFiles.sorted.flatMap(p =>
         DocTokenizer.readRank(p, wide = false).map(_.length.toLong))
-      val ids = documents(s, dir).select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0))
+      val ids = docIds(s, dir)
       require(ids.length == counts.length, "merge lost docs")
       import s.implicits._
       ids.zip(counts).toSeq.toDF("doc_id", "n_tokens").orderBy("doc_id")
@@ -758,8 +750,7 @@ object SparkEntry {
       def doc(id: Long): PipeDoc = PipeDoc(
         id.toString, new java.sql.Timestamp(1700000000000L + id), "grp " + (id % 100),
         "en", "", 0.0, 0L, true, "", "")
-      val allIds = documents(s, dir).select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0))
+      val allIds = docIds(s, dir)
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingQuality.streamingExactDedup(ms.toDS())
@@ -787,8 +778,7 @@ object SparkEntry {
         0L, id % 2 == 0, if (id % 2 == 0) "" else "language", "")
       def sentinel(tsMs: Long): PipeDoc = PipeDoc(
         "s", new java.sql.Timestamp(tsMs), "t", "en", "", 0.0, 0L, true, "", "")
-      val allIds = documents(s, dir).select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0))
+      val allIds = docIds(s, dir)
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingQuality
@@ -1084,12 +1074,7 @@ object SparkEntry {
       // of input vectors -> output matmul -> softmax (utils/lid.py:53-59).
       // Ground-truth labels pinned in the oracle; ft_keep mirrors
       // LanguageFilter's score>0.65 rule (filters/language_filter.py:29).
-      val planted = plantedVariants(Seq(
-        "the quiet market and the bright garden of the village in the morning",
-        "le marché était calme ce matin et les enfants dans la rue près du pont",
-        "der markt war heute ruhig und die kinder auf der straße nähe brücke",
-        "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente",
-        "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte"))
+      val planted = plantedVariants(LidPlantedTexts)
       val u = udf { t: String =>
         val (lang, score, _) = graft.functions.FastTextModel.fixture.predict(t)
         (lang, score > 0.65)
@@ -1103,12 +1088,7 @@ object SparkEntry {
       // stage's output — real fastText fixture inference, grouped by the
       // predicted language; identical planted texts per variant make the
       // score uniform within each group (score_uniform pins min==max)
-      val planted = plantedVariants(Seq(
-        "the quiet market and the bright garden of the village in the morning",
-        "le marché était calme ce matin et les enfants dans la rue près du pont",
-        "der markt war heute ruhig und die kinder auf der straße nähe brücke",
-        "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente",
-        "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte"))
+      val planted = plantedVariants(LidPlantedTexts)
       val u = udf { t: String =>
         val (lang, score, _) = graft.functions.FastTextModel.fixture.predict(t)
         (lang, math.rint(score * 1e6).toLong)
