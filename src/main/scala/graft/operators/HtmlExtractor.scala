@@ -139,18 +139,38 @@ object HtmlExtractor {
 
 /** Readability-style alternative extractor (extractors/modular.py:6-51 —
   * readability-lxml summary → inscriptis text): pick the top-level block
-  * with the highest text density (readability's core scoring idea, link
-  * density omitted for the constrained corpus), then squeeze excessive
-  * newlines like the reference's `\n{2,}` cleanup. */
+  * with the highest link-density-penalized text volume (readability's core
+  * scoring: candidates lose score proportional to the fraction of their
+  * text living inside <a> anchors — menus/link farms score near zero even
+  * when long), then squeeze excessive newlines like the reference's
+  * `\n{2,}` cleanup. */
 object ReadabilityLite {
   // candidate containers, specific-first; body intentionally absent — the
   // whole-page fallback covers it (readability also excludes the root)
   private val BlockTags = Seq("article", "main", "section", "div")
 
+  /** Fraction of extractable text chars inside <a>…</a> anchors. */
+  private[graft] def linkDensity(inner: String): Double = {
+    var linkChars = 0
+    var from = 0
+    var open = inner.indexOf("<a", from)
+    while (open >= 0) {
+      val gt = inner.indexOf('>', open)
+      val close = inner.indexOf("</a>", open)
+      if (gt >= 0 && close > gt)
+        linkChars += HtmlExtractor.extract(inner.substring(gt + 1, close)).length
+      from = open + 1
+      open = inner.indexOf("<a", from)
+    }
+    val total = HtmlExtractor.extract(inner).length
+    if (total == 0) 0.0 else math.min(1.0, linkChars.toDouble / total)
+  }
+
   def extract(html: String): String = {
-    // find the densest block among candidates; fall back to full extraction
+    // find the best-scoring block among candidates; fall back to full
+    // extraction when none qualifies
     var best = ""
-    var bestScore = -1
+    var bestScore = -1.0
     for (tag <- BlockTags) {
       var from = 0
       var open = html.indexOf(s"<$tag", from)
@@ -160,8 +180,8 @@ object ReadabilityLite {
         if (start >= 0 && end > start) {
           val inner = html.substring(start + 1, end)
           val text = HtmlExtractor.extract(inner)
-          // density: text chars per markup char, weighted by volume
-          val score = text.length
+          // readability scoring: volume × (1 − link density)
+          val score = text.length * (1.0 - linkDensity(inner))
           if (score > bestScore) { bestScore = score; best = text }
         }
         from = open + 1

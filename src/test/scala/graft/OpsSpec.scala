@@ -32,6 +32,20 @@ class OpsSpec extends SparkSpec {
     assert(!out.contains("menu"))
   }
 
+  test("readability-lite link density demotes link farms over shorter prose") {
+    // the link-list div has MORE raw text than the article, but nearly all
+    // of it is anchor text — readability's link-density penalty must pick
+    // the prose block
+    val farm = (1 to 12).map(i => s"""<a href="/$i">navigation link number $i here</a>""")
+      .mkString("<div><p>", " ", "</p></div>")
+    val html = "<html><body>" + farm +
+      "<article><p>Short but genuine prose content wins here.</p></article></body></html>"
+    val out = ReadabilityLite.extract(html)
+    assert(out.startsWith("Short but genuine prose"), out)
+    assert(ReadabilityLite.linkDensity("<p><a href=\"/x\">all link</a></p>") > 0.9)
+    assert(ReadabilityLite.linkDensity("<p>no links at all</p>") == 0.0)
+  }
+
   test("html extractor: tables, nested lists, blockquote, favor_precision pruning") {
     assert(HtmlExtractor.extract(
       "<table><tbody><tr><td>Year</td><td>Result one</td></tr>" +
