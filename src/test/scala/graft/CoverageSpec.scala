@@ -64,6 +64,23 @@ class CoverageSpec extends SparkSpec {
     assert(docs.length == 2)
     assert(docs.map(_.url) == List("https://x.com/a", "https://x.com/b"))
     assert(new String(docs.head.html, "UTF-8") == html)
+
+    // real Common-Crawl .warc.gz = one gzip MEMBER PER RECORD, concatenated;
+    // the parser must decompress across member boundaries (GZIPInputStream's
+    // multi-member mode), not stop at the first trailer
+    def gzipMember(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val multi = Array(
+      record("warcinfo", "meta", "software: test"),
+      record("response", "https://x.com/a", http),
+      record("response", "https://x.com/b", http)).flatMap(gzipMember)
+    val gzDocs = WarcParser.parse("f.warc.gz", multi).toList
+    assert(gzDocs.map(_.url) == List("https://x.com/a", "https://x.com/b"))
+    assert(new String(gzDocs.head.html, "UTF-8") == html)
   }
 
   test("warc decode: utf-8 strict, BOMs, meta charset, 1252 fallback, binary drop") {
