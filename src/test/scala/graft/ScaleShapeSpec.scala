@@ -189,6 +189,46 @@ class ScaleShapeSpec extends SparkSpec {
     assert(out.where(col("removed_sentences") === 3).count() == 2999)
   }
 
+  test("url dedup index mode: hot key (3k docs, one url) completes; loose mode picks best priority") {
+    val docs = Seq.tabulate(3300) { i =>
+      val url = if (i < 3000) "https://hot.example.com/page" else s"https://cold.example.com/$i"
+      (i.toLong, url, (i % 5).toLong)
+    }.toDF("doc_id", "url", "priority").repartition(4)
+    val idx = Seq("https://cold.example.com/3100").toDF("iurl")
+    val strict = UrlDedup.withIndex(docs, "url", "doc_id", "priority", idx, "iurl")
+    // strict: only the indexed url drops; the hot key passes through whole
+    assert(strict.where(!col("url_keep")).collect().map(_.getLong(0)).toSeq == Seq(3100L))
+    val loose = UrlDedup.withIndex(docs, "url", "doc_id", "priority", idx, "iurl",
+      onlyDedupInIndex = false)
+    // loose: hot group keeps exactly its best (max priority 4 -> min id 4),
+    // indexed doc still drops, other cold urls keep themselves
+    val hotKept = loose.where(col("url_keep") && col("url") === "https://hot.example.com/page")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hotKept == Seq(4L), hotKept)
+    assert(!loose.where(col("doc_id") === 3100).collect().head.getAs[Boolean]("url_keep"))
+    assert(loose.where(col("url_keep")).count() == 1 + 299) // hot best + 299 cold non-indexed
+  }
+
+  test("minhash index mode: 5k-copy skewed group vs index; loose plan persists sigs, no collect_list") {
+    val docs = Seq.tabulate(5200) { i =>
+      val text =
+        if (i < 5000) "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        else {
+          val rng = new scala.util.Random(i)
+          Array.fill(10)(Array.fill(6)(('a' + rng.nextInt(26)).toChar).mkString).mkString(" ")
+        }
+      (i.toLong, text)
+    }.toDF("doc_id", "text").repartition(4)
+    val idx = MinhashDedup.buildIndex(docs.where(col("doc_id") === 0), "doc_id", "text")
+    val strict = MinhashDedup.dedupWithIndex(docs, "doc_id", "text", idx)(spark)
+    // every copy of the indexed text drops (index always wins), uniques keep
+    assert(strict.where(col("minhash_keep")).count() == 200)
+    val loose = MinhashDedup.dedupWithIndex(docs, "doc_id", "text", idx,
+      onlyDedupInIndex = false)(spark)
+    assert(!planOf(loose).toLowerCase.contains("collect_list"))
+    assert(loose.where(col("minhash_keep")).count() == 200)
+  }
+
   test("lshTopK: recall@1 >= 0.9 on planted clusters; ids-only through the pair join") {
     // 60 clusters × 5 members: base gaussian vectors, members = base + small
     // noise (cosine ≈ 0.99) — the distribution LSH is designed for
