@@ -113,13 +113,24 @@ object SparkEntry {
   }
 
   /** All doc_ids in order — bounded oracle-scale collect for queries that
-    * drive driver-side artifacts (streams, .ds files). */
-  private def docIds(s: SparkSession, dir: String): Array[Long] =
-    documents(s, dir).select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    * drive driver-side artifacts (streams, .ds files). `below` pushes the
+    * bound into the scan so a capped caller never shuffles the full column
+    * to the driver. */
+  private def docIds(s: SparkSession, dir: String, below: Long = Long.MaxValue): Array[Long] =
+    documents(s, dir).select("doc_id").where(col("doc_id") < below)
+      .orderBy("doc_id").collect().map(_.getLong(0))
 
   /** Ground-truth planted texts for the committed fastText fixture, one
     * per trained language (en fr de es it) — shared by language_id_ft and
     * lang_stats; the oracle label order tracks doc_id % 5. */
+  /** Shared oracle: per-doc token count = whitespace words + 1 EOS — the
+    * expected output of BOTH .ds round-trip queries (doc_tokenizer_roundtrip
+    * and token_merge_roundtrip read the same encoder's artifacts). */
+  private val TokenCountPlusEosSql =
+    """SELECT doc_id,
+  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id"""
+
   private val LidPlantedTexts = Seq(
     "the quiet market and the bright garden of the village in the morning",
     "le marché était calme ce matin et les enfants dans la rue près du pont",
@@ -753,7 +764,7 @@ object SparkEntry {
       // cap at 1000 docs: the streaming semantics under test (first-wins
       // state across batches) are identical at any size, and the per-doc
       // state/checkpoint cost would otherwise dominate the bench artifact
-      val allIds = docIds(s, dir).filter(_ < 1000)
+      val allIds = docIds(s, dir, below = 1000)
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingQuality.streamingExactDedup(ms.toDS())
@@ -781,7 +792,7 @@ object SparkEntry {
         0L, id % 2 == 0, if (id % 2 == 0) "" else "language", "")
       def sentinel(tsMs: Long): PipeDoc = PipeDoc(
         "s", new java.sql.Timestamp(tsMs), "t", "en", "", 0.0, 0L, true, "", "")
-      val allIds = docIds(s, dir).filter(_ < 1000) // cap: see streaming_dedup
+      val allIds = docIds(s, dir, below = 1000) // cap: see streaming_dedup
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingQuality
@@ -1809,14 +1820,8 @@ FROM documents ORDER BY doc_id""",
       """SELECT doc_id, doc_id % 2 = 1 AS sentence_dedup_keep,
   CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 3 END AS removed_sentences
 FROM documents ORDER BY doc_id""",
-    "doc_tokenizer_roundtrip" ->
-      """SELECT doc_id,
-  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
-FROM documents ORDER BY doc_id""",
-    "token_merge_roundtrip" ->
-      """SELECT doc_id,
-  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
-FROM documents ORDER BY doc_id""",
+    "doc_tokenizer_roundtrip" -> TokenCountPlusEosSql,
+    "token_merge_roundtrip" -> TokenCountPlusEosSql,
     "streaming_dedup" ->
       """SELECT doc_id FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "streaming_metrics" ->

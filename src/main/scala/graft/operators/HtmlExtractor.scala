@@ -149,21 +149,51 @@ object ReadabilityLite {
   // whole-page fallback covers it (readability also excludes the root)
   private val BlockTags = Seq("article", "main", "section", "div")
 
+  /** True when position `open` starts a real <a> tag (not <article>,
+    * <aside>, <abbr>, … — the name must end right after the 'a'). */
+  @inline private def isAnchorOpen(inner: String, open: Int): Boolean = {
+    if (open + 2 >= inner.length) return false
+    val c = inner.charAt(open + 2)
+    c == '>' || c == '/' || Character.isWhitespace(c)
+  }
+
+  /** Extractable text chars inside <a>…</a> anchors. An anchor whose close
+    * tag is missing (or appears only after the NEXT anchor opens — the
+    * implicit-close pattern HtmlExtractor tolerates elsewhere) contributes
+    * only its immediate text run, never the block prose that follows. */
+  private[graft] def anchorChars(inner: String): Int = {
+    var linkChars = 0
+    var open = inner.indexOf("<a")
+    while (open >= 0) {
+      var next = open
+      if (isAnchorOpen(inner, open)) {
+        val gt = inner.indexOf('>', open)
+        if (gt >= 0) {
+          val close = inner.indexOf("</a>", gt)
+          var nextOpen = inner.indexOf("<a", gt)
+          while (nextOpen >= 0 && !isAnchorOpen(inner, nextOpen))
+            nextOpen = inner.indexOf("<a", nextOpen + 1)
+          if (close >= 0 && (nextOpen < 0 || close < nextOpen)) {
+            linkChars += HtmlExtractor.extract(inner.substring(gt + 1, close)).length
+            next = close + 3 // resume after this anchor — no double counting
+          } else {
+            // unclosed: count only the text run up to the next tag
+            val lt = inner.indexOf('<', gt + 1)
+            val end = if (lt < 0) inner.length else lt
+            linkChars += HtmlExtractor.extract(inner.substring(gt + 1, end)).length
+            next = gt
+          }
+        }
+      }
+      open = inner.indexOf("<a", next + 1)
+    }
+    linkChars
+  }
+
   /** Fraction of extractable text chars inside <a>…</a> anchors. */
   private[graft] def linkDensity(inner: String): Double = {
-    var linkChars = 0
-    var from = 0
-    var open = inner.indexOf("<a", from)
-    while (open >= 0) {
-      val gt = inner.indexOf('>', open)
-      val close = inner.indexOf("</a>", open)
-      if (gt >= 0 && close > gt)
-        linkChars += HtmlExtractor.extract(inner.substring(gt + 1, close)).length
-      from = open + 1
-      open = inner.indexOf("<a", from)
-    }
     val total = HtmlExtractor.extract(inner).length
-    if (total == 0) 0.0 else math.min(1.0, linkChars.toDouble / total)
+    if (total == 0) 0.0 else math.min(1.0, anchorChars(inner).toDouble / total)
   }
 
   def extract(html: String): String = {
@@ -180,8 +210,12 @@ object ReadabilityLite {
         if (start >= 0 && end > start) {
           val inner = html.substring(start + 1, end)
           val text = HtmlExtractor.extract(inner)
-          // readability scoring: volume × (1 − link density)
-          val score = text.length * (1.0 - linkDensity(inner))
+          // readability scoring: volume × (1 − link density); reuse the
+          // extraction just computed instead of re-walking the block
+          val density =
+            if (text.isEmpty) 0.0
+            else math.min(1.0, anchorChars(inner).toDouble / text.length)
+          val score = text.length * (1.0 - density)
           if (score > bestScore) { bestScore = score; best = text }
         }
         from = open + 1
