@@ -748,6 +748,24 @@ FROM documents ORDER BY doc_id"""
       import s.implicits._
       ids.zip(counts).toSeq.toDF("doc_id", "n_tokens").orderBy("doc_id")
     }),
+    "checkpoint_resume" -> ((s, dir) => {
+      // north-rule resumability: two committed stages; the rerun proves the
+      // committed stage is READ BACK, not recomputed, by handing the second
+      // stage() call a poison compute that would throw if evaluated
+      implicit val sp: SparkSession = s
+      val ckpt = new graft.plans.Checkpoint(scratchDir("checkpoint_resume"))
+      val s1 = ckpt.stage("even") {
+        documents(s, dir).where(col("doc_id") % 2 === 0).select("doc_id", "text")
+      }
+      val s2 = ckpt.stage("div6") { s1.where(col("doc_id") % 3 === 0) }
+      ckpt.writeMetrics("div6", s2.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n")))
+      // resume: both stages committed — poison computes must never run
+      val r1 = ckpt.stage("even") { sys.error("stage 'even' recomputed on resume") }
+      val r2 = ckpt.stage("div6") { sys.error("stage 'div6' recomputed on resume") }
+      require(r1.count() == s1.count(), "resume read differs")
+      r2.select(col("doc_id"), lit(true).as("resumed")).orderBy("doc_id")
+    }),
     "streaming_dedup" -> ((s, dir) => {
       // Structured Streaming exact dedup (flatMapGroupsWithState) with
       // deterministic micro-batches: batch 1 carries each text group's
@@ -1822,6 +1840,9 @@ FROM documents ORDER BY doc_id""",
 FROM documents ORDER BY doc_id""",
     "doc_tokenizer_roundtrip" -> TokenCountPlusEosSql,
     "token_merge_roundtrip" -> TokenCountPlusEosSql,
+    "checkpoint_resume" ->
+      """SELECT doc_id, TRUE AS resumed
+FROM documents WHERE doc_id % 6 = 0 ORDER BY doc_id""",
     "streaming_dedup" ->
       """SELECT doc_id FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "streaming_metrics" ->
