@@ -1115,6 +1115,25 @@ FROM documents ORDER BY doc_id"""
         .select(col("doc_id"), col("r._1").as("ft_lang"), col("r._2").as("ft_keep"))
         .orderBy("doc_id")
     }),
+    "language_id_ft_sub" -> ((s, dir) => {
+      // the SUBWORD inference path (minn=2 maxn=4 bucket=512, the
+      // lid.176-style config): every planted text carries misspelled /
+      // OOV-inflected content words that only classify through their
+      // char-n-gram bucket vectors (FastTextModel.subwordRows)
+      val planted = plantedVariants(Seq(
+        "the quiett markett and the bright gardens of the village in the morning",
+        "le marchés était calmes ce matin et les enfants dans la rue",
+        "der marktt war heute ruhigg und die kinder auf der brücke",
+        "el mercados estaba tranquilos esta mañana y los niños en la calle",
+        "il mercatto era tranquilli questa mattina e i bambini in strada"))
+      val u = udf { t: String =>
+        val (lang, score, _) = graft.functions.FastTextModel.subwordFixture.predict(t)
+        (lang, score > 0.65)
+      }
+      documents(s, dir).select(col("doc_id"), u(planted).as("r"))
+        .select(col("doc_id"), col("r._1").as("ft_lang"), col("r._2").as("ft_keep"))
+        .orderBy("doc_id")
+    }),
     "lang_stats" -> ((s, dir) => {
       // stats/lang_stats.py: per-language grouped summary of the LID
       // stage's output — real fastText fixture inference, grouped by the
@@ -1636,6 +1655,12 @@ FROM documents ORDER BY doc_id""",
   WHEN 3 THEN 'es' ELSE 'zh' END AS lang_pred
 FROM documents ORDER BY doc_id""",
     "language_id_ft" ->
+      """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+  WHEN 3 THEN 'es' ELSE 'it' END AS ft_lang,
+  TRUE AS ft_keep
+FROM documents ORDER BY doc_id""",
+    "language_id_ft_sub" ->
       """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
   WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
   WHEN 3 THEN 'es' ELSE 'it' END AS ft_lang,

@@ -183,9 +183,17 @@ object FastTextModel {
     * script header for provenance); loading it here exercises the REAL .bin
     * loader + mean-of-input-vectors → output matmul → softmax path that a
     * production lid.176.bin would take (utils/lid.py:53-59). */
-  lazy val fixture: FastTextModel = {
-    val res = getClass.getResourceAsStream("/graft/lid.mini.bin")
-    require(res != null, "lid.mini.bin resource missing")
+  lazy val fixture: FastTextModel = loadResource("/graft/lid.mini.bin")
+
+  /** Subword variant of the fixture (minn=2, maxn=4, bucket=512 — the
+    * lid.176-style configuration): char-n-gram bucket vectors make OOV and
+    * misspelled words classifiable, exercising [[FastTextModel.subwordRows]]
+    * end-to-end. Same trainer, same provenance. */
+  lazy val subwordFixture: FastTextModel = loadResource("/graft/lid.mini.sub.bin")
+
+  private def loadResource(name: String): FastTextModel = {
+    val res = getClass.getResourceAsStream(name)
+    require(res != null, s"$name resource missing")
     val in = new DataInputStream(new java.io.BufferedInputStream(res, 1 << 16))
     try loadFrom(in) finally in.close()
   }

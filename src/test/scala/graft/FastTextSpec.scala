@@ -93,6 +93,27 @@ class FastTextSpec extends AnyFunSuite {
     }
   }
 
+  test("subword fixture: char-n-gram buckets classify OOV/misspelled words") {
+    val m = FastTextModel.subwordFixture
+    assert(m.bucket == 512 && m.minn == 2 && m.maxn == 4)
+    // clean sentences classify like the word-level fixture
+    val cases = Seq(
+      "the quiet market and the bright garden of the village in the morning" -> "en",
+      "le marché était calme ce matin et les enfants dans la rue près du pont" -> "fr",
+      "der markt war heute ruhig und die kinder auf der straße nähe brücke" -> "de")
+    for ((text, want) <- cases) {
+      val (lang, score, _) = m.predict(text)
+      assert(lang == want && score > 0.65, s"'$text' -> $lang ($score)")
+    }
+    // a misspelled/OOV content word rides on its subword vectors: the
+    // word-level fixture can only fall back to the other (function) words,
+    // but the subword model still sees the characteristic n-grams
+    val (lang, _, _) = m.predict("the quiett markett and the bright gardens in the morning")
+    assert(lang == "en", lang)
+    val (langFr, _, _) = m.predict("le marchés était calmes ce matin dans la rue")
+    assert(langFr == "fr", langFr)
+  }
+
   test("drops into the LanguageFilter via the Lid seam") {
     val lf = new graft.operators.LanguageFilter(
       languages = Some(Seq("en")), lid = model)

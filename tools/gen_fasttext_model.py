@@ -54,7 +54,33 @@ def sentences(rng):
     return out
 
 
-def main(out_path):
+def ft_hash(s):
+    """fastText's FNV-1a variant (dictionary.cc) — int32 wraparound, as
+    unsigned. Must match FastTextModel.hash exactly."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def subword_buckets(word, minn, maxn, bucket):
+    """Char n-gram bucket ids of '<word>' — mirrors FastTextModel.subwordRows
+    (ASCII corpus: no surrogate handling needed). For each start i, substrings
+    of length minn..maxn; the n==1 edge exclusion only matters for minn==1."""
+    w = "<" + word + ">"
+    out = []
+    for i in range(len(w)):
+        for n in range(1, maxn + 1):
+            j = i + n
+            if j > len(w):
+                break
+            if n >= minn and not (n == 1 and (i == 0 or j == len(w))):
+                out.append(ft_hash(w[i:j]) % bucket)
+    return out
+
+
+def main(out_path, minn=0, maxn=0, bucket=0):
     rng = np.random.default_rng(20260817)
     corpus = sentences(rng)
     labels = sorted(LANGS)  # __label__de, __label__en, ... (sorted order)
@@ -65,8 +91,18 @@ def main(out_path):
     vocab.setdefault(EOS, len(vocab))
     nwords, nlabels = len(vocab), len(labels)
 
-    W_in = (rng.random((nwords, DIM), dtype=np.float64) - 0.5) / DIM
+    # input rows: word vectors then `bucket` hashed subword vectors —
+    # inference averages word id + ALL subword buckets per token
+    # (FastTextModel.predictScores), so training must build the same rows
+    W_in = (rng.random((nwords + bucket, DIM), dtype=np.float64) - 0.5) / DIM
     W_out = np.zeros((nlabels, DIM))
+
+    def rows_of(toks):
+        rows = [vocab[t] for t in toks] + [vocab[EOS]]
+        if bucket > 0:
+            for t in toks:
+                rows.extend(nwords + b for b in subword_buckets(t, minn, maxn, bucket))
+        return np.array(rows)
 
     idx = np.arange(len(corpus))
     for _ in range(EPOCHS):
@@ -74,7 +110,7 @@ def main(out_path):
         for k in idx:
             lang, toks = corpus[k]
             y = labels.index(lang)
-            rows = np.array([vocab[t] for t in toks] + [vocab[EOS]])
+            rows = rows_of(toks)
             hidden = W_in[rows].mean(axis=0)
             logits = W_out @ hidden
             p = np.exp(logits - logits.max())
@@ -82,14 +118,14 @@ def main(out_path):
             p[y] -= 1.0  # dL/dlogits for softmax cross-entropy
             grad_h = W_out.T @ p
             W_out -= LR * np.outer(p, hidden)
-            W_in[rows] -= LR * grad_h / len(rows)
+            np.add.at(W_in, rows, -LR * grad_h / len(rows))
 
     # training-set accuracy (should be 1.0 with disjoint-ish vocabularies)
     correct = 0
     for lang, toks in corpus:
-        rows = np.array([vocab[t] for t in toks] + [vocab[EOS]])
-        correct += labels[int(np.argmax(W_out @ W_in[rows].mean(axis=0)))] == lang
-    print(f"train acc {correct / len(corpus):.4f}  vocab {nwords}  dim {DIM}")
+        correct += labels[int(np.argmax(W_out @ W_in[rows_of(toks)].mean(axis=0)))] == lang
+    print(f"train acc {correct / len(corpus):.4f}  vocab {nwords}  dim {DIM} "
+          f"minn {minn} maxn {maxn} bucket {bucket}")
 
     with open(out_path, "wb") as f:
         def i32(v): f.write(struct.pack("<i", v))
@@ -99,7 +135,7 @@ def main(out_path):
         # args: dim ws epoch minCount neg wordNgrams loss model bucket minn
         #       maxn lrUpdateRate t   (args.cc::save order)
         i32(DIM); i32(5); i32(EPOCHS); i32(1); i32(5); i32(1); i32(3); i32(3)
-        i32(0); i32(0); i32(0); i32(100); f64(1e-4)
+        i32(bucket); i32(minn); i32(maxn); i32(100); f64(1e-4)
         # dictionary: size nwords nlabels ntokens pruneidx_size
         i32(nwords + nlabels); i32(nwords); i32(nlabels)
         i64(sum(len(t) for _, t in corpus)); i64(0)
@@ -109,7 +145,7 @@ def main(out_path):
             f.write(f"__label__{l}".encode("utf-8")); f.write(b"\x00")
             i64(100); f.write(b"\x01")
         f.write(b"\x00")  # input not quantized
-        i64(nwords); i64(DIM)
+        i64(nwords + bucket); i64(DIM)
         f.write(W_in.astype("<f4").tobytes())
         f.write(b"\x00")  # output not quantized
         i64(nlabels); i64(DIM)
@@ -118,5 +154,8 @@ def main(out_path):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         "src/main/resources/graft/lid.mini.bin")
+    base = sys.argv[1] if len(sys.argv) > 1 else "src/main/resources/graft"
+    main(f"{base}/lid.mini.bin")
+    # subword variant: the lid.176-style path (char n-gram buckets make OOV
+    # and misspelled words classifiable) — exercises FastTextModel.subwordRows
+    main(f"{base}/lid.mini.sub.bin", minn=2, maxn=4, bucket=512)
