@@ -748,6 +748,56 @@ FROM documents ORDER BY doc_id"""
       import s.implicits._
       ids.zip(counts).toSeq.toDF("doc_id", "n_tokens").orderBy("doc_id")
     }),
+    "megatron_artifacts" -> ((s, dir) => {
+      // Megatron .bin/.idx writer + ContextShuffler over a real .ds rank:
+      // the MMIDIDX layout (magic, version, dtype, counts, sizes, pointers,
+      // doc index) is parsed BACK by this query and the per-doc sizes are
+      // the oracle surface; the context shuffle must be a pure window
+      // permutation (byte length + window multiset preserved, checked via
+      // sorted per-window hashes)
+      implicit val sp: SparkSession = s
+      val inDir = scratchDir("megatron_in")
+      val df = documents(s, dir).select(col("doc_id"), col("text"))
+        .coalesce(1).sortWithinPartitions("doc_id")
+      val written = DocTokenizer.write(df, "text", inDir,
+        DocTokenizerConfig(vocabSize = 1000, shuffle = false))
+      val dsPath = written.head._1
+      val outPrefix = scratchDir("megatron_out") + "/corpus"
+      TokenArtifacts.writeMegatron(dsPath, outPrefix)
+      val idxBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outPrefix + ".idx"))
+      val bb = java.nio.ByteBuffer.wrap(idxBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](9); bb.get(magic)
+      require(java.util.Arrays.equals(magic,
+        "MMIDIDX".getBytes("US-ASCII") ++ Array[Byte](0, 0)), "bad magic")
+      require(bb.getLong == 1L, "bad version")
+      require(bb.get() == 8, "bad dtype") // numpy uint16
+      val nDocs = bb.getLong.toInt
+      require(bb.getLong == nDocs + 1L, "doc-index count")
+      val sizes = Array.fill(nDocs)(bb.getInt.toLong)
+      val binLen = java.nio.file.Files.size(java.nio.file.Paths.get(outPrefix + ".bin"))
+      require(binLen == sizes.sum * 2, s".bin $binLen != ${sizes.sum * 2}")
+
+      val shuffled = scratchDir("megatron_shuf") + "/shuf.ds"
+      val nWin = TokenArtifacts.contextShuffle(dsPath, shuffled, windowTokens = 128).toInt
+      require(java.nio.file.Files.size(java.nio.file.Paths.get(shuffled)) == nWin * 256L)
+      def winHashes(p: String): Seq[Long] = {
+        val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        (0 until nWin).map { w =>
+          var h = 1125899906842597L
+          var i = w * 256
+          val end = i + 256
+          while (i < end) { h = 31 * h + b(i); i += 1 }
+          h
+        }
+      }
+      require(winHashes(dsPath).sorted == winHashes(shuffled).sorted,
+        "context shuffle changed the window multiset")
+      val ids = docIds(s, dir)
+      require(ids.length == nDocs, "doc count mismatch")
+      import s.implicits._
+      ids.zip(sizes).toSeq.toDF("doc_id", "n_tokens").orderBy("doc_id")
+    }),
     "checkpoint_resume" -> ((s, dir) => {
       // north-rule resumability: two committed stages; the rerun proves the
       // committed stage is READ BACK, not recomputed, by handing the second
@@ -1865,6 +1915,7 @@ FROM documents ORDER BY doc_id""",
 FROM documents ORDER BY doc_id""",
     "doc_tokenizer_roundtrip" -> TokenCountPlusEosSql,
     "token_merge_roundtrip" -> TokenCountPlusEosSql,
+    "megatron_artifacts" -> TokenCountPlusEosSql,
     "checkpoint_resume" ->
       """SELECT doc_id, TRUE AS resumed
 FROM documents WHERE doc_id % 6 = 0 ORDER BY doc_id""",
