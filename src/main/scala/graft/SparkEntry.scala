@@ -1831,7 +1831,10 @@ FROM documents ORDER BY doc_id""",
   ('https://mini.example.org/dup', 65, '', 'dup_line_frac'),
   ('https://mini.example.org/hashes', 70, 'gopher_too_many_hashes', ''),
   ('https://mini.example.org/short', 5, 'gopher_short_doc', 'top_n_gram'),
-  ('https://mini.example.org/table', 54, '', '')
+  ('https://mini.example.org/table', 54, '', ''),
+  ('https://mini.example.org/pre-dl', 63, '', ''),
+  ('https://mini.example.org/inline', 52, '', ''),
+  ('https://mini.example.org/sections', 67, '', '')
 ) AS t(url, n_words, reason_quality, reason_repetition) ORDER BY url""",
     "token_count_bpe" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)

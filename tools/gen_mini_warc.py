@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Generate src/main/resources/graft/mini.warc — a committed 6-page WARC
+"""Generate src/main/resources/graft/mini.warc — a committed 9-page WARC
 for the warc_extract_filter end-to-end driver query (WARC parse → HTML
 extract → Gopher quality/repetition). Pages are self-authored; each HTML
 body is constructed so HtmlExtractor.extract(html) equals the page's
@@ -64,6 +64,33 @@ PAGES = [
      page("<article>" + ("<p>%s</p>" % DUP_LINE) * 5 + "</article>")),
     ("https://mini.example.org/hashes",
      page("<article><p>%s</p></article>" % HASH_TEXT)),
+    # round-4 extractor shapes: <pre>, definition list (dt/dd space-join)
+    ("https://mini.example.org/pre-dl",
+     page("<pre>The printed timetable kept the exact departure of every ferry.</pre>"
+          "<dl><dt>Harbor</dt><dd>means the sheltered water where the boats rested "
+          "between the long journeys of the season.</dd></dl>"
+          "<p>Several of the captains trusted the old charts and the careful notes "
+          "that the keeper updated with patience during the winter months and the "
+          "travelers thanked them for the safe crossings of the year.</p>")),
+    # inline markup + comment/noscript/figure noise that must not leak
+    ("https://mini.example.org/inline",
+     page("<!-- hidden words that must never appear in the extraction -->"
+          "<noscript>enable scripts to continue reading this page</noscript>"
+          "<article><p>The <em>gentle</em> librarian sorted the <a href=\"/s\">returned "
+          "volumes</a> before the morning readers arrived at the quiet hall.</p>"
+          "<p>Most of the students borrowed the atlas and the dictionaries while the "
+          "rain kept the courtyard empty for the whole afternoon and the lamps "
+          "glowed over the long tables until the evening bell rang.</p></article>"
+          "<figure><img src=\"x.png\"/><figcaption>a caption to drop</figcaption></figure>")),
+    # heading + section with <br>-separated lines
+    ("https://mini.example.org/sections",
+     page("<h1>The annual report of the mountain weather station</h1>"
+          "<section><p>The observers measured the snowfall and the wind with the "
+          "same instruments that their teachers once calibrated.<br/>Every one of "
+          "the readings traveled down the valley by wire before the storms cut "
+          "the lines in late autumn.<br/>The villagers still collected the pages of "
+          "the bulletin and posted them beside the door of the council hall.</p>"
+          "</section>")),
 ]
 
 
