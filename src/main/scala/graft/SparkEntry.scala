@@ -123,6 +123,13 @@ object SparkEntry {
   /** Ground-truth planted texts for the committed fastText fixture, one
     * per trained language (en fr de es it) — shared by language_id_ft and
     * lang_stats; the oracle label order tracks doc_id % 5. */
+  private val LidPlantedTexts = Seq(
+    "the quiet market and the bright garden of the village in the morning",
+    "le marché était calme ce matin et les enfants dans la rue près du pont",
+    "der markt war heute ruhig und die kinder auf der straße nähe brücke",
+    "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente",
+    "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte")
+
   /** Shared oracle: per-doc token count = whitespace words + 1 EOS — the
     * expected output of BOTH .ds round-trip queries (doc_tokenizer_roundtrip
     * and token_merge_roundtrip read the same encoder's artifacts). */
@@ -131,12 +138,6 @@ object SparkEntry {
   CAST(len(list_filter(string_split(text,' '), x -> x <> '')) + 1 AS BIGINT) AS n_tokens
 FROM documents ORDER BY doc_id"""
 
-  private val LidPlantedTexts = Seq(
-    "the quiet market and the bright garden of the village in the morning",
-    "le marché était calme ce matin et les enfants dans la rue près du pont",
-    "der markt war heute ruhig und die kinder auf der straße nähe brücke",
-    "el mercado estaba tranquilo esta mañana y los niños en la calle cerca del puente",
-    "il mercato era tranquillo questa mattina e i bambini in strada vicino al ponte")
 
   private def deleteRec(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

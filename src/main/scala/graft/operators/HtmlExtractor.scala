@@ -149,12 +149,39 @@ object ReadabilityLite {
   // whole-page fallback covers it (readability also excludes the root)
   private val BlockTags = Seq("article", "main", "section", "div")
 
-  /** True when position `open` starts a real <a> tag (not <article>,
-    * <aside>, <abbr>, … — the name must end right after the 'a'). */
-  @inline private def isAnchorOpen(inner: String, open: Int): Boolean = {
-    if (open + 2 >= inner.length) return false
-    val c = inner.charAt(open + 2)
-    c == '>' || c == '/' || Character.isWhitespace(c)
+  /** Index of the next anchor-open "<a"/"<A" at or after `from` whose name
+    * ends right after the 'a' (so not <article>, <aside>, <abbr>, …).
+    * Case-insensitive like HtmlExtractor's tag handling. -1 when none. */
+  private def nextAnchorOpen(inner: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val n = inner.length
+    while (i >= 0 && i < n) {
+      i = inner.indexOf('<', i)
+      if (i < 0) return -1
+      if (i + 2 < n) {
+        val a = inner.charAt(i + 1)
+        val c = inner.charAt(i + 2)
+        if ((a == 'a' || a == 'A') &&
+            (c == '>' || c == '/' || Character.isWhitespace(c))) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the next "</a>" (any case) at or after `from`; -1 when none. */
+  private def nextAnchorClose(inner: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val n = inner.length
+    while (i >= 0 && i + 3 < n) {
+      i = inner.indexOf('<', i)
+      if (i < 0 || i + 3 >= n) return -1
+      val a = inner.charAt(i + 2)
+      if (inner.charAt(i + 1) == '/' && (a == 'a' || a == 'A') &&
+          inner.charAt(i + 3) == '>') return i
+      i += 1
+    }
+    -1
   }
 
   /** Extractable text chars inside <a>…</a> anchors. An anchor whose close
@@ -163,38 +190,37 @@ object ReadabilityLite {
     * only its immediate text run, never the block prose that follows. */
   private[graft] def anchorChars(inner: String): Int = {
     var linkChars = 0
-    var open = inner.indexOf("<a")
+    var open = nextAnchorOpen(inner, 0)
     while (open >= 0) {
       var next = open
-      if (isAnchorOpen(inner, open)) {
-        val gt = inner.indexOf('>', open)
-        if (gt >= 0) {
-          val close = inner.indexOf("</a>", gt)
-          var nextOpen = inner.indexOf("<a", gt)
-          while (nextOpen >= 0 && !isAnchorOpen(inner, nextOpen))
-            nextOpen = inner.indexOf("<a", nextOpen + 1)
-          if (close >= 0 && (nextOpen < 0 || close < nextOpen)) {
-            linkChars += HtmlExtractor.extract(inner.substring(gt + 1, close)).length
-            next = close + 3 // resume after this anchor — no double counting
-          } else {
-            // unclosed: count only the text run up to the next tag
-            val lt = inner.indexOf('<', gt + 1)
-            val end = if (lt < 0) inner.length else lt
-            linkChars += HtmlExtractor.extract(inner.substring(gt + 1, end)).length
-            next = gt
-          }
+      val gt = inner.indexOf('>', open)
+      if (gt >= 0) {
+        val close = nextAnchorClose(inner, gt)
+        val nextOpen = nextAnchorOpen(inner, gt)
+        if (close >= 0 && (nextOpen < 0 || close < nextOpen)) {
+          linkChars += HtmlExtractor.extract(inner.substring(gt + 1, close)).length
+          next = close + 3 // resume after this anchor — no double counting
+        } else {
+          // unclosed: count only the text run up to the next tag
+          val lt = inner.indexOf('<', gt + 1)
+          val end = if (lt < 0) inner.length else lt
+          linkChars += HtmlExtractor.extract(inner.substring(gt + 1, end)).length
+          next = gt
         }
       }
-      open = inner.indexOf("<a", next + 1)
+      open = nextAnchorOpen(inner, next + 1)
     }
     linkChars
   }
 
+  /** min(1, anchorChars/total) with a caller-supplied (already computed)
+    * extraction length — the ONE density formula both entry points share. */
+  private def densityOf(anchor: Int, total: Int): Double =
+    if (total == 0) 0.0 else math.min(1.0, anchor.toDouble / total)
+
   /** Fraction of extractable text chars inside <a>…</a> anchors. */
-  private[graft] def linkDensity(inner: String): Double = {
-    val total = HtmlExtractor.extract(inner).length
-    if (total == 0) 0.0 else math.min(1.0, anchorChars(inner).toDouble / total)
-  }
+  private[graft] def linkDensity(inner: String): Double =
+    densityOf(anchorChars(inner), HtmlExtractor.extract(inner).length)
 
   def extract(html: String): String = {
     // find the best-scoring block among candidates; fall back to full
@@ -212,10 +238,7 @@ object ReadabilityLite {
           val text = HtmlExtractor.extract(inner)
           // readability scoring: volume × (1 − link density); reuse the
           // extraction just computed instead of re-walking the block
-          val density =
-            if (text.isEmpty) 0.0
-            else math.min(1.0, anchorChars(inner).toDouble / text.length)
-          val score = text.length * (1.0 - density)
+          val score = text.length * (1.0 - densityOf(anchorChars(inner), text.length))
           if (score > bestScore) { bestScore = score; best = text }
         }
         from = open + 1

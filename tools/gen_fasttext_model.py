@@ -12,9 +12,10 @@ FastTextModel.fixture lazy val (src/main/scala/graft/functions/
 FastText.scala) for the `language_id_ft` driver query, which exercises
 the REAL .bin loader + inference path.
 
-Provenance: every byte of the committed model derives from this script
-(fixed seed), which ships in the repo. Re-run to regenerate:
-    python3 tools/gen_fasttext_model.py src/main/resources/graft/lid.mini.bin
+Provenance: every byte of the committed models derives from this script
+(fixed seed), which ships in the repo. Re-run to regenerate both (arg =
+output DIRECTORY):
+    python3 tools/gen_fasttext_model.py src/main/resources/graft
 """
 import struct, sys
 import numpy as np
@@ -56,10 +57,14 @@ def sentences(rng):
 
 def ft_hash(s):
     """fastText's FNV-1a variant (dictionary.cc) — int32 wraparound, as
-    unsigned. Must match FastTextModel.hash exactly."""
+    unsigned. Must match FastTextModel.hash exactly: the Scala port XORs
+    SIGN-EXTENDED bytes (bytes(i).toInt), so bytes >= 0x80 must be widened
+    to ...FFFFFF00 | b before the XOR, not used raw (review-caught: the raw
+    form differs on every non-ASCII n-gram and only cancelled under the
+    power-of-two bucket by coincidence)."""
     h = 2166136261
     for b in s.encode("utf-8"):
-        h ^= b
+        h ^= (b | 0xFFFFFF00) if b >= 0x80 else b
         h = (h * 16777619) & 0xFFFFFFFF
     return h
 
