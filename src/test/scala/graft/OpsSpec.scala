@@ -44,6 +44,14 @@ class OpsSpec extends SparkSpec {
     assert(out.startsWith("Short but genuine prose"), out)
     assert(ReadabilityLite.linkDensity("<p><a href=\"/x\">all link</a></p>") > 0.9)
     assert(ReadabilityLite.linkDensity("<p>no links at all</p>") == 0.0)
+    // uppercase legacy markup counts as link text too (extract() lowercases
+    // tag names, so the scanner must match case-insensitively)
+    assert(ReadabilityLite.linkDensity("<p><A HREF=\"/x\">all link</A></p>") > 0.9)
+    // <article>/<aside> must not be mistaken for anchors
+    assert(ReadabilityLite.linkDensity("<article><p>plain prose here</p></article>") == 0.0)
+    // unclosed anchor: only its immediate text run counts, not following prose
+    val unclosed = "<p><a href=\"/h\">home<p>much longer genuine prose follows the menu entry</p></p>"
+    assert(ReadabilityLite.linkDensity(unclosed) < 0.4)
   }
 
   test("html extractor: tables, nested lists, blockquote, favor_precision pruning") {
