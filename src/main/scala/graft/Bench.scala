@@ -124,11 +124,17 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Record first-attempt times alongside best-of times (ADVICE r4): the
+    // best-of minimum measures the warm path (shared CacheRegistry persists,
+    // OS page cache), so cross-round comparisons against single-shot
+    // artifacts need the like-for-like first-attempt series.
+    val firstAttempt = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t2 = timeOnce(fn)
       var best = math.min(t1, t2)
       if (math.max(t1, t2) > 1.5 * best && best > 0.15) best = math.min(best, timeOnce(fn))
+      firstAttempt(name) = t1
       results(name) = best
     }
 
@@ -138,10 +144,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    firstAttempt("full_pipeline") = s1
+    val qsFirst = firstAttempt.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
     val noise = f"""{"start_sec":$noiseStart%.3f,"end_sec":$noiseEnd%.3f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs_per_sec":${docsPerSec.toLong},"pipeline_rows":$rows,"pipeline_kept":$kept,"cpus":$cpus,"noise_check":$noise}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_attempt":$qsFirst,"sf":"$sfDir","pipeline_docs_per_sec":${docsPerSec.toLong},"pipeline_rows":$rows,"pipeline_kept":$kept,"cpus":$cpus,"noise_check":$noise}""")
     spark.stop()
   }
 }

@@ -161,9 +161,10 @@ object KenlmBinary {
 
     // 4b. middle orders: probing tables keyed by chained id hash
     def idsOf(key: String): Array[Int] = key.split(" ").map { w =>
-      val id = vocab.get(w)
-      require(id != null, s"n-gram word '$w' missing from the \\1-grams section")
-      id.intValue()
+      // vocab is HashMap[String, Int]: a missing key's null would silently
+      // unbox to 0 (= the <unk>/first id), so guard with containsKey
+      require(vocab.containsKey(w), s"n-gram word '$w' missing from the \\1-grams section")
+      vocab.get(w)
     }
     for (o <- 2 to model.order) {
       val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Float, Float)]
@@ -256,6 +257,29 @@ object KenlmBinary {
     skipPad(20)
     val counts = (1 to order).map(_ => u64()).toArray
     require(hasVocab, "binaries without trailing vocabulary are not supported")
+
+    // Everything up to here is the format-mandated KenLM header, so a real
+    // build_binary PROBING file passes the checks above — but the section
+    // layout below (per-table entry/bucket headers, vocab-table skip) is
+    // this writer's own fidelity scope, and a genuine kenlm file diverges
+    // mid-parse. Surface that as a clear provenance error instead of a
+    // misleading count-mismatch/EOF.
+    try loadSections(in, order, counts)
+    catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          "KenLM binary header is valid but the section layout does not match " +
+            "this loader: only files produced by KenlmBinary.write are supported " +
+            "(genuine build_binary output diverges after the header; use the ARPA " +
+            s"text path for such models). Underlying: ${e.getMessage}", e)
+    }
+  }
+
+  private def loadSections(
+      in: DataInputStream, order: Int, counts: Array[Long]): KenlmModel = {
+    def u32(): Int = Integer.reverseBytes(in.readInt())
+    def u64(): Long = java.lang.Long.reverseBytes(in.readLong())
+    def f32(): Float = java.lang.Float.intBitsToFloat(u32())
 
     // vocabulary table
     require(u64() == 1L, "unsupported vocabulary version")

@@ -131,6 +131,57 @@ object HtmlExtractor {
     out.mkString("\n")
   }
 
+  /** The markup with dropped subtrees (BlockDrop tags, boilerplate class/id,
+    * comments) removed and everything else — tags included — preserved
+    * verbatim. Lets link-density scans count only anchors that survive the
+    * same pruning `extract` applies, so an anchor buried inside a dropped
+    * <nav>/<aside> never inflates the numerator while the denominator uses
+    * extracted (pruned) length. Same tokenizer rules as `extract`. */
+  def pruneMarkup(html: String): String = {
+    val out = new StringBuilder(html.length)
+    var i = 0
+    val n = html.length
+    val dropStack = new ArrayBuffer[String]()
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i)
+          if (end < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, end).trim
+            val closing = inner.startsWith("/")
+            val selfClosing = inner.endsWith("/")
+            val name = inner.stripPrefix("/").takeWhile(_.isLetterOrDigit).toLowerCase
+            if (dropStack.nonEmpty) {
+              if (closing) {
+                val at = dropStack.lastIndexOf(name)
+                if (at >= 0) dropStack.remove(at, dropStack.length - at)
+              } else if (!selfClosing && !VoidTags.contains(name) && name.nonEmpty) {
+                dropStack += name
+              }
+            } else if (!closing && !selfClosing && !VoidTags.contains(name) &&
+                       (BlockDrop.contains(name) || hasBoilerplateAttr(inner))) {
+              dropStack += name
+            } else {
+              // NB: scala StringBuilder has no (CharSequence,int,int) append —
+              // a 3-arg call silently auto-tuples. Slice explicitly.
+              out.append(html.substring(i, end + 1))
+            }
+            i = end + 1
+          }
+        }
+      } else {
+        if (dropStack.isEmpty) out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
   /** Entity-decode the minimal set common in web text. */
   def decodeEntities(s: String): String =
     s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
@@ -169,7 +220,9 @@ object ReadabilityLite {
     -1
   }
 
-  /** Index of the next "</a>" (any case) at or after `from`; -1 when none. */
+  /** Index of the next "</a>" (any case, optional whitespace before '>',
+    * mirroring nextAnchorOpen's name-boundary tolerance — legacy markup
+    * writes "</a >" / "</A\n>") at or after `from`; -1 when none. */
   private def nextAnchorClose(inner: String, from: Int): Int = {
     var i = math.max(0, from)
     val n = inner.length
@@ -177,8 +230,11 @@ object ReadabilityLite {
       i = inner.indexOf('<', i)
       if (i < 0 || i + 3 >= n) return -1
       val a = inner.charAt(i + 2)
-      if (inner.charAt(i + 1) == '/' && (a == 'a' || a == 'A') &&
-          inner.charAt(i + 3) == '>') return i
+      if (inner.charAt(i + 1) == '/' && (a == 'a' || a == 'A')) {
+        var j = i + 3
+        while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
+        if (j < n && inner.charAt(j) == '>') return i
+      }
       i += 1
     }
     -1
@@ -218,9 +274,13 @@ object ReadabilityLite {
   private def densityOf(anchor: Int, total: Int): Double =
     if (total == 0) 0.0 else math.min(1.0, anchor.toDouble / total)
 
-  /** Fraction of extractable text chars inside <a>…</a> anchors. */
-  private[graft] def linkDensity(inner: String): Double =
-    densityOf(anchorChars(inner), HtmlExtractor.extract(inner).length)
+  /** Fraction of extractable text chars inside <a>…</a> anchors. Anchors are
+    * counted on the pruned view (dropped subtrees removed) so the numerator
+    * and the extraction-length denominator describe the same text. */
+  private[graft] def linkDensity(inner: String): Double = {
+    val pruned = HtmlExtractor.pruneMarkup(inner)
+    densityOf(anchorChars(pruned), HtmlExtractor.extract(inner).length)
+  }
 
   def extract(html: String): String = {
     // find the best-scoring block among candidates; fall back to full
@@ -236,9 +296,11 @@ object ReadabilityLite {
         if (start >= 0 && end > start) {
           val inner = html.substring(start + 1, end)
           val text = HtmlExtractor.extract(inner)
-          // readability scoring: volume × (1 − link density); reuse the
-          // extraction just computed instead of re-walking the block
-          val score = text.length * (1.0 - densityOf(anchorChars(inner), text.length))
+          // readability scoring: volume × (1 − link density); anchors counted
+          // on the pruned view so boilerplate-subtree anchors (which extract()
+          // drops from the denominator) can't zero a mostly-prose block
+          val score = text.length *
+            (1.0 - densityOf(anchorChars(HtmlExtractor.pruneMarkup(inner)), text.length))
           if (score > bestScore) { bestScore = score; best = text }
         }
         from = open + 1

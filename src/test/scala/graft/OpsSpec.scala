@@ -52,6 +52,17 @@ class OpsSpec extends SparkSpec {
     // unclosed anchor: only its immediate text run counts, not following prose
     val unclosed = "<p><a href=\"/h\">home<p>much longer genuine prose follows the menu entry</p></p>"
     assert(ReadabilityLite.linkDensity(unclosed) < 0.4)
+    // legacy close tags with whitespace before '>' still close the anchor
+    // (ADVICE r4: "</a >" was treated as unclosed → under-penalized farms)
+    assert(ReadabilityLite.linkDensity("<p><a href=\"/x\">all link</a >\n</p>") > 0.9)
+    assert(ReadabilityLite.linkDensity("<p><A href=\"/x\">all link</A\n></p>") > 0.9)
+    // anchors inside subtrees extract() drops must not count toward density:
+    // the nav full of links is pruned, so the surviving prose block scores 0
+    // (ADVICE r4: numerator counted dropped-subtree anchors vs pruned-length
+    // denominator, zeroing mostly-prose blocks)
+    val navWrapped = "<div><nav><a href=\"/1\">one</a><a href=\"/2\">two</a>" +
+      "<a href=\"/3\">three</a></nav><p>genuine prose, no anchors outside nav</p></div>"
+    assert(ReadabilityLite.linkDensity(navWrapped) == 0.0)
   }
 
   test("html extractor: tables, nested lists, blockquote, favor_precision pruning") {
