@@ -356,6 +356,27 @@ FROM documents ORDER BY doc_id"""
           qualU(col("t")).as("reason_quality"), repU(col("t")).as("reason_repetition"))
         .orderBy("url")
     }),
+    "warc_extract_general" -> ((s, dir) => {
+      // the GENERAL extraction path over the committed 60-page ADVERSARIAL
+      // warc — markup the extractor was NOT co-designed with (noise-grammar
+      // pages + 10 hand-authored parser-torture pages; tools/gen_adv_warc
+      // .py). Goldens were computed INDEPENDENTLY in Python from the
+      // planted content only; the oracle pins (line count, UTF-16 length,
+      // md5(utf8)) per url and AdvWarcSpec pins the text byte-for-byte.
+      import s.implicits._
+      val bytes = graft.text.Resources.readBytes("/graft/adv.warc")
+      val docs = graft.sources.WarcParser.parse("adv.warc", bytes)
+        .map(d => (d.url, new String(d.html, "UTF-8"))).toList
+      val extractU = udf { h: String => TrafilaturaExtractor.extract(h) }
+      docs.toDF("url", "html")
+        .select(col("url"), extractU(col("html")).as("t"))
+        .select(col("url"),
+          when(length(col("t")) === 0, lit(0))
+            .otherwise(size(split(col("t"), "\n", -1))).as("n_lines"),
+          length(col("t")).as("n_chars"),
+          md5(col("t").cast("binary")).as("text_md5"))
+        .orderBy("url")
+    }),
     "perplexity" -> ((s, dir) => {
       // KenLM-semantics ARPA scorer over the committed tiny.arpa fixture
       // (self-authored toy bigram model). Planted single-line lowercase
@@ -1825,6 +1846,69 @@ FROM t JOIN b ON t.k = b.k ORDER BY t.doc_id""",
     WHEN 0 THEN 988712812298200243 WHEN 1 THEN 1564310583219091353
     WHEN 2 THEN 3449924612560771347 ELSE 2025320243732726076 END AS sketch_first
 FROM documents ORDER BY doc_id""",
+    "warc_extract_general" ->
+      """SELECT * FROM (VALUES
+  ('https://adv.example.org/gen/00', 8, 384, 'de5aa23da491f3f89fe66054d0e6eaa9'),
+  ('https://adv.example.org/gen/01', 4, 430, 'a18c7b39a5abcafcc559cd1b9dc927ed'),
+  ('https://adv.example.org/gen/02', 5, 738, 'f464b926930c8ab6e02b0b0bebbce485'),
+  ('https://adv.example.org/gen/03', 25, 1400, '3d84f461dc10bafdcd91ff6d47a52ef6'),
+  ('https://adv.example.org/gen/04', 8, 1196, '876f7b8d936a53cbbe1433686040888f'),
+  ('https://adv.example.org/gen/05', 9, 683, 'db5e92a13901e21ad109437dd0298a1e'),
+  ('https://adv.example.org/gen/06', 12, 1441, '79c0ff69a8eff1a21dbd8f2ccfa63b58'),
+  ('https://adv.example.org/gen/07', 4, 678, 'c2ec98a0f3fc32b44e2a912e973c0b26'),
+  ('https://adv.example.org/gen/08', 12, 859, '926f573af20a33a3c9a6fa7201d09ec6'),
+  ('https://adv.example.org/gen/09', 10, 505, 'b5d256f0b1ddcc41f5a8a0f884745056'),
+  ('https://adv.example.org/gen/10', 8, 498, '379f8d5c40c340950669fad65800d727'),
+  ('https://adv.example.org/gen/11', 5, 1201, '0b1fd12d50cbfee2616011ae170195d8'),
+  ('https://adv.example.org/gen/12', 7, 715, '8a3400b4b63e9d1964f763d9bf0af531'),
+  ('https://adv.example.org/gen/13', 12, 866, '7a870ae239eee7b6306b76c8f692d19a'),
+  ('https://adv.example.org/gen/14', 10, 1061, '81799618078afb94c1c9466e15496f38'),
+  ('https://adv.example.org/gen/15', 8, 841, '24dfd06ed02f554b4a987874e9be9293'),
+  ('https://adv.example.org/gen/16', 17, 1330, 'f2c80267ae2183aefa40b7a046245993'),
+  ('https://adv.example.org/gen/17', 4, 391, '7fe8d8733499ea13ff8f96c35eacbdfd'),
+  ('https://adv.example.org/gen/18', 6, 703, '2ba1b0995e53b2b91ad3456cd66f2df7'),
+  ('https://adv.example.org/gen/19', 7, 990, '3c46d0b25ef6055423de606388a291a8'),
+  ('https://adv.example.org/gen/20', 8, 867, '7a91486bd9d6178dc2aad9640cda9207'),
+  ('https://adv.example.org/gen/21', 6, 571, '58d4a973b4b851b1864103509d03a238'),
+  ('https://adv.example.org/gen/22', 5, 981, '3584fa6be03d97c608725582ce1e696d'),
+  ('https://adv.example.org/gen/23', 5, 897, '4ac27085853194bbad7e62174b0fc441'),
+  ('https://adv.example.org/gen/24', 10, 1083, '816d01411525bda7d5922e13c2d051ac'),
+  ('https://adv.example.org/gen/25', 8, 628, '8b4d9f71cc32a5ca1966e49cc5bf1bfc'),
+  ('https://adv.example.org/gen/26', 9, 939, 'a10c87c7e0850e234820173a2573d791'),
+  ('https://adv.example.org/gen/27', 8, 686, 'adbc0167680c89ec2767e2101f409353'),
+  ('https://adv.example.org/gen/28', 6, 481, 'e8fa9cf2ff8397502992ff75003ce0b8'),
+  ('https://adv.example.org/gen/29', 4, 903, 'e5d66cdce7fe9f015bd802a688c9aeab'),
+  ('https://adv.example.org/gen/30', 11, 1157, '40ced4573c6b04326ddc771211869032'),
+  ('https://adv.example.org/gen/31', 8, 699, 'e698639f62627dfa158df8699ecdda1b'),
+  ('https://adv.example.org/gen/32', 7, 484, 'be1ae9840cdaa43c44caf4df4c32d873'),
+  ('https://adv.example.org/gen/33', 11, 930, 'f5b08ab2368ba5f7a1902e9ae0d7dfa4'),
+  ('https://adv.example.org/gen/34', 4, 842, '75e3028d036ee33cbfe7f1fcbcfe7951'),
+  ('https://adv.example.org/gen/35', 8, 891, 'b205b3cabd531808c70d8381a6c8419e'),
+  ('https://adv.example.org/gen/36', 17, 930, '3339141d501f003ea6b3217cfe20a27e'),
+  ('https://adv.example.org/gen/37', 4, 763, '54fa10b4d44872d030cf0b139c740473'),
+  ('https://adv.example.org/gen/38', 10, 726, '9456493c2bb4de726f1c32050868c3fd'),
+  ('https://adv.example.org/gen/39', 6, 850, '0d5392b591aaf357f3cab7b6ea246f50'),
+  ('https://adv.example.org/gen/40', 6, 587, '4c630588935eed1e0f087ed5b0805223'),
+  ('https://adv.example.org/gen/41', 9, 1517, 'ebe35a4cab6b853a9a55050532cc4e3e'),
+  ('https://adv.example.org/gen/42', 6, 1174, '5ac853f442998df3a65d555e88daab2e'),
+  ('https://adv.example.org/gen/43', 9, 895, '86001fb74539257418a0e2ce56497a5f'),
+  ('https://adv.example.org/gen/44', 12, 1172, '3df4b260f6f379fafb71853e765caf2c'),
+  ('https://adv.example.org/gen/45', 20, 1519, '9d6fd4482fe6e8980e0d22380b2f3c20'),
+  ('https://adv.example.org/gen/46', 6, 765, '53ee144cc40f5a71fb04a4d22a953c8b'),
+  ('https://adv.example.org/gen/47', 4, 548, '9f5f3d84065c2d2c5b2168a0e9c92bd9'),
+  ('https://adv.example.org/gen/48', 9, 834, 'eeabd936d6389e242bdddafdce6c13ec'),
+  ('https://adv.example.org/gen/49', 8, 539, '3a3bf3b5d75770ef769e15869187d341'),
+  ('https://adv.example.org/hand-empty', 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+  ('https://adv.example.org/hand-rawtext', 2, 55, '9070da287ccaefdedd2ce93ff1167c21'),
+  ('https://adv.example.org/hand-entities', 1, 44, '0c684838439fb1bfd36dd179e3549434'),
+  ('https://adv.example.org/hand-attrs', 1, 41, 'fdf6d0a8f5d152a3eb9c164cffdb3730'),
+  ('https://adv.example.org/hand-implied', 6, 94, '21deb5e3f89eb37be17be054e5898514'),
+  ('https://adv.example.org/hand-dedup', 5, 244, '2250664c9f7fbcf5baaf115c1e62cfb0'),
+  ('https://adv.example.org/hand-density', 1, 49, '3e5fd75b0dc948208e9adf479f34d66e'),
+  ('https://adv.example.org/hand-candidate', 1, 136, '86c394eca983064a59cd332feae90cbe'),
+  ('https://adv.example.org/hand-hidden', 1, 45, '9ce9e1af27494b82b2cee9a586f73ea2'),
+  ('https://adv.example.org/hand-spelling', 3, 41, '583352204b9b09b12f16d6806e96bee9')
+) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_filter" ->
       """SELECT * FROM (VALUES
   ('https://mini.example.org/boilerplate', 0, 'not_extracted', 'not_extracted'),

@@ -400,10 +400,29 @@ object TrafilaturaExtractor {
 
   // ------------------------------------------------------- candidate select
 
+  /** Text chars under `e` that would actually serialize: shouldDrop AND
+    * density-dropped subtrees excluded — candidate shares must be measured
+    * on surviving text, or a link farm outside the article (invisible in
+    * the output) could deflate the article's share. */
+  private def survivingLen(node: N, memo: LenMemo,
+      sMemo: java.util.IdentityHashMap[Elem, Integer]): Int = node match {
+    case Txt(s) => s.trim.replaceAll("\\s+", " ").length
+    case e: Elem =>
+      val cached = sMemo.get(e)
+      if (cached != null) cached.intValue()
+      else {
+        val v = if (shouldDrop(e) || densityDrop(e, memo)) 0
+                else e.kids.foldLeft(0)((acc, k) => acc + survivingLen(k, memo, sMemo))
+        sMemo.put(e, Integer.valueOf(v))
+        v
+      }
+  }
+
   /** The single best article/main/content-marked element, if it holds
     * ≥ 70% of the body's surviving text. */
   private def selectCandidate(root: Elem, memo: LenMemo): Option[Elem] = {
-    val (total, _) = textAndAnchorLen(root, inAnchor = false, memo)
+    val sMemo = new java.util.IdentityHashMap[Elem, Integer]()
+    val total = survivingLen(root, memo, sMemo)
     if (total == 0) return None
     var best: Elem = null
     var bestLen = 0
@@ -412,7 +431,7 @@ object TrafilaturaExtractor {
       val isCand = e.name == "article" || e.name == "main" ||
         ((e.name == "div" || e.name == "section") && isContentAttr(e.attrs))
       if (isCand) {
-        val (t, _) = textAndAnchorLen(e, inAnchor = false, memo)
+        val t = survivingLen(e, memo, sMemo)
         if (t > bestLen) { bestLen = t; best = e }
       }
       e.kids.foreach { case k: Elem => walk(k); case _ => }
