@@ -253,7 +253,10 @@ FROM documents ORDER BY doc_id"""
   }
 
   private val langUdf = udf { text: String =>
-    val (lang, score, _) = graft.functions.HeuristicLid.predict(text)
+    // round 5: the raw language_id query now runs REAL fastText inference
+    // over the wide 36-language fixture (the default pipeline LID) — the
+    // utils/lid.py:53-59 path: newlines → spaces, full distribution, top-1
+    val (lang, score, _) = graft.functions.Lid.default.predict(text)
     lang + ":" + (score * 1000).toLong // integer-quantized for stable hashing
   }
 

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable.ArrayBuffer
+
 import java.io.{DataInputStream, EOFException, InputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 
@@ -35,34 +37,101 @@ final class FastTextModel(
     while (i < dim) { vec(i) += input(off + i); i += 1 }
   }
 
-  /** subword n-grams of a word wrapped in < > (fastText Dictionary). */
-  private def subwordRows(word: String, vec: Array[Float]): Int = {
-    if (minn == 0) return 0
-    val w = "<" + word + ">"
-    var count = 0
+  // scratch buffers reused across subwordRows calls (the model instance is
+  // per-JVM; per-thread scratch keeps the hot path allocation-free)
+  private val scratch = new ThreadLocal[(Array[Byte], Array[Int])] {
+    override def initialValue(): (Array[Byte], Array[Int]) =
+      (new Array[Byte](256), new Array[Int](80))
+  }
+
+  /** subword n-grams of a word wrapped in < > (fastText Dictionary).
+    * Allocation-free hot path: the wrapped word is UTF-8-encoded ONCE with
+    * per-character byte offsets, and each start position extends a single
+    * running FNV-1a hash byte-by-byte — hash-identical to hashing the
+    * substring (FNV is prefix-incremental), without the per-n-gram
+    * StringBuilder/substring/getBytes the naive form pays. */
+  private def subwordRowIds(word: String, buf: ArrayBuffer[Int]): Unit = {
+    if (minn == 0) return
+    var (bytes, offs) = scratch.get()
+    // worst case 3 bytes per BMP char (+ wrappers); chars in [,) offsets
+    val wlen = word.length + 2
+    if (offs.length < wlen + 1 || bytes.length < wlen * 3 + 4) {
+      bytes = new Array[Byte](wlen * 3 + 4)
+      offs = new Array[Int](wlen + 1)
+      scratch.set((bytes, offs))
+    }
+    // encode "<word>" into bytes, recording each CHARACTER's byte offset
+    // (surrogate pairs collapse to one character like the old path)
+    var nChars = 0
+    var bi = 0
+    def putChar(cp0: Int): Unit = {
+      // unpaired surrogates encode as '?' exactly like String.getBytes(UTF_8)
+      val cp = if (cp0 >= 0xd800 && cp0 <= 0xdfff) '?'.toInt else cp0
+      offs(nChars) = bi; nChars += 1
+      if (cp < 0x80) { bytes(bi) = cp.toByte; bi += 1 }
+      else if (cp < 0x800) {
+        bytes(bi) = (0xc0 | (cp >> 6)).toByte
+        bytes(bi + 1) = (0x80 | (cp & 0x3f)).toByte; bi += 2
+      } else if (cp < 0x10000) {
+        bytes(bi) = (0xe0 | (cp >> 12)).toByte
+        bytes(bi + 1) = (0x80 | ((cp >> 6) & 0x3f)).toByte
+        bytes(bi + 2) = (0x80 | (cp & 0x3f)).toByte; bi += 3
+      } else {
+        bytes(bi) = (0xf0 | (cp >> 18)).toByte
+        bytes(bi + 1) = (0x80 | ((cp >> 12) & 0x3f)).toByte
+        bytes(bi + 2) = (0x80 | ((cp >> 6) & 0x3f)).toByte
+        bytes(bi + 3) = (0x80 | (cp & 0x3f)).toByte; bi += 4
+      }
+    }
+    putChar('<')
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      putChar(cp)
+      ci += Character.charCount(cp)
+    }
+    putChar('>')
+    offs(nChars) = bi
+
     var i = 0
-    while (i < w.length) {
-      if (!Character.isLowSurrogate(w.charAt(i))) {
-        var j = i
-        var n = 0
-        val sb = new StringBuilder
-        while (j < w.length && n < maxn) {
-          sb.append(w.charAt(j))
-          j += 1
-          if (j < w.length && Character.isLowSurrogate(w.charAt(j))) {
-            sb.append(w.charAt(j)); j += 1
-          }
-          n += 1
-          if (n >= minn && !(n == 1 && (i == 0 || j == w.length))) {
-            val h = (ftHash(sb.toString) % bucket + bucket) % bucket
-            addRow(vec, nWords + h.toInt)
-            count += 1
-          }
+    while (i < nChars) {
+      var h = 2166136261L.toInt // running FNV-1a over bytes from offs(i)
+      var b = offs(i)
+      var n = 0
+      val maxN = math.min(maxn, nChars - i)
+      while (n < maxN) {
+        val stop = offs(i + n + 1)
+        while (b < stop) { h = (h ^ bytes(b).toInt) * 16777619; b += 1 }
+        n += 1
+        if (n >= minn && !(n == 1 && (i == 0 || i + n == nChars))) {
+          val u = h.toLong & 0xffffffffL
+          buf += nWords + (u % bucket).toInt
         }
       }
       i += 1
     }
-    count
+  }
+
+  // token → input-row ids (word id + subword buckets), bounded LRU per
+  // thread. Zipfian text repeats tokens constantly; caching the ROW IDS
+  // (not partial sums) skips the n-gram hashing while keeping the float
+  // additions in the exact same order — bit-identical scores. Long tokens
+  // (unspaced CJK runs) rarely repeat and are not cached.
+  private val rowCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[Int]]] {
+      override def initialValue(): java.util.LinkedHashMap[String, Array[Int]] =
+        new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[Int]]): Boolean = size > 8192
+        }
+    }
+
+  private def tokenRows(tok: String): Array[Int] = {
+    val buf = new ArrayBuffer[Int](24)
+    val wid = vocab.getOrDefault(tok, -1)
+    if (wid >= 0) buf += wid
+    subwordRowIds(tok, buf)
+    buf.toArray
   }
 
   /** fastText predict: tokens = whitespace split (+EOS handled by caller's
@@ -71,10 +140,21 @@ final class FastTextModel(
     val tokens = graft.text.PyText.pySplit(text) :+ FastTextModel.EOS
     val hidden = new Array[Float](dim)
     var count = 0
+    val cache = rowCache.get()
     for (tok <- tokens) {
-      val wid = vocab.getOrDefault(tok, -1)
-      if (wid >= 0) { addRow(hidden, wid); count += 1 }
-      if (tok != FastTextModel.EOS) count += subwordRows(tok, hidden)
+      if (tok == FastTextModel.EOS) {
+        val wid = vocab.getOrDefault(tok, -1)
+        if (wid >= 0) { addRow(hidden, wid); count += 1 }
+      } else {
+        var rows = cache.get(tok)
+        if (rows == null) {
+          rows = tokenRows(tok)
+          if (tok.length <= 32) cache.put(tok, rows)
+        }
+        var k = 0
+        while (k < rows.length) { addRow(hidden, rows(k)); k += 1 }
+        count += rows.length
+      }
     }
     // each added row (in-vocab word or subword bucket) counts toward the mean
     val denom = math.max(count, 1)
@@ -190,6 +270,14 @@ object FastTextModel {
     * misspelled words classifiable, exercising [[FastTextModel.subwordRows]]
     * end-to-end. Same trainer, same provenance. */
   lazy val subwordFixture: FastTextModel = loadResource("/graft/lid.mini.sub.bin")
+
+  /** Round-5 wide fixture (36 languages, minn=2/maxn=4/bucket=4096):
+    * Latin-script languages word-level+subword, unspaced zh/ja/th purely
+    * via subword buckets (trained on concatenated OOV tokens — exactly how
+    * inference sees real unspaced text, and how lid.176 covers CJK). This
+    * is the DEFAULT pipeline LID (see [[graft.functions.Lid.default]]);
+    * same trainer and provenance as the mini fixtures. */
+  lazy val wideFixture: FastTextModel = loadResource("/graft/lid.wide.bin")
 
   private def loadResource(name: String): FastTextModel = {
     val res = getClass.getResourceAsStream(name)

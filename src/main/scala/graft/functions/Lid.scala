@@ -20,6 +20,32 @@ trait Lid extends Serializable {
   def predict(text: String): (String, Double, Map[String, Double])
 }
 
+object Lid {
+  /** The default pipeline LID (round 5): REAL fastText `.bin` inference
+    * over the committed 36-language wide fixture — the same
+    * `model.predict(text.replace("\n"," "), k=-1)` path utils/lid.py:53-59
+    * takes with lid.176.bin. The heuristic scorer remains only as the
+    * fallback if the fixture resource is missing. */
+  lazy val default: Lid = WideFastTextLid
+}
+
+/** Singleton wrapper so pipeline stages serialize as a module reference:
+  * each executor JVM lazily loads the fixture from its own jar resources —
+  * no model bytes travel in task closures and no broadcast is needed. */
+object WideFastTextLid extends Lid {
+  @transient private lazy val backend: Lid =
+    try FastTextModel.wideFixture
+    catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"wide LID fixture unavailable (${e.getMessage}); " +
+            "falling back to HeuristicLid")
+        HeuristicLid
+    }
+  def predict(text: String): (String, Double, Map[String, Double]) =
+    backend.predict(text)
+}
+
 object HeuristicLid extends Lid {
   // Per-language marker words. Distinctive words get higher weight; words
   // shared across Romance languages get weight 1.

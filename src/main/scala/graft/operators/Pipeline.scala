@@ -133,7 +133,7 @@ object Stages {
   def languageFilter(
       languages: Option[Seq[String]] = None,
       threshold: Double = 0.65,
-      lid: Lid = graft.functions.HeuristicLid): DocStage = new DocStage {
+      lid: Lid = graft.functions.Lid.default): DocStage = new DocStage {
     val name = "language_filter"
     private val lf = new LanguageFilter(languages, threshold, lid)
     def process(doc: PipeDoc, ctx: StageContext): PipeDoc = {
