@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.WebCorpusGen
+
+/** Round-5 at-scale evidence run (VERDICT r4 "Next round" #3): one sf1-scale
+  * (2M-row) pass of the headline operators with per-phase shuffle bytes and
+  * driver-heap peaks — every other number in BENCH.md is sf0.1 (200k), so
+  * this is the 10× step that shows no driver-memory cliffs or state blowups
+  * on the path to 100 TB. Run:
+  *
+  *   SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.ScaleEvidence 2000000"
+  *
+  * Prints one JSON line per phase + a final summary line (grep {"phase").
+  * Phase attribution uses job groups → stage ids via a SparkListener; heap
+  * peaks are sampled by a 100 ms poller (driver+executors share the JVM in
+  * local mode, so this is the whole-process ceiling, the conservative view).
+  */
+object ScaleEvidence {
+
+  private final class PhaseMetrics extends SparkListener {
+    private val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val shuffleRead = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val shuffleWrite = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val inputBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+      val group = Option(jobStart.properties)
+        .map(_.getProperty("spark.jobGroup.id", "ungrouped")).getOrElse("ungrouped")
+      jobStart.stageInfos.foreach(si => stageToGroup.put(si.stageId, group))
+    }
+
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val g = stageToGroup.getOrDefault(sc.stageInfo.stageId, "ungrouped")
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleRead.merge(g, m.shuffleReadMetrics.totalBytesRead, (a, b) => a + b)
+        shuffleWrite.merge(g, m.shuffleWriteMetrics.bytesWritten, (a, b) => a + b)
+        inputBytes.merge(g, m.inputMetrics.bytesRead, (a, b) => a + b)
+      }
+    }
+  }
+
+  @volatile private var peakHeap = 0L
+  private def startHeapPoller(): Thread = {
+    val t = new Thread(() => {
+      val rt = Runtime.getRuntime
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
+        val used = rt.totalMemory() - rt.freeMemory()
+        if (used > peakHeap) peakHeap = used
+        try Thread.sleep(100) catch { case _: InterruptedException => live = false }
+      }
+    }, "heap-poller")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (768 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new PhaseMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    startHeapPoller()
+    implicit val sp: SparkSession = spark
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
+
+    def phase(name: String)(body: => Long): Unit = {
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      val out = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      results(name) = (sec, out)
+      val sr = metrics.shuffleRead.getOrDefault(name, 0L)
+      val sw = metrics.shuffleWrite.getOrDefault(name, 0L)
+      val in = metrics.inputBytes.getOrDefault(name, 0L)
+      val heapGb = peakHeap / 1e9
+      println(f"""{"phase":"$name","sec":$sec%.2f,"rows_out":$out,"shuffle_read_mb":${sr / 1e6}%.1f,"shuffle_write_mb":${sw / 1e6}%.1f,"input_mb":${in / 1e6}%.1f,"peak_heap_gb":$heapGb%.2f}""")
+    }
+
+    // ---- corpus (cached across runs like Bench.ensureCorpus)
+    val path = s"/tmp/graft_corpus_$rows"
+    phase("gen_corpus") {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        WebCorpusGen.generate(spark, rows, partitions = 256)
+          .write.mode("overwrite").parquet(path)
+      }
+      rows
+    }
+    val corpus = spark.read.parquet(path)
+
+    // ---- full quality pipeline (headline docs/s at 10x the bench SF)
+    phase("full_pipeline") {
+      val pipeline = new QualityPipeline(Presets.fineweb(
+        urlFilter = new UrlFilter(blockListedDomains = WebCorpusGen.BlockedDomains),
+        languages = Some(Seq("en")),
+        badwords = WebCorpusGen.BadWordsFixture.asMap))
+      pipeline.run(corpus).filter(_.keep).count()
+    }
+
+    // ---- dedup family over (url, text): ids+hashes through the shuffles
+    val docs = corpus.select(
+      col("url"), xxhash64(col("url")).as("doc_id"), col("text"))
+
+    phase("exact_dedup") {
+      docs.groupBy(col("text"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+        .filter(col("dups") > 1).count()
+    }
+
+    phase("minhash_dedup") {
+      MinhashDedup.dedup(docs, "doc_id", "text")
+        .filter(!col("minhash_keep")).count()
+    }
+
+    phase("sentence_dedup") {
+      SentenceDedup(docs, "doc_id", "text")
+        .filter(!col("sentence_dedup_keep")).count()
+    }
+
+    phase("url_dedup") {
+      UrlDedup(docs.withColumn("priority", col("doc_id") % 5),
+        "url", "doc_id", "priority").count()
+    }
+
+    // ---- ANN LSH over synthetic 16-dim vectors with planted 5-cliques
+    // (every 400th block of 5 ids shares a base vector + per-member jitter)
+    phase("ann_lsh") {
+      // Constructed like real text embeddings: 64-dim, components CENTERED
+      // in [-1, 1]. Two at-scale lessons are baked into these parameters
+      // and measured in BENCH.md §sf1:
+      //  * centering — hyperplane-LSH bucket bits are ~Bernoulli(1/2) only
+      //    for centered data; all-positive vectors collapse onto a few
+      //    bucket patterns and the ids-only self-join explodes;
+      //  * dimensionality — at 16 dims random-pair cosines are wide, so
+      //    even 20-bit band keys collide pathologically (measured: max
+      //    bucket 1876, ~0.5G candidate pairs at 2M → spill filled 77 GB
+      //    of disk). At 64 dims with 24-bit bands the same corpus gives
+      //    max bucket 36 and ~6M unique pairs. Low-dim embeddings need
+      //    IVF, not hyperplane LSH.
+      val n = rows
+      val vecs = spark.range(n).toDF("id")
+        .withColumn("base",
+          when(col("id") % 400 < 5, col("id") - (col("id") % 400)).otherwise(col("id")))
+        .withColumn("vec", expr(
+          """transform(sequence(0, 63), j ->
+             cast(pmod(hash(base * 64 + j), 2001) - 1000 as float) / 1000.0f +
+             cast(pmod(hash(id * 64 + j), 7) as float) / 10000.0f)"""))
+        .select(col("id"), col("vec"))
+      Similarity.lshTopK(vecs, "id", "vec", k = 5, bands = 8, bitsPerBand = 24).count()
+    }
+
+    val total = results.valuesIterator.map(_._1).sum
+    println(f"""{"metric":"scale_evidence","rows":$rows,"total_sec":$total%.1f,"peak_heap_gb":${peakHeap / 1e9}%.2f,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

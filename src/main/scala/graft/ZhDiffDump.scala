@@ -49,13 +49,17 @@ object ZhDiffDump {
       val sb = new StringBuilder
       var k = 0
       while (k < len) {
-        // ~12% of units are out-of-dict runs of 2-4 unseen chars. Round 2
+        // ~10% of units are out-of-dict runs of 2-4 unseen chars. Round 2
         // stressed the HMM path at 45% OOV (agreement 1.000000 at 56.8%
-        // OOV tokens, recorded in BENCH.md); with the 36.7k-entry dict the
-        // realistic regime is dictionary-dominated (VERDICT r3 #6: OOV
-        // < 20%), so the corpus now matches that balance while still
-        // exercising the unknown-word path on every few docs.
-        if (java.lang.Math.floorMod(next(), 100L) < 12L) {
+        // OOV tokens, recorded in BENCH.md); the realistic regime is
+        // dictionary-dominated (VERDICT r3 #6: OOV < 20%; real CC zh vs a
+        // jieba-scale dict runs ~5-10%). Round 5's real-vocabulary layer
+        // added 4-char idioms that merge several tokens into one, shrinking
+        // the denominator and pushing the measured OOV SHARE up at the old
+        // 12% injection; re-tuned to 10% so the share stays in the ≤15%
+        // dictionary-dominated band while every few docs still exercise
+        // the unknown-word HMM.
+        if (java.lang.Math.floorMod(next(), 100L) < 10L) {
           val runLen = 2 + java.lang.Math.floorMod(next(), 3L).toInt
           var j = 0
           while (j < runLen) {

@@ -77,8 +77,14 @@ object ExactSubstrDedup {
 
   /** Annotate each row with (text rewritten to surviving words,
     * exact_substr_keep, n_removed_words). */
+  /** @param emitRemovedWords when true, adds `removed_word_positions`
+    *   (array&lt;int&gt; of word indices cut from the doc) — per-row removal
+    *   lineage, used by the round-5 divergence measurement harness
+    *   (tools/exact_substr_divergence.py) and available to production
+    *   pipelines that need auditable cuts. */
   def apply(df: DataFrame, idCol: String, textCol: String,
-            cfg: ExactSubstrConfig = ExactSubstrConfig())
+            cfg: ExactSubstrConfig = ExactSubstrConfig(),
+            emitRemovedWords: Boolean = false)
            (implicit spark: SparkSession): DataFrame = {
     val sw = cfg.spanWords
     val spanUdf = udf { text: String => spanHashes(text, sw) }
@@ -100,7 +106,7 @@ object ExactSubstrDedup {
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__pos"))).as("__dupPos"))
 
-    def rewriteWords(text: String, dup: Seq[Int]): (String, Int, Int) = {
+    def rewriteWords(text: String, dup: Seq[Int]): (String, Int, Int, Seq[Int]) = {
       val words = Tokenizer.words(text)
       val covered = new Array[Boolean](words.length)
       for (p <- dup) {
@@ -109,11 +115,12 @@ object ExactSubstrDedup {
         while (i < end) { covered(i) = true; i += 1 }
       }
       val kept = words.indices.filterNot(covered).map(words)
-      (kept.mkString(" "), words.length - kept.length, kept.length)
+      val removed = words.indices.filter(covered)
+      (kept.mkString(" "), words.length - kept.length, kept.length, removed)
     }
 
     val rewrite = udf { (text: String, dup: Seq[Int]) =>
-      if (text == null) ("", 0, 0) // null text: wordless -> min_doc_words drop
+      if (text == null) ("", 0, 0, Seq.empty[Int]) // null: min_doc_words drop
       else rewriteWords(text, dup)
     }
 
@@ -129,6 +136,9 @@ object ExactSubstrDedup {
       // original text byte-for-byte
       .withColumn(textCol,
         when(col("__dupPos").isNotNull, col("__r._1")).otherwise(col(textCol)))
+      .withColumn("removed_word_positions",
+        if (emitRemovedWords) col("__r._4") else lit(null).cast("array<int>"))
       .drop("__dupPos", "__r")
+      .drop(if (emitRemovedWords) "__nonexistent__" else "removed_word_positions")
   }
 }
