@@ -930,12 +930,32 @@ FROM documents ORDER BY doc_id"""
         .orderBy("vec_id")
     }),
     "ann_lsh_topk" -> ((s, dir) => {
-      // LSH-bucketed approximate variant (rows-only check)
+      // Raw variant upgraded from rows-only to a THRESHOLD oracle (r4
+      // verdict optional #8): every 10th raw vector gets a planted twin
+      // (small deterministic additive perturbation), whose TRUE nearest
+      // neighbor is its source by construction — so LSH recall@1 over the
+      // planted queries is measurable with no engine self-oracle. The raw
+      // table itself has no genuine near pairs (max cosine ~0.5), which is
+      // why plain top-1 agreement was never oracle-able. DuckDB pins the
+      // planted-query count and the recall ≥ 0.9 assertion.
       implicit val sp: SparkSession = s
-      Similarity.lshTopK(
-          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 1)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          expr("""transform(embedding, (x, j) ->
+                  x + cast(pmod(hash(vec_id * 64 + j), 41) - 20 as float) / 400.0f)""")
+            .as("embedding"))
+      val answers = Similarity.lshTopK(
+          emb.unionByName(planted), "vec_id", "embedding", 1)
+        .where(col("vec_id") >= 1000000L)
         .select(col("vec_id"), col("neighbor"))
-        .orderBy("vec_id")
+      planted.select(col("vec_id")).join(answers, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("neighbor") === col("vec_id") - 1000000L, 1L).otherwise(0L))
+            .as("n_found"))
+        .select(col("n_planted"),
+          (col("n_found") * 10 >= col("n_planted") * 9).as("recall_ge_90"))
     }),
     "doc_stats" -> ((s, dir) => {
       // stats/doc_stats.py analog — integer-exact metrics per doc
@@ -2062,6 +2082,9 @@ SELECT g.doc_id,
   CASE WHEN g.doc_id = m.m1 THEN m2.second_min ELSE m.m1 END AS neighbor
 FROM g JOIN m ON g.grp = m.grp JOIN m2 ON g.grp = m2.grp
 ORDER BY g.doc_id""",
+    "ann_lsh_topk" ->
+      """SELECT count(*) AS n_planted, true AS recall_ge_90
+FROM embeddings WHERE vec_id % 10 = 0""",
     "ann_lsh_topk_exact" ->
       """WITH g AS (
   SELECT doc_id, least(doc_id // 5,

@@ -81,4 +81,37 @@ class DsCheckSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException] { DsCheck.check(spark, dir) }
     assert(e2.getMessage.contains("missing .index"))
   }
+  test("megatron .bin/.idx pairs validate via the shared checker") {
+    val dir = writeCorpus(Seq("a b c d", "e f", "g h i j k"))
+    val ds = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".ds")).head
+    val mdir = java.nio.file.Files.createTempDirectory("megchk").toString
+    graft.operators.TokenArtifacts.writeMegatron(ds.getPath, s"$mdir/rank0")
+    graft.operators.TokenArtifacts.writeMegatron(ds.getPath, s"$mdir/rank1")
+    val reports = DsCheck.checkMegatron(spark, mdir)
+    assert(reports.length == 2)
+    assert(reports.map(_.docs).toSet == Set(3L))
+    assert(reports.map(_.tokens).distinct.length == 1)
+  }
+
+  test("megatron checker pins corruption: truncated .bin and doctored pointer") {
+    val dir = writeCorpus(Seq("a b c d", "e f"))
+    val ds = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".ds")).head
+    val mdir = java.nio.file.Files.createTempDirectory("megbad").toString
+    graft.operators.TokenArtifacts.writeMegatron(ds.getPath, s"$mdir/rank0")
+    // truncate the .bin by one token: extent check must fire
+    val bin = new java.io.File(mdir, "rank0.bin")
+    val bytes = java.nio.file.Files.readAllBytes(bin.toPath)
+    java.nio.file.Files.write(bin.toPath, bytes.dropRight(2))
+    val e1 = intercept[org.apache.spark.SparkException] { DsCheck.checkMegatron(spark, mdir) }
+    assert(e1.getMessage.contains("index extent"))
+    java.nio.file.Files.write(bin.toPath, bytes) // restore
+    // doctor the first pointer (byte offset: 9 magic + 8 ver + 1 dtype +
+    // 16 counts + 2 sizes*4 = 42)
+    val idx = new java.io.File(mdir, "rank0.idx")
+    val ib = java.nio.file.Files.readAllBytes(idx.toPath)
+    ib(42) = 1
+    java.nio.file.Files.write(idx.toPath, ib)
+    val e2 = intercept[org.apache.spark.SparkException] { DsCheck.checkMegatron(spark, mdir) }
+    assert(e2.getMessage.contains("pointer of doc"))
+  }
 }
