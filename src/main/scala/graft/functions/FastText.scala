@@ -50,7 +50,39 @@ final class FastTextModel(
     * running FNV-1a hash byte-by-byte — hash-identical to hashing the
     * substring (FNV is prefix-incremental), without the per-n-gram
     * StringBuilder/substring/getBytes the naive form pays. */
-  private def subwordRowIds(word: String, buf: ArrayBuffer[Int]): Unit = {
+  /** Slow reference form of [[subwordRowIds]] — per-n-gram substring +
+    * String.getBytes hashing, kept ONLY as the property-test twin of the
+    * allocation-free fast path (FastTextSpec asserts row-id equality on
+    * random unicode words). */
+  private[graft] def subwordRowIdsNaive(word: String): Seq[Int] = {
+    if (minn == 0) return Nil
+    val w = "<" + word + ">"
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < w.length) {
+      if (!Character.isLowSurrogate(w.charAt(i))) {
+        var j = i
+        var n = 0
+        val sb = new StringBuilder
+        while (j < w.length && n < maxn) {
+          sb.append(w.charAt(j))
+          j += 1
+          if (j < w.length && Character.isLowSurrogate(w.charAt(j))) {
+            sb.append(w.charAt(j)); j += 1
+          }
+          n += 1
+          if (n >= minn && !(n == 1 && (i == 0 || j == w.length))) {
+            val h = (ftHash(sb.toString) % bucket + bucket) % bucket
+            out += nWords + h.toInt
+          }
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private[graft] def subwordRowIds(word: String, buf: ArrayBuffer[Int]): Unit = {
     if (minn == 0) return
     var (bytes, offs) = scratch.get()
     // worst case 3 bytes per BMP char (+ wrappers); chars in [,) offsets

@@ -120,4 +120,49 @@ class FastTextSpec extends AnyFunSuite {
     assert(lf.check("the the the the").keep)
     assert(!lf.check("le le le le").keep)
   }
+  test("fast subword path equals the naive substring+getBytes reference on random unicode") {
+    val model = graft.functions.FastTextModel.subwordFixture
+    val rng = new scala.util.Random(20260817)
+    // alphabets as CODE POINTS so astral chars stay well-formed pairs
+    val alphabets: Seq[Array[Int]] = Seq(
+      ('a' to 'z').mkString,                 // ascii
+      "àéîöüçñßøæœ",                         // latin-1 accents (2-byte utf8)
+      "的一是在不了有和人这中大为上",          // CJK (3-byte utf8)
+      "καισεμεπουδεν",                       // greek
+      "ивнасчтоне",                          // cyrillic
+      "😀😁🚀")                              // astral (surrogate pairs)
+      .map(_.codePoints().toArray)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+    for (_ <- 1 to 2000) {
+      val alpha = alphabets(rng.nextInt(alphabets.length))
+      val len = 1 + rng.nextInt(12)
+      val word = (1 to len).map(_ => new String(Character.toChars(
+        alpha(rng.nextInt(alpha.length))))).mkString
+      buf.clear()
+      model.subwordRowIds(word, buf)
+      val naive = model.subwordRowIdsNaive(word)
+      assert(buf.toSeq == naive, s"mismatch for [$word]")
+    }
+    // malformed input (lone surrogates): old and new paths may group the
+    // broken halves differently — just must not crash and must stay
+    // deterministic (real column data is valid UTF-16)
+    buf.clear()
+    model.subwordRowIds("ab\ud800cd\udc00", buf)
+    val again = new scala.collection.mutable.ArrayBuffer[Int]()
+    model.subwordRowIds("ab\ud800cd\udc00", again)
+    assert(buf == again && buf.nonEmpty)
+  }
+
+  test("wide fixture: unspaced CJK text classifies via the subword path") {
+    val m = graft.functions.FastTextModel.wideFixture
+    val (zh, zs, _) = m.predict("的一是在不了有和人这中大为上个国我以要他时来用们生到作。")
+    assert(zh == "zh", s"got $zh:$zs")
+    val (en, es2, _) = m.predict("the quiet village and the bright morning market near the river")
+    assert(en == "en" && es2 > 0.65)
+    val (ja, _, _) = m.predict("これは静かな村の朝の市場です")
+    assert(ja == "ja")
+    val (ru, _, _) = m.predict("и в деревне на рынке утром было очень тихо")
+    assert(ru == "ru")
+  }
+
 }

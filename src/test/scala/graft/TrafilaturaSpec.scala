@@ -167,4 +167,48 @@ class TrafilaturaSpec extends AnyFunSuite {
     assert(extract("<nav>only boilerplate</nav>") == "")
     assert(extract("plain text no markup at all") == "plain text no markup at all")
   }
+  test("fuzz: random markup garbage never crashes, stays fast and deterministic") {
+    val rng = new scala.util.Random(0xF422)
+    val pieces = Array("<", ">", "</", "/>", "<!--", "-->", "<![CDATA[", "]]>",
+      "<div", "<p>", "</p>", "<a href=\"", "\"", "'", "=", "&", "&amp;", "&#",
+      "<script>", "</script>", "<table>", "<tr>", "<td>", "</table>", "<P",
+      "word", "text run", "的一是", "é", ";", " ", "\n", "\t", "<b><i>", "</i></b>",
+      "<input type=checkbox hidden>", "class=\"nav\"", "<!DOCTYPE", "<?php")
+    val t0 = System.nanoTime()
+    for (i <- 1 to 500) {
+      val n = 1 + rng.nextInt(200)
+      val html = (1 to n).map(_ => pieces(rng.nextInt(pieces.length))).mkString
+      val a = extract(html)
+      val b = extract(html)
+      assert(a == b, s"nondeterministic on seed-case $i")
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 20.0, "fuzz corpus too slow")
+  }
+
+  test("fuzz: random mutations of a well-formed page never crash") {
+    val rng = new scala.util.Random(0xBEEF)
+    val base = "<html><head><title>t</title></head><body><nav><a href='/'>Home</a></nav>" +
+      "<article><h1>Title line</h1><p>First paragraph with <b>bold</b> text.</p>" +
+      "<ul><li>one</li><li>two</li></ul><table><tr><td>a</td><td>b</td></tr></table>" +
+      "</article><footer>foot</footer></body></html>"
+    for (_ <- 1 to 500) {
+      val sb = new StringBuilder(base)
+      for (_ <- 0 to rng.nextInt(6)) {
+        rng.nextInt(3) match {
+          case 0 => // delete a random slice
+            val s = rng.nextInt(sb.length)
+            sb.delete(s, math.min(sb.length, s + 1 + rng.nextInt(12)))
+          case 1 => // duplicate a random slice elsewhere
+            val s = rng.nextInt(sb.length)
+            val e = math.min(sb.length, s + 1 + rng.nextInt(12))
+            sb.insert(rng.nextInt(sb.length), sb.substring(s, e))
+          case 2 => // flip a char to a metachar
+            val p = rng.nextInt(sb.length)
+            sb.setCharAt(p, "<>&\"'/=".charAt(rng.nextInt(7)))
+        }
+      }
+      extract(sb.toString) // must not throw
+    }
+  }
+
 }
