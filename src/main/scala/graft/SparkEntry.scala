@@ -1195,6 +1195,33 @@ FROM documents ORDER BY doc_id"""
         .select(col("doc_id"), langOnly(planted).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    "language_id_wide" -> ((s, dir) => {
+      // REAL inference over the round-5 WIDE fixture (36 languages, the
+      // DEFAULT pipeline LID): 10 planted texts spanning latin/cyrillic/
+      // arabic/greek/hangul scripts plus UNSPACED zh/ja/th, whose labels
+      // are ground truth by authorship — the CJK/Thai rows prove the
+      // subword-only OOV path end-to-end on the production model.
+      val wideTexts = Seq(
+        "the quiet market and the bright garden of the village in the morning",
+        "le march\u00e9 \u00e9tait calme ce matin et les enfants dans la rue pr\u00e8s du pont",
+        "der markt war heute ruhig und die kinder auf der stra\u00dfe n\u00e4he br\u00fccke",
+        "\u0438 \u0432 \u0434\u0435\u0440\u0435\u0432\u043d\u0435 \u043d\u0430 \u0440\u044b\u043d\u043a\u0435 \u0443\u0442\u0440\u043e\u043c \u0431\u044b\u043b\u043e \u043e\u0447\u0435\u043d\u044c \u0442\u0438\u0445\u043e \u0438 \u0434\u0435\u0442\u0438 \u043d\u0430 \u0443\u043b\u0438\u0446\u0435 \u0443 \u043c\u043e\u0441\u0442\u0430",
+        "\u7684\u4e00\u662f\u5728\u4e0d\u4e86\u6709\u548c\u4eba\u8fd9\u4e2d\u5927\u4e3a\u4e0a\u4e2a\u56fd\u6211\u4ee5\u8981\u4ed6\u65f6\u6765\u7528\u4eec\u751f\u5230\u4f5c\u5730\u4e8e\u51fa\u5c31\u5206\u3002",
+        "\u3053\u308c\u306f\u9759\u304b\u306a\u6751\u306e\u671d\u306e\u5e02\u5834\u3067\u3059\u5b50\u4f9b\u305f\u3061\u306f\u6a4b\u306e\u8fd1\u304f\u306e\u9053\u306b\u3044\u307e\u3059",
+        "\uadf8\ub9ac\uace0 \ub9c8\uc744 \uc2dc\uc7a5 \uc5d0\uc11c \uc544\uce68 \ubb3c \ube5b \uc544\uc774\ub4e4 \uae38 \ub2e4\ub9ac \uac15 \uc6b0\ub9ac \ubaa8\ub4e0 \ub9e4\uc6b0 \uc9d1",
+        "\u0641\u064a \u0645\u0646 \u0639\u0644\u0649 \u0623\u0646 \u0644\u0627 \u0647\u0648 \u0643\u0627\u0646 \u0625\u0644\u0649 \u0645\u0639 \u0647\u0630\u0627 \u0643\u0644 \u062c\u062f\u0627 \u0628\u064a\u0648\u062a \u0645\u0627\u0621 \u0636\u0648\u0621 \u0645\u0633\u0627\u0621 \u0635\u0628\u0627\u062d \u0633\u0648\u0642",
+        "\u03ba\u03b1\u03b9 \u03c3\u03b5 \u03bc\u03b5 \u03c0\u03bf\u03c5 \u03b4\u03b5\u03bd \u03b5\u03af\u03bd\u03b1\u03b9 \u03ae\u03c4\u03b1\u03bd \u03b3\u03b9\u03b1 \u03b1\u03c0\u03cc \u03bc\u03b5\u03c4\u03ac \u03cc\u03bb\u03b1 \u03c0\u03bf\u03bb\u03cd \u03c3\u03c0\u03af\u03c4\u03b9\u03b1 \u03bd\u03b5\u03c1\u03cc \u03c6\u03c9\u03c2 \u03b2\u03c1\u03ac\u03b4\u03c5",
+        "\u0e41\u0e25\u0e30\u0e43\u0e19\u0e1a\u0e19\u0e27\u0e48\u0e32\u0e44\u0e21\u0e48\u0e40\u0e1b\u0e47\u0e19\u0e2d\u0e22\u0e39\u0e48\u0e1a\u0e49\u0e32\u0e19\u0e19\u0e49\u0e33\u0e41\u0e2a\u0e07\u0e15\u0e25\u0e32\u0e14\u0e2a\u0e27\u0e19\u0e2b\u0e21\u0e39\u0e48\u0e1a\u0e49\u0e32\u0e19\u0e40\u0e14\u0e47\u0e01\u0e16\u0e19\u0e19\u0e2a\u0e30\u0e1e\u0e32\u0e19\u0e41\u0e21\u0e48\u0e19\u0e49\u0e33")
+      val planted = element_at(
+        typedlit(wideTexts), (col("doc_id") % 10).cast("int") + 1)
+      val u = udf { t: String =>
+        val (lang, score, _) = graft.functions.Lid.default.predict(t)
+        (lang, score > 0.65)
+      }
+      documents(s, dir).select(col("doc_id"), u(planted).as("r"))
+        .select(col("doc_id"), col("r._1").as("wide_lang"), col("r._2").as("wide_keep"))
+        .orderBy("doc_id")
+    }),
     "language_id_ft" -> ((s, dir) => {
       // REAL fastText .bin inference over the committed self-trained fixture
       // (tools/gen_fasttext_model.py): resource load -> vocab lookup -> mean
@@ -1748,6 +1775,13 @@ FROM documents ORDER BY doc_id""",
       """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
   WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
   WHEN 3 THEN 'es' ELSE 'zh' END AS lang_pred
+FROM documents ORDER BY doc_id""",
+    "language_id_wide" ->
+      """SELECT doc_id, CASE CAST(doc_id % 10 AS INT)
+  WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de' WHEN 3 THEN 'ru'
+  WHEN 4 THEN 'zh' WHEN 5 THEN 'ja' WHEN 6 THEN 'ko' WHEN 7 THEN 'ar'
+  WHEN 8 THEN 'el' ELSE 'th' END AS wide_lang,
+  TRUE AS wide_keep
 FROM documents ORDER BY doc_id""",
     "language_id_ft" ->
       """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
