@@ -86,6 +86,23 @@ object ScaleEvidence {
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
       results(name) = (sec, out)
+      // listener events arrive asynchronously: wait until the per-group
+      // counters stop moving before sampling (review-caught undercount)
+      locally {
+        var prev = -1L
+        var cur = metrics.shuffleRead.getOrDefault(name, 0L) +
+          metrics.shuffleWrite.getOrDefault(name, 0L) +
+          metrics.inputBytes.getOrDefault(name, 0L)
+        var waited = 0
+        while (cur != prev && waited < 3000) {
+          prev = cur
+          Thread.sleep(250)
+          waited += 250
+          cur = metrics.shuffleRead.getOrDefault(name, 0L) +
+            metrics.shuffleWrite.getOrDefault(name, 0L) +
+            metrics.inputBytes.getOrDefault(name, 0L)
+        }
+      }
       val sr = metrics.shuffleRead.getOrDefault(name, 0L)
       val sw = metrics.shuffleWrite.getOrDefault(name, 0L)
       val in = metrics.inputBytes.getOrDefault(name, 0L)
@@ -138,7 +155,7 @@ object ScaleEvidence {
         "url", "doc_id", "priority").count()
     }
 
-    // ---- ANN LSH over synthetic 16-dim vectors with planted 5-cliques
+    // ---- ANN LSH over synthetic 64-dim vectors with planted 5-cliques
     // (every 400th block of 5 ids shares a base vector + per-member jitter)
     phase("ann_lsh") {
       // Constructed like real text embeddings: 64-dim, components CENTERED

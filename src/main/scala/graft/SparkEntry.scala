@@ -941,18 +941,21 @@ FROM documents ORDER BY doc_id"""
       implicit val sp: SparkSession = s
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
+      // offset derived from the data, not a fixed 1e6 (review-caught: a
+      // 1M-row table would collide planted ids with genuine ones)
+      val plantedBase = emb.agg(max("vec_id")).first().getLong(0) + 1L
       val planted = emb.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        .select((col("vec_id") + lit(plantedBase)).as("vec_id"),
           expr("""transform(embedding, (x, j) ->
                   x + cast(pmod(hash(vec_id * 64 + j), 41) - 20 as float) / 400.0f)""")
             .as("embedding"))
       val answers = Similarity.lshTopK(
           emb.unionByName(planted), "vec_id", "embedding", 1)
-        .where(col("vec_id") >= 1000000L)
+        .where(col("vec_id") >= plantedBase)
         .select(col("vec_id"), col("neighbor"))
       planted.select(col("vec_id")).join(answers, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_planted"),
-          sum(when(col("neighbor") === col("vec_id") - 1000000L, 1L).otherwise(0L))
+          sum(when(col("neighbor") === col("vec_id") - lit(plantedBase), 1L).otherwise(0L))
             .as("n_found"))
         .select(col("n_planted"),
           (col("n_found") * 10 >= col("n_planted") * 9).as("recall_ge_90"))

@@ -38,8 +38,11 @@ final class FastTextModel(
   }
 
   // scratch buffers reused across subwordRows calls (the model instance is
-  // per-JVM; per-thread scratch keeps the hot path allocation-free)
-  private val scratch = new ThreadLocal[(Array[Byte], Array[Int])] {
+  // per-JVM; per-thread scratch keeps the hot path allocation-free).
+  // @transient lazy: ThreadLocal is not Serializable and the model is
+  // documented to ride Lid-seam closures (review-caught) — the field
+  // re-initializes empty on the executor after deserialization
+  @transient private lazy val scratch = new ThreadLocal[(Array[Byte], Array[Int])] {
     override def initialValue(): (Array[Byte], Array[Int]) =
       (new Array[Byte](256), new Array[Int](80))
   }
@@ -149,7 +152,7 @@ final class FastTextModel(
   // (not partial sums) skips the n-gram hashing while keeping the float
   // additions in the exact same order — bit-identical scores. Long tokens
   // (unspaced CJK runs) rarely repeat and are not cached.
-  private val rowCache =
+  @transient private lazy val rowCache =
     new ThreadLocal[java.util.LinkedHashMap[String, Array[Int]]] {
       override def initialValue(): java.util.LinkedHashMap[String, Array[Int]] =
         new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {

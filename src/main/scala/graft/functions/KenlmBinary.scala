@@ -266,6 +266,12 @@ object KenlmBinary {
     // misleading count-mismatch/EOF.
     try loadSections(in, order, counts)
     catch {
+      case e: EOFException =>
+        // running out of bytes is corruption/truncation, not a format
+        // mismatch — don't send the user down the wrong-provenance road
+        throw new IllegalArgumentException(
+          "KenLM binary ends prematurely (truncated or corrupted file): " +
+            e.getMessage, e)
       case e: Exception =>
         throw new IllegalArgumentException(
           "KenLM binary header is valid but the section layout does not match " +

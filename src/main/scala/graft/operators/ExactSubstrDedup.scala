@@ -124,7 +124,7 @@ object ExactSubstrDedup {
       else rewriteWords(text, dup)
     }
 
-    df.join(dupPos.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+    val annotated = df.join(dupPos.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
       .withColumn("__r", rewrite(col(textCol),
         coalesce(col("__dupPos"), array().cast("array<int>"))))
       .withColumn("n_removed_words", col("__r._2"))
@@ -136,9 +136,9 @@ object ExactSubstrDedup {
       // original text byte-for-byte
       .withColumn(textCol,
         when(col("__dupPos").isNotNull, col("__r._1")).otherwise(col(textCol)))
-      .withColumn("removed_word_positions",
-        if (emitRemovedWords) col("__r._4") else lit(null).cast("array<int>"))
-      .drop("__dupPos", "__r")
-      .drop(if (emitRemovedWords) "__nonexistent__" else "removed_word_positions")
+    val withLineage =
+      if (emitRemovedWords) annotated.withColumn("removed_word_positions", col("__r._4"))
+      else annotated
+    withLineage.drop("__dupPos", "__r")
   }
 }

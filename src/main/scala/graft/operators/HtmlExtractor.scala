@@ -58,29 +58,23 @@ object HtmlExtractor {
     false
   }
 
-  /** Extract readable text; returns "" when nothing qualifies (the
-    * reference's extractor drops such docs). */
-  def extract(html: String): String = {
-    val out = new ArrayBuffer[String]()
-    val current = new StringBuilder
+  /** The ONE tokenizer + drop-stack walk both public entry points build
+    * on (review-caught: extract/pruneMarkup used to carry two copies of
+    * this logic, which had to stay byte-for-byte in sync for the
+    * link-density numerator/denominator guarantee). Feeds the handler only
+    * content OUTSIDE dropped subtrees: kept tags as (name, rawStart,
+    * rawEndExclusive), kept text char-by-char. Periodically checks
+    * Thread.interrupted so the ExtractStage timeout sandbox can cancel. */
+  private def walkKept(html: String)(
+      onTag: (String, Int, Int) => Unit, onChar: Char => Unit): Unit = {
     var i = 0
     val n = html.length
     // stack of open tag names inside a dropped subtree (nonEmpty = dropping);
     // a name stack rather than a depth counter so class/id-based drops on
     // generic tags (e.g. <div class="social">) close correctly
     val dropStack = new ArrayBuffer[String]()
-
-    def flushLine(): Unit = {
-      val line = current.toString.trim.replaceAll("\\s+", " ")
-      if (line.nonEmpty) out += line
-      current.clear()
-    }
-
     var sinceCheck = 0
     while (i < n) {
-      // cooperative cancellation: the ExtractStage sandbox cancels via
-      // Thread.interrupt on timeout; checking here lets cancel(true)
-      // actually stop a pathological page instead of abandoning the thread
       sinceCheck += 1
       if (sinceCheck >= 4096) {
         sinceCheck = 0
@@ -116,17 +110,33 @@ object HtmlExtractor {
                        (BlockDrop.contains(name) || hasBoilerplateAttr(inner))) {
               dropStack += name
             } else {
-              if (LineBreakTags.contains(name)) flushLine()
-              else if (CellTags.contains(name)) current.append(' ')
+              onTag(name, i, end + 1)
             }
             i = end + 1
           }
         }
       } else {
-        if (dropStack.isEmpty) current.append(c)
+        if (dropStack.isEmpty) onChar(c)
         i += 1
       }
     }
+  }
+
+  /** Extract readable text; returns "" when nothing qualifies (the
+    * reference's extractor drops such docs). */
+  def extract(html: String): String = {
+    val out = new ArrayBuffer[String]()
+    val current = new StringBuilder
+    def flushLine(): Unit = {
+      val line = current.toString.trim.replaceAll("\\s+", " ")
+      if (line.nonEmpty) out += line
+      current.clear()
+    }
+    walkKept(html)(
+      (name, _, _) =>
+        if (LineBreakTags.contains(name)) flushLine()
+        else if (CellTags.contains(name)) current.append(' '),
+      c => current.append(c))
     flushLine()
     out.mkString("\n")
   }
@@ -139,46 +149,11 @@ object HtmlExtractor {
     * extracted (pruned) length. Same tokenizer rules as `extract`. */
   def pruneMarkup(html: String): String = {
     val out = new StringBuilder(html.length)
-    var i = 0
-    val n = html.length
-    val dropStack = new ArrayBuffer[String]()
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (html.startsWith("<!--", i)) {
-          val end = html.indexOf("-->", i)
-          i = if (end < 0) n else end + 3
-        } else {
-          val end = html.indexOf('>', i)
-          if (end < 0) { i = n }
-          else {
-            val inner = html.substring(i + 1, end).trim
-            val closing = inner.startsWith("/")
-            val selfClosing = inner.endsWith("/")
-            val name = inner.stripPrefix("/").takeWhile(_.isLetterOrDigit).toLowerCase
-            if (dropStack.nonEmpty) {
-              if (closing) {
-                val at = dropStack.lastIndexOf(name)
-                if (at >= 0) dropStack.remove(at, dropStack.length - at)
-              } else if (!selfClosing && !VoidTags.contains(name) && name.nonEmpty) {
-                dropStack += name
-              }
-            } else if (!closing && !selfClosing && !VoidTags.contains(name) &&
-                       (BlockDrop.contains(name) || hasBoilerplateAttr(inner))) {
-              dropStack += name
-            } else {
-              // NB: scala StringBuilder has no (CharSequence,int,int) append —
-              // a 3-arg call silently auto-tuples. Slice explicitly.
-              out.append(html.substring(i, end + 1))
-            }
-            i = end + 1
-          }
-        }
-      } else {
-        if (dropStack.isEmpty) out.append(c)
-        i += 1
-      }
-    }
+    walkKept(html)(
+      // NB: scala StringBuilder has no (CharSequence,int,int) append —
+      // a 3-arg call silently auto-tuples. Slice explicitly.
+      (_, start, end) => out.append(html.substring(start, end)),
+      c => out.append(c))
     out.toString
   }
 

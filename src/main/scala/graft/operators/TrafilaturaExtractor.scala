@@ -106,8 +106,11 @@ object TrafilaturaExtractor {
   private val ContentAttr = Array("article", "content", "main", "post",
     "entry", "story", "body-text", "page-text")
 
+  // (?<![\w-]) guard: attribute names merely ENDING in id/class/style
+  // (data-id, grid, data-style) must not match as the real attribute —
+  // <div data-id="comment-42"> would otherwise be discarded (review-caught)
   private val AttrValPattern = java.util.regex.Pattern.compile(
-    "(class|id|style|aria-hidden)\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))",
+    "(?<![\\w-])(class|id|style|aria-hidden)\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))",
     java.util.regex.Pattern.CASE_INSENSITIVE)
 
   // --------------------------------------------------------------- entities
@@ -248,8 +251,17 @@ object TrafilaturaExtractor {
           else {
             val inner = html.substring(lt + 1, end).trim
             val closing = inner.startsWith("/")
-            val selfClosing = inner.endsWith("/")
             val name = tagName(inner)
+            // '/' self-closes only when it ends the bare name (<div/>) or
+            // follows whitespace/quote (<span class="x" />, <span a="b"/>);
+            // an unquoted attribute value ending in '/' (href=http://x/y/)
+            // keeps the element open — review-caught: treating it as
+            // childless let link farms escape the density rule
+            val selfClosing = inner.endsWith("/") && {
+              val before = if (inner.length >= 2) inner.charAt(inner.length - 2) else ' '
+              inner.equalsIgnoreCase(name + "/") ||
+                Character.isWhitespace(before) || before == '"' || before == '\''
+            }
             i = end + 1
             if (closing) {
               val at = stack.lastIndexWhere(_.name == name)
@@ -265,7 +277,12 @@ object TrafilaturaExtractor {
                   j = html.indexOf('<', j)
                   if (j < 0) { found = n }
                   else if (j + 2 + name.length <= n && html.charAt(j + 1) == '/' &&
-                           html.regionMatches(true, j + 2, name, 0, name.length)) {
+                           html.regionMatches(true, j + 2, name, 0, name.length) && {
+                             val after = j + 2 + name.length
+                             after >= n || html.charAt(after) == '>' ||
+                               html.charAt(after) == '/' ||
+                               Character.isWhitespace(html.charAt(after))
+                           }) {
                     found = j
                   } else j += 1
                 }

@@ -211,4 +211,34 @@ class TrafilaturaSpec extends AnyFunSuite {
     }
   }
 
+  test("review-caught: data-id/grid/data-style attributes are not the real attribute") {
+    assert(extract("<div data-id=\"comment-42\"><p>Real article prose kept here.</p></div>")
+      == "Real article prose kept here.")
+    assert(extract("<table grid=\"comments\"><tr><td>cell kept</td></tr></table>")
+      == "cell kept")
+    assert(extract("<div data-style=\"display:none\"><p>Still visible text.</p></div>")
+      == "Still visible text.")
+    // the REAL attributes still fire
+    assert(extract("<div id=\"comment-42\"><p>gone</p></div><p>after</p>") == "after")
+  }
+
+  test("review-caught: unquoted attribute value ending in '/' keeps the element open") {
+    // an anchor like href=http://x/cat/ must still count as an anchor, so a
+    // farm of them dies by density
+    val farm = "<ul>" + (1 to 8).map(i =>
+      s"<li><a href=http://example.com/cat$i/>Directory of category number $i</a></li>").mkString + "</ul>"
+    assert(extract(farm + "<p>Real prose paragraph stays.</p>") == "Real prose paragraph stays.")
+    // XHTML-style explicit self-close still works
+    assert(extract("<p>before<span/>after</p>") == "before after".replace(" ", "") ||
+           extract("<p>before<span/>after</p>") == "beforeafter")
+  }
+
+  test("review-caught: </script2> does not close <script>") {
+    assert(extract("<script>var s=\"</script2>\";</script><p>ok line</p>") == "ok line")
+    // </titlebar> does NOT close <title>; the real </title> does
+    assert(extract("<title>t</titlebar></title><p>kept</p>") == "kept")
+    // and without a real close, raw-text swallows to EOF (browser behavior)
+    assert(extract("<title>t</titlebar><p>gone</p>") == "")
+  }
+
 }
