@@ -1909,55 +1909,55 @@ FROM documents ORDER BY doc_id""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES
   ('https://adv.example.org/gen/00', 8, 384, 'de5aa23da491f3f89fe66054d0e6eaa9'),
-  ('https://adv.example.org/gen/01', 4, 430, 'a18c7b39a5abcafcc559cd1b9dc927ed'),
-  ('https://adv.example.org/gen/02', 5, 738, 'f464b926930c8ab6e02b0b0bebbce485'),
-  ('https://adv.example.org/gen/03', 25, 1400, '3d84f461dc10bafdcd91ff6d47a52ef6'),
-  ('https://adv.example.org/gen/04', 8, 1196, '876f7b8d936a53cbbe1433686040888f'),
-  ('https://adv.example.org/gen/05', 9, 683, 'db5e92a13901e21ad109437dd0298a1e'),
-  ('https://adv.example.org/gen/06', 12, 1441, '79c0ff69a8eff1a21dbd8f2ccfa63b58'),
-  ('https://adv.example.org/gen/07', 4, 678, 'c2ec98a0f3fc32b44e2a912e973c0b26'),
-  ('https://adv.example.org/gen/08', 12, 859, '926f573af20a33a3c9a6fa7201d09ec6'),
-  ('https://adv.example.org/gen/09', 10, 505, 'b5d256f0b1ddcc41f5a8a0f884745056'),
-  ('https://adv.example.org/gen/10', 8, 498, '379f8d5c40c340950669fad65800d727'),
-  ('https://adv.example.org/gen/11', 5, 1201, '0b1fd12d50cbfee2616011ae170195d8'),
-  ('https://adv.example.org/gen/12', 7, 715, '8a3400b4b63e9d1964f763d9bf0af531'),
-  ('https://adv.example.org/gen/13', 12, 866, '7a870ae239eee7b6306b76c8f692d19a'),
-  ('https://adv.example.org/gen/14', 10, 1061, '81799618078afb94c1c9466e15496f38'),
-  ('https://adv.example.org/gen/15', 8, 841, '24dfd06ed02f554b4a987874e9be9293'),
-  ('https://adv.example.org/gen/16', 17, 1330, 'f2c80267ae2183aefa40b7a046245993'),
-  ('https://adv.example.org/gen/17', 4, 391, '7fe8d8733499ea13ff8f96c35eacbdfd'),
-  ('https://adv.example.org/gen/18', 6, 703, '2ba1b0995e53b2b91ad3456cd66f2df7'),
-  ('https://adv.example.org/gen/19', 7, 990, '3c46d0b25ef6055423de606388a291a8'),
-  ('https://adv.example.org/gen/20', 8, 867, '7a91486bd9d6178dc2aad9640cda9207'),
-  ('https://adv.example.org/gen/21', 6, 571, '58d4a973b4b851b1864103509d03a238'),
-  ('https://adv.example.org/gen/22', 5, 981, '3584fa6be03d97c608725582ce1e696d'),
-  ('https://adv.example.org/gen/23', 5, 897, '4ac27085853194bbad7e62174b0fc441'),
-  ('https://adv.example.org/gen/24', 10, 1083, '816d01411525bda7d5922e13c2d051ac'),
-  ('https://adv.example.org/gen/25', 8, 628, '8b4d9f71cc32a5ca1966e49cc5bf1bfc'),
-  ('https://adv.example.org/gen/26', 9, 939, 'a10c87c7e0850e234820173a2573d791'),
-  ('https://adv.example.org/gen/27', 8, 686, 'adbc0167680c89ec2767e2101f409353'),
-  ('https://adv.example.org/gen/28', 6, 481, 'e8fa9cf2ff8397502992ff75003ce0b8'),
-  ('https://adv.example.org/gen/29', 4, 903, 'e5d66cdce7fe9f015bd802a688c9aeab'),
-  ('https://adv.example.org/gen/30', 11, 1157, '40ced4573c6b04326ddc771211869032'),
-  ('https://adv.example.org/gen/31', 8, 699, 'e698639f62627dfa158df8699ecdda1b'),
-  ('https://adv.example.org/gen/32', 7, 484, 'be1ae9840cdaa43c44caf4df4c32d873'),
-  ('https://adv.example.org/gen/33', 11, 930, 'f5b08ab2368ba5f7a1902e9ae0d7dfa4'),
-  ('https://adv.example.org/gen/34', 4, 842, '75e3028d036ee33cbfe7f1fcbcfe7951'),
-  ('https://adv.example.org/gen/35', 8, 891, 'b205b3cabd531808c70d8381a6c8419e'),
-  ('https://adv.example.org/gen/36', 17, 930, '3339141d501f003ea6b3217cfe20a27e'),
-  ('https://adv.example.org/gen/37', 4, 763, '54fa10b4d44872d030cf0b139c740473'),
-  ('https://adv.example.org/gen/38', 10, 726, '9456493c2bb4de726f1c32050868c3fd'),
-  ('https://adv.example.org/gen/39', 6, 850, '0d5392b591aaf357f3cab7b6ea246f50'),
-  ('https://adv.example.org/gen/40', 6, 587, '4c630588935eed1e0f087ed5b0805223'),
-  ('https://adv.example.org/gen/41', 9, 1517, 'ebe35a4cab6b853a9a55050532cc4e3e'),
-  ('https://adv.example.org/gen/42', 6, 1174, '5ac853f442998df3a65d555e88daab2e'),
-  ('https://adv.example.org/gen/43', 9, 895, '86001fb74539257418a0e2ce56497a5f'),
-  ('https://adv.example.org/gen/44', 12, 1172, '3df4b260f6f379fafb71853e765caf2c'),
-  ('https://adv.example.org/gen/45', 20, 1519, '9d6fd4482fe6e8980e0d22380b2f3c20'),
-  ('https://adv.example.org/gen/46', 6, 765, '53ee144cc40f5a71fb04a4d22a953c8b'),
-  ('https://adv.example.org/gen/47', 4, 548, '9f5f3d84065c2d2c5b2168a0e9c92bd9'),
-  ('https://adv.example.org/gen/48', 9, 834, 'eeabd936d6389e242bdddafdce6c13ec'),
-  ('https://adv.example.org/gen/49', 8, 539, '3a3bf3b5d75770ef769e15869187d341'),
+  ('https://adv.example.org/gen/01', 5, 621, 'deb6ee99c648d2da81bb968d074e9442'),
+  ('https://adv.example.org/gen/02', 8, 813, '9a0e262211cfd8cc094d650ff299dac3'),
+  ('https://adv.example.org/gen/03', 8, 1535, '8382cd35545a33142afa577a2a222a7b'),
+  ('https://adv.example.org/gen/04', 12, 700, 'f6ab83e161fa47bb12af82fa012c65c3'),
+  ('https://adv.example.org/gen/05', 5, 887, 'd656be8245d4ac8fad6461331443adcc'),
+  ('https://adv.example.org/gen/06', 15, 1158, '3aa0ebae97e137279f472c9f65870661'),
+  ('https://adv.example.org/gen/07', 10, 1242, '61a7381767fc5515e295ce8e912a152d'),
+  ('https://adv.example.org/gen/08', 9, 505, '604bd60bd6c088bdfc87544d751b6c18'),
+  ('https://adv.example.org/gen/09', 15, 1176, '2871bed9a652b44307594f52fbcfe769'),
+  ('https://adv.example.org/gen/10', 7, 767, '9c0665a9fbf9e97d312a8eac7a0268da'),
+  ('https://adv.example.org/gen/11', 11, 946, '5664e879a493642a4ee7f4b742c4115c'),
+  ('https://adv.example.org/gen/12', 9, 642, 'de35bff94988ac885ed40bf3bd0b40cb'),
+  ('https://adv.example.org/gen/13', 8, 1756, 'a8edab11276614e9b1d6ca7f119e2365'),
+  ('https://adv.example.org/gen/14', 14, 1127, 'ff07a9636ad36e0e55c17386efb2ee38'),
+  ('https://adv.example.org/gen/15', 11, 1098, '5a28c3a14a720f34beb15138d4c8bbf2'),
+  ('https://adv.example.org/gen/16', 7, 422, 'ce09427b1c0973e4456728d5e4c7ca85'),
+  ('https://adv.example.org/gen/17', 14, 1449, 'e9b1da17103ee7fb7ff81e40c799d17c'),
+  ('https://adv.example.org/gen/18', 9, 1480, '8c8fbf86c42fe040c22293589b2cbecc'),
+  ('https://adv.example.org/gen/19', 12, 1110, 'be92e50c959cee93fc4b3f7a9990d450'),
+  ('https://adv.example.org/gen/20', 11, 1524, '5547db1f37b9dff3ce09b54cb3e9970e'),
+  ('https://adv.example.org/gen/21', 5, 1007, '6b83d2b9b6d587ed06eb3f82c54a3654'),
+  ('https://adv.example.org/gen/22', 19, 1378, '5000745d8b6cc8a190e8e57fb2d497cf'),
+  ('https://adv.example.org/gen/23', 7, 1466, 'dba07d263f1ea7fb1ec935a69a22776b'),
+  ('https://adv.example.org/gen/24', 6, 1441, '87deaa89a3aad9101bbef1f0a8b1c368'),
+  ('https://adv.example.org/gen/25', 10, 881, '5fbca5905e419372ba112b974e52b183'),
+  ('https://adv.example.org/gen/26', 11, 1024, '5456777cccc5c7aa6c49aa6ade691251'),
+  ('https://adv.example.org/gen/27', 11, 1157, '40ced4573c6b04326ddc771211869032'),
+  ('https://adv.example.org/gen/28', 14, 1090, '88187e0f4aff39a7e6728346dbe6fdde'),
+  ('https://adv.example.org/gen/29', 10, 902, '52c0d45a5bf2245019cd9527dbc7c010'),
+  ('https://adv.example.org/gen/30', 10, 1455, 'f0f63f16994a36173c5e77b6ae4fffe4'),
+  ('https://adv.example.org/gen/31', 8, 1250, 'bc72bbb2ffd8f25e3e8f1288645bb53e'),
+  ('https://adv.example.org/gen/32', 9, 1118, '8448c980bd302f2fe9c48704fd0bcfa5'),
+  ('https://adv.example.org/gen/33', 7, 573, '1943a8b3c76ecc4c613c2d9500b2e35c'),
+  ('https://adv.example.org/gen/34', 11, 1079, '75da3bcf9cc4fd6d929addb0e187482f'),
+  ('https://adv.example.org/gen/35', 8, 1050, '1d64ddabe0fba65c0dfd12af95e6a8c9'),
+  ('https://adv.example.org/gen/36', 5, 875, '553d30a5470635c39aa4bf7936a285b6'),
+  ('https://adv.example.org/gen/37', 4, 651, 'c581eb8e078c4fe7e21d909d7e746496'),
+  ('https://adv.example.org/gen/38', 15, 1081, '9d773f109adf7089da249cb9a7740cbb'),
+  ('https://adv.example.org/gen/39', 8, 733, '56e68a3bbce051d6e9ee0f97997e5719'),
+  ('https://adv.example.org/gen/40', 17, 1041, '16bdc5d1d46ca73f14ba7983de6c1dc4'),
+  ('https://adv.example.org/gen/41', 11, 764, '4327c5d549904ba01c6746146c9c71fe'),
+  ('https://adv.example.org/gen/42', 16, 870, '6a93205f384824adf11b2af7b38aee7a'),
+  ('https://adv.example.org/gen/43', 7, 838, 'c2d0b5c03d1996c56b227a68cbd5f8c7'),
+  ('https://adv.example.org/gen/44', 11, 1153, '5570e3d45919837f25ee6fe130695f77'),
+  ('https://adv.example.org/gen/45', 4, 441, '57139c00bde3bf2976e0007a2c576a9e'),
+  ('https://adv.example.org/gen/46', 18, 1291, 'c089e938b9907f04cb32748118ec8b15'),
+  ('https://adv.example.org/gen/47', 8, 339, 'e8838160ec0d698b61997b0546f9a803'),
+  ('https://adv.example.org/gen/48', 8, 698, '65ab60789254445b52925edf097a6f59'),
+  ('https://adv.example.org/gen/49', 6, 1178, '136a57ce0c06ad1e82f76d4bf31e0941'),
   ('https://adv.example.org/hand-empty', 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
   ('https://adv.example.org/hand-rawtext', 2, 55, '9070da287ccaefdedd2ce93ff1167c21'),
   ('https://adv.example.org/hand-entities', 1, 44, '0c684838439fb1bfd36dd179e3549434'),
@@ -1967,7 +1967,8 @@ FROM documents ORDER BY doc_id""",
   ('https://adv.example.org/hand-density', 1, 49, '3e5fd75b0dc948208e9adf479f34d66e'),
   ('https://adv.example.org/hand-candidate', 1, 136, '86c394eca983064a59cd332feae90cbe'),
   ('https://adv.example.org/hand-hidden', 1, 45, '9ce9e1af27494b82b2cee9a586f73ea2'),
-  ('https://adv.example.org/hand-spelling', 3, 41, '583352204b9b09b12f16d6806e96bee9')
+  ('https://adv.example.org/hand-spelling', 3, 41, '583352204b9b09b12f16d6806e96bee9'),
+  ('https://adv.example.org/hand-traps', 2, 92, 'b05674144be6ed3f7f55a90b0eed0bf8')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_filter" ->
       """SELECT * FROM (VALUES

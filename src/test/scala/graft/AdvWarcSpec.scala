@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TrafilaturaExtractor
 
-/** Byte-equality replay of the adversarial mini-warc corpus: 60 pages of
+/** Byte-equality replay of the adversarial mini-warc corpus: 61 pages of
   * markup the general extractor was NOT co-designed with (noise grammar +
   * 10 hand-authored pages), goldens computed independently in Python by
   * tools/gen_adv_warc.py from the planted content only. The driver-facing
@@ -42,9 +42,9 @@ class AdvWarcSpec extends AnyFunSuite {
       .toMap
   }
 
-  test("corpus shape: 60 pages, all with goldens") {
-    assert(extracted.size == 60)
-    assert(goldens.size == 60)
+  test("corpus shape: 61 pages, all with goldens") {
+    assert(extracted.size == 61)
+    assert(goldens.size == 61)
     assert(extracted.keySet == goldens.keySet)
   }
 

@@ -123,7 +123,11 @@ def block_paragraph():
     h = maybe_inline_markup(h)
     tag_open, tag_close = rng.choice([
         ("<p>", "</p>"), ("<P>", "</P>"), ("<p>", ""),  # unclosed: implied close
-        ("<p class='intro-text'>", "</p >")])
+        ("<p class='intro-text'>", "</p >"),
+        # review-caught traps: attribute names merely ENDING in id/style
+        # are NOT the real attribute — these wrappers must stay visible
+        ("<div data-id=\"comment-%d\"><p>" % rng.randrange(99), "</p></div>"),
+        ("<div data-style=\"display:none\"><p>", "</p></div>")])
     return tag_open + h + tag_close, [g]
 
 
@@ -258,9 +262,28 @@ def noise_anchor_para():
         rng.randrange(99), rng.choice(ADJS), rng.choice(NOUNS))
 
 
+def noise_unquoted_farm():
+    # unquoted hrefs ending in '/': the anchors must still count as anchors
+    # (review-caught: a naive self-closing check made them childless and
+    # the farm escaped the density rule)
+    n = rng.randint(5, 8)
+    items = "".join("<li><a href=http://adv.example.org/cat%d/>%s %s index</a></li>"
+                    % (i, rng.choice(ADJS), rng.choice(NOUNS)) for i in range(n))
+    return "<ul>%s</ul>" % items
+
+
+def noise_rawtext_trap():
+    # close-tag lookalikes inside raw text must not end the element
+    return rng.choice([
+        "<script>var s=\"</script2>\"; document.write('<p>%s decoy</p>');</script>" % rng.choice(NOUNS),
+        "<style>/* </styles> */ p { color: red } /* <p>%s</p> */</style>" % rng.choice(VERBS),
+        "<textarea>not closed by </textareas> markers %s</textarea>" % rng.choice(NOUNS)])
+
+
 NOISE_KINDS = [noise_boilerplate, noise_discard_class, noise_hidden,
                noise_rawtext, noise_comment, noise_stray_close,
-               noise_link_farm, noise_anchor_para]
+               noise_link_farm, noise_anchor_para, noise_unquoted_farm,
+               noise_rawtext_trap]
 
 
 def noise_run():
@@ -320,6 +343,18 @@ LONG_DUP = ("The council repeats this exact announcement about the ferry "
             "schedule in every single bulletin of the season again.")
 assert len(LONG_DUP) > 100
 
+HAND_PAGES_EXTRA = [
+    ("hand-traps",
+     "<html><body>"
+     "<div data-id=\"comment-9\"><p>Wrapper with a lookalike attribute keeps this line.</p></div>"
+     "<ul><li><a href=http://t.example/a/>one</a><li><a href=http://t.example/b/>two</a>"
+     "<li><a href=http://t.example/c/>three</a><li><a href=http://t.example/d/>four</a></ul>"
+     "<script>if(x<1){document.write(\"</script2>\")}</script>"
+     "<p>Final plain sentence survives the traps.</p></body></html>",
+     ["Wrapper with a lookalike attribute keeps this line.",
+      "Final plain sentence survives the traps."]),
+]
+
 HAND_PAGES = [
     # 1: all boilerplate -> empty extraction
     ("hand-empty",
@@ -378,7 +413,7 @@ HAND_PAGES = [
      "<div style='visibility:hidden'>four</div>"
      "<p>Visible line with a <a href=\"/hidden/path\">link to hidden path</a> kept.</p></body></html>",
      ["Visible line with a link to hidden path kept."]),
-    # 10: uppercase/whitespace tag spellings, stray closes, bogus comments
+    # 10b inserted below as hand-traps; 10: uppercase/whitespace spellings
     ("hand-spelling",
      "<HTML><BODY></p></div><P>Upper paragraph one.</P >"
      "<UL><LI>Upper item</LI\n></UL><//></ x><p>tail line</p></BODY></HTML>",
@@ -401,7 +436,7 @@ def main():
     for i in range(50):
         html, gold = gen_page(i)
         pages.append(("https://adv.example.org/gen/%02d" % i, html, gold))
-    for name, html, gold in HAND_PAGES:
+    for name, html, gold in HAND_PAGES + HAND_PAGES_EXTRA:
         pages.append(("https://adv.example.org/%s" % name, html, gold))
 
     out = record("warcinfo", "meta", "software: graft-adv-warc-gen", "info")
