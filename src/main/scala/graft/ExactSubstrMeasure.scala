@@ -26,8 +26,11 @@ object ExactSubstrMeasure {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sp: SparkSession = spark
+    val cfg =
+      if (args.length > 2) ExactSubstrConfig(shortSpanWords = Some(args(2).toInt))
+      else ExactSubstrConfig()
     val docs = spark.read.json(in).select(col("doc_id").cast("long"), col("text"))
-    ExactSubstrDedup(docs, "doc_id", "text", emitRemovedWords = true)
+    ExactSubstrDedup(docs, "doc_id", "text", cfg, emitRemovedWords = true)
       .select(col("doc_id"), col("exact_substr_keep"), col("n_removed_words"),
         coalesce(col("removed_word_positions"), array().cast("array<int>"))
           .as("removed_word_positions"))

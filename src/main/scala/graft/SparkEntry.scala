@@ -501,6 +501,31 @@ FROM documents ORDER BY doc_id"""
           "doc_id", "text", BloomDedupConfig(nGrams = 5))
         .select("doc_id", "bloom_keep").orderBy("doc_id")
     }),
+    "exact_substr_short" -> ((s, dir) => {
+      // round 5: the short-span pass (ExactSubstrConfig.shortSpanWords)
+      // closes the measured `short_dup` divergence class — the true tool's
+      // minimum duplicated range is ~100 bytes (~15 words), far below the
+      // 50-word primary span. Planted 24-word exact-dup groups: with the
+      // 15-word pass later copies lose every window (fully removed); with
+      // the single-50-word-span config the same docs are untouched —
+      // both behaviors pinned side by side.
+      implicit val sp: SparkSession = s
+      val words = (0 until 3).flatMap { j =>
+        val h = translate(md5(concat((col("doc_id") % 100).cast("string"), lit("y" + j))),
+          "0123456789", "ghijklmnop")
+        (0 until 8).map(i => substring(h, i * 4 + 1, 4))
+      }
+      val docs = documents(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+      val short = ExactSubstrDedup(docs, "doc_id", "text",
+          ExactSubstrConfig(minDocWords = 10, shortSpanWords = Some(15)))
+        .select(col("doc_id"), col("exact_substr_keep").as("keep_short"),
+          col("n_removed_words").as("removed_short"))
+      val plain = ExactSubstrDedup(docs, "doc_id", "text",
+          ExactSubstrConfig(minDocWords = 10))
+        .select(col("doc_id"), col("exact_substr_keep").as("keep_plain"),
+          col("n_removed_words").as("removed_plain"))
+      short.join(plain, Seq("doc_id")).orderBy("doc_id")
+    }),
     "exact_substr" -> ((s, dir) => {
       // word-span ExactSubstr approximation over planted exact-dup groups of
       // 56-word docs: later copies lose every 50-word span -> dropped
@@ -2097,6 +2122,15 @@ FROM g ORDER BY doc_id""",
   FROM documents
 ), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
 SELECT doc_id, doc_id = rep AS bloom_keep
+FROM g ORDER BY doc_id""",
+    "exact_substr_short" ->
+      """WITH a AS (
+  SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR) || 'y0'), '0123456789', 'ghijklmnop') AS hx
+  FROM documents
+), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
+SELECT doc_id, doc_id = rep AS keep_short,
+  CASE WHEN doc_id = rep THEN 0 ELSE 24 END AS removed_short,
+  TRUE AS keep_plain, 0 AS removed_plain
 FROM g ORDER BY doc_id""",
     "exact_substr" ->
       """WITH a AS (

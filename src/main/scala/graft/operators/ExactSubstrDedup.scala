@@ -34,9 +34,16 @@ import graft.text.Tokenizer
   * → per-doc range cut. Hot span hashes (mass-duplicated boilerplate) are
   * a single window partition streamed with spill, not an array row.
   */
+/** @param shortSpanWords optional SECOND span length: the true tool's
+  *   minimum duplicated range is ~100 BYTES (≈15 English words), far below
+  *   the 50-word primary span, so a short-span pass catches the
+  *   `short_dup` divergence class the round-5 measurement quantified
+  *   (recall 0 → ~1 on 15-45-word copies). Off by default — the primary
+  *   oracle pins the single-span behavior. */
 final case class ExactSubstrConfig(
     spanWords: Int = 50,
-    minDocWords: Int = 50)
+    minDocWords: Int = 50,
+    shortSpanWords: Option[Int] = None)
 
 object ExactSubstrDedup {
 
@@ -87,31 +94,38 @@ object ExactSubstrDedup {
             emitRemovedWords: Boolean = false)
            (implicit spark: SparkSession): DataFrame = {
     val sw = cfg.spanWords
-    val spanUdf = udf { text: String => spanHashes(text, sw) }
+    val lengths = sw +: cfg.shortSpanWords.filter(_ < sw).toSeq
+    val spanUdf = udf { text: String =>
+      // one tokenize, one hash stream per span length; rows carry the span
+      // length so removal covers [pos, pos+len) per originating pass
+      lengths.flatMap(l => spanHashes(text, l).map(t => (t._1, l, t._2, t._3)))
+    }
 
     val spans = df
       .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
-      .select(col("__doc"), col("s._1").as("__pos"),
-        col("s._2").as("__h1"), col("s._3").as("__h2"))
+      .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__len"),
+        col("s._3").as("__h1"), col("s._4").as("__h2"))
 
     // first occurrence (min doc, then min pos) of each span hash survives.
     // groupBy-min + join-back (not a row_number window): the min aggregates
     // map-side so a mass-duplicated boilerplate span never concentrates on
-    // one reducer, and AQE skew-splits the join probe.
-    val firsts = spans.groupBy("__h1", "__h2")
+    // one reducer, and AQE skew-splits the join probe. Span lengths are
+    // independent dedup spaces (the length joins the grouping key).
+    val firsts = spans.groupBy("__len", "__h1", "__h2")
       .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
     val dupPos = spans
-      .join(firsts, Seq("__h1", "__h2"))
+      .join(firsts, Seq("__len", "__h1", "__h2"))
       .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
       .groupBy("__doc")
-      .agg(sort_array(collect_list(col("__pos"))).as("__dupPos"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__len"))))
+        .as("__dupPos"))
 
-    def rewriteWords(text: String, dup: Seq[Int]): (String, Int, Int, Seq[Int]) = {
+    def rewriteWords(text: String, dup: Seq[(Int, Int)]): (String, Int, Int, Seq[Int]) = {
       val words = Tokenizer.words(text)
       val covered = new Array[Boolean](words.length)
-      for (p <- dup) {
+      for ((p, l) <- dup) {
         var i = p
-        val end = math.min(words.length, p + sw)
+        val end = math.min(words.length, p + l)
         while (i < end) { covered(i) = true; i += 1 }
       }
       val kept = words.indices.filterNot(covered).map(words)
@@ -119,14 +133,15 @@ object ExactSubstrDedup {
       (kept.mkString(" "), words.length - kept.length, kept.length, removed)
     }
 
-    val rewrite = udf { (text: String, dup: Seq[Int]) =>
+    val rewrite = udf { (text: String, dup: Seq[org.apache.spark.sql.Row]) =>
       if (text == null) ("", 0, 0, Seq.empty[Int]) // null: min_doc_words drop
-      else rewriteWords(text, dup)
+      else rewriteWords(text, dup.map(r => (r.getInt(0), r.getInt(1))))
     }
 
     val annotated = df.join(dupPos.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
       .withColumn("__r", rewrite(col(textCol),
-        coalesce(col("__dupPos"), array().cast("array<int>"))))
+        coalesce(col("__dupPos"),
+          array().cast("array<struct<__pos:int,__len:int>>"))))
       .withColumn("n_removed_words", col("__r._2"))
       // the reference drops ANY doc under min_doc_words after removal,
       // including untouched ones (exact_substrings.py:309)
