@@ -31,8 +31,15 @@ object ExtractStage {
       .drop("__gurl", "__gtext")
   }
 
+  /** @param extractor the extraction function; defaults to the scoped
+    *   [[HtmlExtractor]] (byte-exact for the co-designed corpora). Pass
+    *   [[TrafilaturaExtractor.extract]] for ARBITRARY real-world markup —
+    *   the round-5 general extractor (adversarially oracled over adv.warc)
+    *   with the same cooperative-interrupt support, so the timeout sandbox
+    *   works identically for both. */
   def apply(df: DataFrame, htmlCol: String = "html", textCol: String = "text",
-            timeoutMs: Long = 1000L)
+            timeoutMs: Long = 1000L,
+            extractor: String => String = HtmlExtractor.extract)
            (implicit spark: SparkSession): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filterNot(_.name == textCol) :+
@@ -58,7 +65,7 @@ object ExtractStage {
           case null => ""
         }
         val task = pool.submit(new Callable[String] {
-          def call(): String = HtmlExtractor.extract(html)
+          def call(): String = extractor(html)
         })
         val (text, ok) =
           try (task.get(timeoutMs, TimeUnit.MILLISECONDS), true)

@@ -138,6 +138,16 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == (("Second doc fine.", true)))
   }
 
+  test("ExtractStage: the general TrafilaturaExtractor plugs into the sandbox seam") {
+    val adversarial = "<div data-id=\"comment-1\"><p>Kept by the general extractor.</p></div>" +
+      "<nav><a href='/'>Home</a></nav><script>var x='<p>decoy</p>';</script>"
+    val df = Seq((1L, adversarial.getBytes("UTF-8"))).toDF("id", "html")
+    val out = ExtractStage(df, "html", "text", timeoutMs = 2000,
+        extractor = TrafilaturaExtractor.extract).collect()
+    assert(out.head.getAs[String]("text") == "Kept by the general extractor.")
+    assert(out.head.getAs[Boolean]("extract_ok"))
+  }
+
   test("ExtractStage.fromGoldenTable: per-url text join with miss flag") {
     val pages = Seq(("u1", Array[Byte](1), "old"), ("u2", Array[Byte](2), "old"))
       .toDF("url", "html", "text")
