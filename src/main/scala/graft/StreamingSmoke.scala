@@ -55,9 +55,10 @@ object StreamingSmoke {
       new java.io.File(s"$srcDir/_chunks_done").createNewFile()
     }
 
+    val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_TRIGGER_FILES", "1").toInt
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(srcDir)
 
     val stages = Presets.fineweb(
       urlFilter = new UrlFilter(blockListedDomains = WebCorpusGen.BlockedDomains),
