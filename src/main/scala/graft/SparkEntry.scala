@@ -360,7 +360,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_general" -> ((s, dir) => {
-      // the GENERAL extraction path over the committed 60-page ADVERSARIAL
+      // the GENERAL extraction path over the committed 61-page ADVERSARIAL
       // warc — markup the extractor was NOT co-designed with (noise-grammar
       // pages + 10 hand-authored parser-torture pages; tools/gen_adv_warc
       // .py). Goldens were computed INDEPENDENTLY in Python from the

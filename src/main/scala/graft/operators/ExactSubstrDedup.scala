@@ -58,9 +58,15 @@ object ExactSubstrDedup {
     * expected false removals at 10^12 docs × ~10^3 spans: ≪ 1. */
   def spanHashes(text: String, spanWords: Int): Array[(Int, Long, Long)] = {
     if (text == null) return Array.empty
-    val words = Tokenizer.words(text)
+    spanHashesFromWordHashes(Tokenizer.words(text).map(Hashes.xxhash64), spanWords)
+  }
+
+  /** Overload on precomputed per-word hashes: the multi-length pass calls
+    * this once per length over ONE tokenize + word-hash stream (the
+    * O(doc) part of the work), instead of redoing it per length. */
+  def spanHashesFromWordHashes(h: Array[Long], spanWords: Int): Array[(Int, Long, Long)] = {
+    val words = h // word-count only below
     if (words.length < spanWords) return Array.empty
-    val h = words.map(Hashes.xxhash64)
     // polynomial rolling hash: H(i) = sum h(i+j) * P^(spanWords-1-j)
     val P1 = 0x100000001b3L       // FNV prime — odd, good diffusion mod 2^64
     val P2 = 0x9E3779B97F4A7C15L  // 2^64/φ — odd, independent multiplier
@@ -94,31 +100,63 @@ object ExactSubstrDedup {
             emitRemovedWords: Boolean = false)
            (implicit spark: SparkSession): DataFrame = {
     val sw = cfg.spanWords
-    val lengths = sw +: cfg.shortSpanWords.filter(_ < sw).toSeq
-    val spanUdf = udf { text: String =>
-      // one tokenize, one hash stream per span length; rows carry the span
-      // length so removal covers [pos, pos+len) per originating pass
-      lengths.flatMap(l => spanHashes(text, l).map(t => (t._1, l, t._2, t._3)))
+    require(sw > 0, s"spanWords must be positive (got $sw)")
+    cfg.shortSpanWords.foreach { l =>
+      require(l > 0 && l < sw,
+        s"shortSpanWords must be in (0, spanWords): got $l vs spanWords=$sw " +
+          "(0 would emit a degenerate all-docs-equal window; >= spanWords " +
+          "would silently do nothing)")
     }
-
-    val spans = df
-      .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
-      .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__len"),
-        col("s._3").as("__h1"), col("s._4").as("__h2"))
+    val lengths = sw +: cfg.shortSpanWords.toSeq
+    val multi = lengths.length > 1
 
     // first occurrence (min doc, then min pos) of each span hash survives.
     // groupBy-min + join-back (not a row_number window): the min aggregates
     // map-side so a mass-duplicated boilerplate span never concentrates on
-    // one reducer, and AQE skew-splits the join probe. Span lengths are
-    // independent dedup spaces (the length joins the grouping key).
-    val firsts = spans.groupBy("__len", "__h1", "__h2")
-      .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
-    val dupPos = spans
-      .join(firsts, Seq("__len", "__h1", "__h2"))
-      .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
-      .groupBy("__doc")
-      .agg(sort_array(collect_list(struct(col("__pos"), col("__len"))))
-        .as("__dupPos"))
+    // one reducer, and AQE skew-splits the join probe.
+    // Single-length (default) rows carry NO length column — the span width
+    // is a constant the rewrite re-adds — so the hot explode shuffles only
+    // (doc, pos, h1, h2). Multi-length rows add the 4-byte length: span
+    // lengths are independent dedup spaces (the length joins the key) and
+    // removal covers [pos, pos+len) per originating pass. Either way the
+    // document is tokenized and word-hashed ONCE (spanHashesFromWordHashes).
+    val dupPos = if (!multi) {
+      val spanUdf = udf { text: String => spanHashes(text, sw) }
+      val spans = df
+        .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
+        .select(col("__doc"), col("s._1").as("__pos"),
+          col("s._2").as("__h1"), col("s._3").as("__h2"))
+      val firsts = spans.groupBy("__h1", "__h2")
+        .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+      spans
+        .join(firsts, Seq("__h1", "__h2"))
+        .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
+        .groupBy("__doc")
+        .agg(sort_array(collect_list(struct(col("__pos"), lit(sw).as("__len"))))
+          .as("__dupPos"))
+    } else {
+      val lens = lengths
+      val spanUdf = udf { text: String =>
+        if (text == null) Seq.empty[(Int, Int, Long, Long)]
+        else {
+          val h = Tokenizer.words(text).map(graft.functions.Hashes.xxhash64)
+          lens.flatMap(l =>
+            spanHashesFromWordHashes(h, l).map(t => (t._1, l, t._2, t._3)))
+        }
+      }
+      val spans = df
+        .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
+        .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__len"),
+          col("s._3").as("__h1"), col("s._4").as("__h2"))
+      val firsts = spans.groupBy("__len", "__h1", "__h2")
+        .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+      spans
+        .join(firsts, Seq("__len", "__h1", "__h2"))
+        .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
+        .groupBy("__doc")
+        .agg(sort_array(collect_list(struct(col("__pos"), col("__len"))))
+          .as("__dupPos"))
+    }
 
     def rewriteWords(text: String, dup: Seq[(Int, Int)]): (String, Int, Int, Seq[Int]) = {
       val words = Tokenizer.words(text)

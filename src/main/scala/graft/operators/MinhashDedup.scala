@@ -23,7 +23,7 @@ import graft.text.{TextKernels, Tokenizer}
   *
   * The whole flow is 2 shuffles (bucket groupBy + component join rounds) —
   * at 10^12 docs the sig explode is numBuckets rows/doc and the groupBy
-  * keys are (bucket, 8×8-byte sig), so AQE handles the skewed empty-sig
+  * keys are (bucket, 128-bit band fold), so AQE handles the skewed empty-sig
   * buckets; pair volume ≪ doc volume.
   */
 final case class MinhashDedupConfig(
@@ -83,7 +83,8 @@ object MinhashDedup {
   }
 
   /** Per-doc bucket signatures: each bucket's `hashesPerBucket` min-hashes
-    * hex-packed into one string key. Empty docs (< nGrams words) yield no
+    * folded into one 128-bit struct key (two independent polynomial
+    * accumulators — see the in-body note). Empty docs (< nGrams words) yield no
     * rows — they can never be duplicates (matches reference behavior where
     * such docs crash/skip stage 1; we drop them from the sig table). */
   def signatures(df: DataFrame, idCol: String, textCol: String,

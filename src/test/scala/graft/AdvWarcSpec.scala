@@ -5,7 +5,7 @@ import graft.operators.TrafilaturaExtractor
 
 /** Byte-equality replay of the adversarial mini-warc corpus: 61 pages of
   * markup the general extractor was NOT co-designed with (noise grammar +
-  * 10 hand-authored pages), goldens computed independently in Python by
+  * 11 hand-authored pages), goldens computed independently in Python by
   * tools/gen_adv_warc.py from the planted content only. The driver-facing
   * twin is the `warc_extract_general` query (md5/length oracle); this spec
   * pins the full text byte-for-byte. */

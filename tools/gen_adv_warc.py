@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Generate src/main/resources/graft/adv.warc + adv_golden.tsv — a 60-page
+"""Generate src/main/resources/graft/adv.warc + adv_golden.tsv — a 61-page
 ADVERSARIAL WARC for the warc_extract_general driver query, grading the
 general TrafilaturaExtractor on markup it was NOT co-designed with.
 
@@ -15,7 +15,7 @@ Anti-co-design discipline:
     decoys, comments/CDATA/PI, stray close tags, malformed nesting,
     quoted-'>' attributes, uppercase/whitespace tag spellings) that the
     golden logic never sees: the extractor must make ALL of it invisible.
-  * 10 pages are hand-authored with hand-derived goldens (no generator).
+  * 11 pages are hand-authored with hand-derived goldens (no generator).
 
 Outputs (committed):
   src/main/resources/graft/adv.warc        - the corpus
