@@ -147,26 +147,32 @@ final class FastTextModel(
     }
   }
 
-  // token → input-row ids (word id + subword buckets), bounded LRU per
-  // thread. Zipfian text repeats tokens constantly; caching the ROW IDS
-  // (not partial sums) skips the n-gram hashing while keeping the float
-  // additions in the exact same order — bit-identical scores. Long tokens
+  // token → (sum of its input-row vectors, row count), bounded LRU per
+  // thread. Zipfian text repeats tokens constantly; caching the PARTIAL
+  // SUM skips both the n-gram hashing and the per-row float adds (~20
+  // rows × dim adds collapse to dim adds per repeated token). The sum is
+  // computed the same way for a given token every time, so scores stay
+  // fully deterministic and cache-independent; within-token add order is
+  // fixed (word row, then subword rows in scan order). Long tokens
   // (unspaced CJK runs) rarely repeat and are not cached.
-  @transient private lazy val rowCache =
-    new ThreadLocal[java.util.LinkedHashMap[String, Array[Int]]] {
-      override def initialValue(): java.util.LinkedHashMap[String, Array[Int]] =
-        new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
+  @transient private lazy val sumCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, (Array[Float], Int)]] {
+      override def initialValue(): java.util.LinkedHashMap[String, (Array[Float], Int)] =
+        new java.util.LinkedHashMap[String, (Array[Float], Int)](1024, 0.75f, true) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[String, Array[Int]]): Boolean = size > 8192
+              e: java.util.Map.Entry[String, (Array[Float], Int)]): Boolean = size > 8192
         }
     }
 
-  private def tokenRows(tok: String): Array[Int] = {
+  private def tokenSum(tok: String): (Array[Float], Int) = {
     val buf = new ArrayBuffer[Int](24)
     val wid = vocab.getOrDefault(tok, -1)
     if (wid >= 0) buf += wid
     subwordRowIds(tok, buf)
-    buf.toArray
+    val sum = new Array[Float](dim)
+    var k = 0
+    while (k < buf.length) { addRow(sum, buf(k)); k += 1 }
+    (sum, buf.length)
   }
 
   /** fastText predict: tokens = whitespace split (+EOS handled by caller's
@@ -175,20 +181,21 @@ final class FastTextModel(
     val tokens = graft.text.PyText.pySplit(text) :+ FastTextModel.EOS
     val hidden = new Array[Float](dim)
     var count = 0
-    val cache = rowCache.get()
+    val cache = sumCache.get()
     for (tok <- tokens) {
       if (tok == FastTextModel.EOS) {
         val wid = vocab.getOrDefault(tok, -1)
         if (wid >= 0) { addRow(hidden, wid); count += 1 }
       } else {
-        var rows = cache.get(tok)
-        if (rows == null) {
-          rows = tokenRows(tok)
-          if (tok.length <= 32) cache.put(tok, rows)
+        var entry = cache.get(tok)
+        if (entry == null) {
+          entry = tokenSum(tok)
+          if (tok.length <= 32) cache.put(tok, entry)
         }
-        var k = 0
-        while (k < rows.length) { addRow(hidden, rows(k)); k += 1 }
-        count += rows.length
+        val (sum, n) = entry
+        var d = 0
+        while (d < dim) { hidden(d) += sum(d); d += 1 }
+        count += n
       }
     }
     // each added row (in-vocab word or subword bucket) counts toward the mean
