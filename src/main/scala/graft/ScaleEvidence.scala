@@ -155,6 +155,24 @@ object ScaleEvidence {
         "url", "doc_id", "priority").count()
     }
 
+    phase("exact_substr") {
+      // rolling-hash span dedup incl. the round-5 short-span pass — the
+      // heaviest text-CPU dedup (tokenize + per-word hash + two span
+      // streams per doc), ids+positions only through the shuffle
+      ExactSubstrDedup(docs, "doc_id", "text",
+        ExactSubstrConfig(shortSpanWords = Some(15)))
+        .filter(!col("exact_substr_keep")).count()
+    }
+
+    phase("extract_general") {
+      // the round-5 general extractor over every page's raw html through
+      // the timeout sandbox — html is the fat column the other phases
+      // prune; this is the one pass that must read it
+      ExtractStage(corpus.select("url", "html"), "html", "text",
+        timeoutMs = 2000, extractor = TrafilaturaExtractor.extract)
+        .filter(length(col("text")) > 0).count()
+    }
+
     // ---- ANN LSH over synthetic 64-dim vectors with planted 5-cliques
     // (every 400th block of 5 ids shares a base vector + per-member jitter)
     phase("ann_lsh") {

