@@ -129,7 +129,15 @@ class ScaleShapeSpec extends SparkSpec {
     val threeLine = docs.withColumn("text",
       concat(col("text"), lit("\nmid "), col("text"), lit("\n"), col("text"), lit(" end")))
     assert(!planOf(SentenceDedup(threeLine, "doc_id", "text")).contains("Window"))
-    assert(!planOf(ExactSubstrDedup(docs, "doc_id", "text")).contains("Window"))
+    // ExactSubstr deliberately switched to window-min in round 5: its span
+    // table is ~2 orders fatter than the doc table, so one exchange beats
+    // groupBy-min + join-back (measured 60.4 → 38.6 s / 5.7 → 3.3 GB at
+    // 200k). The Window must be partition-key-only (no orderBy sort spec),
+    // the same streaming-with-spill shape as minhash's duplicateEdges.
+    val esPlan = planOf(ExactSubstrDedup(docs, "doc_id", "text"))
+    assert(esPlan.contains("Window"))
+    assert(!esPlan.matches("(?s).*windowspecdefinition\\([^)]*(ASC|DESC).*"),
+      "exact_substr window must not carry an orderBy sort spec")
   }
 
   test("exact/url dedup: null text, null url, and null priority rows survive the join") {
