@@ -26,9 +26,9 @@ object ExactSubstrMeasure {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sp: SparkSession = spark
-    val cfg =
-      if (args.length > 2) ExactSubstrConfig(shortSpanWords = Some(args(2).toInt))
-      else ExactSubstrConfig()
+    val cfg = ExactSubstrConfig(
+      shortSpanWords = if (args.length > 2) Some(args(2).toInt) else None,
+      anchorEvery = if (args.length > 3) Some(args(3).toInt) else None)
     val docs = spark.read.json(in).select(col("doc_id").cast("long"), col("text"))
     ExactSubstrDedup(docs, "doc_id", "text", cfg, emitRemovedWords = true)
       .select(col("doc_id"), col("exact_substr_keep"), col("n_removed_words"),

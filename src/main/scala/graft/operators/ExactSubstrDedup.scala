@@ -40,10 +40,20 @@ import graft.text.Tokenizer
   *   `short_dup` divergence class the round-5 measurement quantified
   *   (recall 0 → ~1 on 15-45-word copies). Off by default — the primary
   *   oracle pins the single-span behavior. */
+/** @param anchorEvery optional winnowing window (in span-start positions):
+  *   when set, spans are emitted only at CONTENT-DEFINED anchor positions
+  *   (word-hash is the minimum of its w-window), cutting the exploded span
+  *   rows to ~2/(w+1) of stride-1 — the implemented scale path past the
+  *   span-explode shuffle ceiling (BENCH.md §sf1). Winnowing guarantees
+  *   both copies of a shared word-aligned range pick the same anchors
+  *   inside it, so ranges ≥ spanWords + w − 1 words are still always
+  *   detected; ranges in [spanWords, spanWords+w−1) MAY be missed — the
+  *   measured trade (tools/exact_substr_divergence.py anchor mode). */
 final case class ExactSubstrConfig(
     spanWords: Int = 50,
     minDocWords: Int = 50,
-    shortSpanWords: Option[Int] = None)
+    shortSpanWords: Option[Int] = None,
+    anchorEvery: Option[Int] = None)
 
 object ExactSubstrDedup {
 
@@ -59,6 +69,37 @@ object ExactSubstrDedup {
   def spanHashes(text: String, spanWords: Int): Array[(Int, Long, Long)] = {
     if (text == null) return Array.empty
     spanHashesFromWordHashes(Tokenizer.words(text).map(Hashes.xxhash64), spanWords)
+  }
+
+  /** Winnowing anchor positions over the word-hash stream: position i is
+    * an anchor when h(i) is the minimum of h(i..i+w-1), leftmost-min on
+    * ties — deterministic, and identical inside any shared word run, which
+    * is what makes anchored spans alignment-free across documents. */
+  private[operators] def anchorPositions(h: Array[Long], w: Int): Array[Boolean] = {
+    val out = new Array[Boolean](h.length)
+    var i = 0
+    while (i + w <= h.length) {
+      var best = i
+      var j = i + 1
+      while (j < i + w) {
+        if (java.lang.Long.compareUnsigned(h(j), h(best)) < 0) best = j
+        j += 1
+      }
+      out(best) = true
+      i += 1
+    }
+    // short tail (fewer than w starts remain): every doc start still gets
+    // one anchor so tiny docs are not silently span-free
+    if (h.length > 0 && h.length < w) {
+      var best = 0
+      var j = 1
+      while (j < h.length) {
+        if (java.lang.Long.compareUnsigned(h(j), h(best)) < 0) best = j
+        j += 1
+      }
+      out(best) = true
+    }
+    out
   }
 
   /** Overload on precomputed per-word hashes: the multi-length pass calls
@@ -107,6 +148,8 @@ object ExactSubstrDedup {
           "(0 would emit a degenerate all-docs-equal window; >= spanWords " +
           "would silently do nothing)")
     }
+    cfg.anchorEvery.foreach(w => require(w > 1, s"anchorEvery must be > 1 (got $w)"))
+    val anchorW = cfg.anchorEvery
     val lengths = sw +: cfg.shortSpanWords.toSeq
     val multi = lengths.length > 1
 
@@ -126,7 +169,18 @@ object ExactSubstrDedup {
     // removal covers [pos, pos+len) per originating pass. Either way the
     // document is tokenized and word-hashed ONCE (spanHashesFromWordHashes).
     val dupPos = if (!multi) {
-      val spanUdf = udf { text: String => spanHashes(text, sw) }
+      val spanUdf = udf { text: String =>
+        if (text == null) Array.empty[(Int, Long, Long)]
+        else {
+          val h = Tokenizer.words(text).map(graft.functions.Hashes.xxhash64)
+          val all = spanHashesFromWordHashes(h, sw)
+          anchorW match {
+            case Some(aw) =>
+              val a = anchorPositions(h, aw); all.filter(t => a(t._1))
+            case None => all
+          }
+        }
+      }
       val spans = df
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
         .select(col("__doc"), col("s._1").as("__pos"),
@@ -144,8 +198,15 @@ object ExactSubstrDedup {
         if (text == null) Seq.empty[(Int, Int, Long, Long)]
         else {
           val h = Tokenizer.words(text).map(graft.functions.Hashes.xxhash64)
-          lens.flatMap(l =>
-            spanHashesFromWordHashes(h, l).map(t => (t._1, l, t._2, t._3)))
+          val a = anchorW.map(anchorPositions(h, _))
+          lens.flatMap { l =>
+            val spans = spanHashesFromWordHashes(h, l)
+            val kept = a match {
+              case Some(anch) => spans.filter(t => anch(t._1))
+              case None => spans
+            }
+            kept.map(t => (t._1, l, t._2, t._3))
+          }
         }
       }
       val spans = df

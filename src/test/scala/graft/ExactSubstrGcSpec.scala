@@ -79,4 +79,29 @@ class ExactSubstrGcSpec extends SparkSpec {
     val out = ExactSubstrDedup(docs, "doc_id", "text")
     assert(out.where(col("exact_substr_keep")).count() == 501) // survivor + 500 unique
   }
+  test("anchored mode: long shared ranges still detected, config validated") {
+    import spark.implicits._
+    val passage = (1 to 70).map(i => s"w$i").mkString(" ")  // 70 shared words
+    val docs = Seq(
+      (1L, "a1 a2 a3 " + passage + " z1 z2"),
+      (2L, "b1 b2 b3 b4 " + passage + " y1"),
+      (3L, (1 to 60).map(i => s"u$i").mkString(" "))) // unique doc
+      .toDF("doc_id", "text")
+    // 70 >= spanWords(50) + anchorEvery(8) - 1, so winnowing must catch it
+    val out = graft.operators.ExactSubstrDedup(docs, "doc_id", "text",
+      graft.operators.ExactSubstrConfig(minDocWords = 5, anchorEvery = Some(8)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_removed_words")).toMap
+    assert(out(1L) == 0, "first occurrence survives")
+    assert(out(2L) >= 50, "later copy loses the anchored span(s)")
+    assert(out(3L) == 0, "unique doc untouched")
+    intercept[IllegalArgumentException] {
+      graft.operators.ExactSubstrDedup(docs, "doc_id", "text",
+        graft.operators.ExactSubstrConfig(anchorEvery = Some(1))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.ExactSubstrDedup(docs, "doc_id", "text",
+        graft.operators.ExactSubstrConfig(shortSpanWords = Some(0))).collect()
+    }
+  }
+
 }
