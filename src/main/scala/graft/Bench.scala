@@ -129,7 +129,16 @@ object Bench {
     // OS page cache), so cross-round comparisons against single-shot
     // artifacts need the like-for-like first-attempt series.
     val firstAttempt = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Per-decile probe series (VERDICT r5 "What's wrong" #2): the r5
+    // artifact's start/end probes bracketed the run but missed a mid-run
+    // host-degradation window, letting a ~1.5× uniform drift masquerade as
+    // regression. A probe every ~10% of the query list makes a mid-run
+    // burst visible in the artifact itself.
+    val noiseSeries = scala.collection.mutable.ArrayBuffer[Double]()
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val probeEvery = math.max(1, ordered.size / 10)
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (i % probeEvery == 0) noiseSeries += noiseProbe()
       val t1 = timeOnce(fn)
       val t2 = timeOnce(fn)
       var best = math.min(t1, t2)
@@ -148,7 +157,8 @@ object Bench {
     val qsFirst = firstAttempt.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
-    val noise = f"""{"start_sec":$noiseStart%.3f,"end_sec":$noiseEnd%.3f}"""
+    val series = noiseSeries.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val noise = f"""{"start_sec":$noiseStart%.3f,"end_sec":$noiseEnd%.3f,"decile_sec":$series}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_attempt":$qsFirst,"sf":"$sfDir","pipeline_docs_per_sec":${docsPerSec.toLong},"pipeline_rows":$rows,"pipeline_kept":$kept,"cpus":$cpus,"noise_check":$noise}""")
     spark.stop()

@@ -44,7 +44,17 @@ object ScaleEvidence {
     }
   }
 
+  // Two running maxima: `peakHeap` is the whole-run ceiling for the summary
+  // line; `phasePeak` is snapshotted+reset at each phase boundary so the
+  // per-phase JSON attributes heap to ITS OWN phase rather than repeating
+  // the run's earlier high-water mark (ADVICE r5).
   @volatile private var peakHeap = 0L
+  @volatile private var phasePeak = 0L
+  private def resetPhasePeak(): Unit =
+    phasePeak = {
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
   private def startHeapPoller(): Thread = {
     val t = new Thread(() => {
       val rt = Runtime.getRuntime
@@ -52,6 +62,7 @@ object ScaleEvidence {
       while (live && !Thread.currentThread().isInterrupted) {
         val used = rt.totalMemory() - rt.freeMemory()
         if (used > peakHeap) peakHeap = used
+        if (used > phasePeak) phasePeak = used
         try Thread.sleep(100) catch { case _: InterruptedException => live = false }
       }
     }, "heap-poller")
@@ -62,6 +73,15 @@ object ScaleEvidence {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 2000000L
+    // Optional phase selector (2nd arg, comma-separated): running ONE phase
+    // per JVM gives dedicated numbers — r5 measured cross-phase
+    // contamination in the single-JVM sequence (ann_lsh 18→68 s right after
+    // exact_substr's 36 GB heap spike; exact_dedup 5.2–43.1 s spread from
+    // page-cache/GC neighbors). tools/scale_evidence_isolated.sh loops the
+    // phases through fresh JVMs.
+    val onlyPhases: Option[Set[String]] =
+      if (args.length > 1 && args(1) != "all") Some(args(1).split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,6 +100,12 @@ object ScaleEvidence {
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
 
     def phase(name: String)(body: => Long): Unit = {
+      // gen_corpus always runs (every phase reads its output); others obey
+      // the selector so one JVM can measure one phase in isolation
+      if (name != "gen_corpus" && onlyPhases.exists(!_.contains(name))) return
+      // settle the JVM before attributing heap/time to this phase
+      System.gc()
+      resetPhasePeak()
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       val out = body
@@ -106,7 +132,9 @@ object ScaleEvidence {
       val sr = metrics.shuffleRead.getOrDefault(name, 0L)
       val sw = metrics.shuffleWrite.getOrDefault(name, 0L)
       val in = metrics.inputBytes.getOrDefault(name, 0L)
-      val heapGb = peakHeap / 1e9
+      // phase-local peak (snapshotted after the body, reset at entry) —
+      // the global run max only appears in the summary line
+      val heapGb = phasePeak / 1e9
       println(f"""{"phase":"$name","sec":$sec%.2f,"rows_out":$out,"shuffle_read_mb":${sr / 1e6}%.1f,"shuffle_write_mb":${sw / 1e6}%.1f,"input_mb":${in / 1e6}%.1f,"peak_heap_gb":$heapGb%.2f}""")
     }
 
@@ -164,6 +192,15 @@ object ScaleEvidence {
       val anchor = sys.env.get("SPARK_GRAFT_ES_ANCHOR").map(_.toInt)
       ExactSubstrDedup(docs, "doc_id", "text",
         ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = anchor))
+        .filter(!col("exact_substr_keep")).count()
+    }
+
+    phase("exact_substr_anchored") {
+      // the declared 100 TB posture as its own dedicated row (VERDICT r5
+      // #6): winnowing anchors at w=8 sample ~2/(w+1) of the stride-1
+      // spans content-defined, so copies anchor identically
+      ExactSubstrDedup(docs, "doc_id", "text",
+        ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = Some(8)))
         .filter(!col("exact_substr_keep")).count()
     }
 

@@ -165,6 +165,46 @@ FROM documents ORDER BY doc_id"""
     d.toString
   }
 
+  /** Checkpoint scratch for the streaming demos. Structured Streaming
+    * fsyncs offset/commit WAL + per-partition state delta files every
+    * micro-batch; on a contended disk those dozens of fsyncs dominate the
+    * bounded demo (BENCH_r05 recorded 5.4×/3.2× blowups on an I/O-degraded
+    * host with zero code change, and best-of-2 could not save them because
+    * each attempt's fresh checkpoint re-pays the I/O). Durability of a
+    * bench-scoped checkpoint is meaningless — on a real cluster checkpoints
+    * live in object storage — so prefer tmpfs (/dev/shm) when writable and
+    * fall back to the disk scratch otherwise. Same per-process cleanup
+    * discipline as [[scratchRoot]]. */
+  private lazy val streamScratchRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) {
+      val p = shm.resolve("graft_stream_scratch")
+        .resolve(ProcessHandle.current().pid().toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
+      Some(p)
+    } else None
+  }
+  private def streamScratchDir(name: String): String =
+    streamScratchRoot match {
+      case Some(root) =>
+        val d = root.resolve(name)
+        deleteRec(d)
+        java.nio.file.Files.createDirectories(d)
+        d.toString
+      case None => scratchDir(name)
+    }
+
+  /** Runs `body` with spark.sql.shuffle.partitions temporarily set to `n`.
+    * A streaming query snapshots the value at `.start()`, and each state
+    * partition writes (and fsyncs) its own delta file per micro-batch — the
+    * two ≤1000-doc streaming demos have no use for 32 of them. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Unique letter-only filler words for the n-gram planted texts. */
   private def repFiller(n: Int, start: Int, suffix: String = "x"): Seq[String] =
     (0 until n).map { j =>
@@ -534,6 +574,55 @@ FROM documents ORDER BY doc_id"""
         .select(col("doc_id"), col("exact_substr_keep"), col("n_removed_words"))
         .orderBy("doc_id")
     }),
+    "exact_substr_anchored" -> ((s, dir) => {
+      // The winnowing-anchored scale mode's GUARANTEE CLASSES as a driver
+      // oracle (VERDICT r5 "Next round" #2). spanWords=16, anchorEvery=8:
+      //  * docs embed a per-group shared run between UNIQUE per-doc
+      //    prefix/suffix words, so anchors near the run depend on doc-
+      //    specific context — exactly the alignment-free case winnowing
+      //    must survive;
+      //  * guaranteed-catch class (24 shared words ≥ spanWords+w−1 = 23):
+      //    winnowing picks the same in-run anchor in every copy, so every
+      //    later copy loses ≥ one 16-word span, and removal can only cover
+      //    the shared run → removed ∈ [16, 24], first copy untouched;
+      //  * maybe-miss band (16 shared words ∈ [spanWords, spanWords+w−1)):
+      //    the single shared span is caught or missed depending on context
+      //    anchors, but NEVER partially cut → removed ∈ {0, 16}, and the
+      //    group's first copy is untouched either way (precision 1.000).
+      implicit val sp: SparkSession = s
+      val grp = (col("doc_id") % 100).cast("string")
+      def block(seed: org.apache.spark.sql.Column, salt: String) = {
+        val h = translate(md5(concat(seed, lit(salt))), "0123456789", "ghijklmnop")
+        (0 until 8).map(i => substring(h, i * 4 + 1, 4))
+      }
+      val id = col("doc_id").cast("string")
+      val longText = concat_ws(" ",
+        block(id, "ap") ++ block(grp, "ag0") ++ block(grp, "ag1") ++
+          block(grp, "ag2") ++ block(id, "as"): _*)
+      val bandText = concat_ws(" ",
+        block(id, "bp") ++ block(grp, "bg0") ++ block(grp, "bg1") ++
+          block(id, "bs"): _*)
+      val cfg = ExactSubstrConfig(spanWords = 16, minDocWords = 5,
+        anchorEvery = Some(8))
+      val longRes = ExactSubstrDedup(
+          documents(s, dir).select(col("doc_id"), longText.as("text")),
+          "doc_id", "text", cfg)
+        .select(col("doc_id"), col("exact_substr_keep").as("keep_long"),
+          (col("n_removed_words") === 0).as("untouched_long"),
+          (col("n_removed_words") >= 16 && col("n_removed_words") <= 24)
+            .as("caught_long"))
+      val bandRes = ExactSubstrDedup(
+          documents(s, dir).select(col("doc_id"), bandText.as("text")),
+          "doc_id", "text", cfg)
+        .groupBy()
+        .agg(
+          sum(when(col("n_removed_words") === 0 ||
+            col("n_removed_words") === 16, 0L).otherwise(1L))
+            .as("band_partial_cuts"),
+          sum(when(!col("exact_substr_keep"), 1L).otherwise(0L))
+            .as("band_dropped"))
+      longRes.crossJoin(bandRes).orderBy("doc_id")
+    }),
     "token_count_bpe" -> ((s, dir) => {
       // pretrained-vocab path: the committed GPT-2-format fixture
       // (vocab.json + merges.txt) loaded through the Bpe seam; planted
@@ -885,16 +974,18 @@ FROM documents ORDER BY doc_id"""
       val allIds = docIds(s, dir, below = 1000)
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingQuality.streamingExactDedup(ms.toDS())
-        .toDF().writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", scratchDir("streaming_dedup_ckpt"))
-        .outputMode("append").start()
-      try {
-        ms.addData(allIds.filter(_ < 100).map(doc).toSeq)
-        q.processAllAvailable()
-        ms.addData(allIds.filter(_ >= 100).map(doc).toSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamingQuality.streamingExactDedup(ms.toDS())
+          .toDF().writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", streamScratchDir("streaming_dedup_ckpt"))
+          .outputMode("append").start()
+        try {
+          ms.addData(allIds.filter(_ < 100).map(doc).toSeq)
+          q.processAllAvailable()
+          ms.addData(allIds.filter(_ >= 100).map(doc).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(sinkName).select(col("url").cast("long").as("doc_id")).orderBy("doc_id")
     }),
     "streaming_metrics" -> ((s, dir) => {
@@ -913,22 +1004,24 @@ FROM documents ORDER BY doc_id"""
       val allIds = docIds(s, dir, below = 1000) // cap: see streaming_dedup
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingQuality
-        .windowedDropMetrics(ms.toDS(), "1 minute", "0 seconds")
-        .writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", scratchDir("streaming_metrics_ckpt"))
-        .outputMode("append").start()
-      try {
-        ms.addData(allIds.map(doc).toSeq)
-        q.processAllAvailable()
-        ms.addData(Seq(sentinel(600000L * 1000)))
-        q.processAllAvailable()
-        // second sentinel stays INSIDE the first's window: the trailing
-        // empty micro-batch advances the watermark to 600030 < window end
-        // 600060, so the sentinels' own window never finalizes/emits
-        ms.addData(Seq(sentinel(600030L * 1000)))
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamingQuality
+          .windowedDropMetrics(ms.toDS(), "1 minute", "0 seconds")
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", streamScratchDir("streaming_metrics_ckpt"))
+          .outputMode("append").start()
+        try {
+          ms.addData(allIds.map(doc).toSeq)
+          q.processAllAvailable()
+          ms.addData(Seq(sentinel(600000L * 1000)))
+          q.processAllAvailable()
+          // second sentinel stays INSIDE the first's window: the trailing
+          // empty micro-batch advances the watermark to 600030 < window end
+          // 600060, so the sentinels' own window never finalizes/emits
+          ms.addData(Seq(sentinel(600030L * 1000)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(sinkName)
         .select((unix_timestamp(col("window.start"))).as("win_start_s"),
           col("reason"), col("count").as("n"))
@@ -2139,6 +2232,17 @@ FROM g ORDER BY doc_id""",
 ), g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hx) AS rep FROM a)
 SELECT doc_id, doc_id = rep AS exact_substr_keep,
   CASE WHEN doc_id = rep THEN 0 ELSE 56 END AS n_removed_words
+FROM g ORDER BY doc_id""",
+    "exact_substr_anchored" ->
+      """WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 100) AS rep
+  FROM documents
+)
+SELECT doc_id, TRUE AS keep_long,
+  (doc_id = rep) AS untouched_long,
+  (doc_id <> rep) AS caught_long,
+  CAST(0 AS BIGINT) AS band_partial_cuts,
+  CAST(0 AS BIGINT) AS band_dropped
 FROM g ORDER BY doc_id""",
     "ann_ivf_topk_exact" ->
       """WITH g AS (

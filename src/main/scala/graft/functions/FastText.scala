@@ -75,8 +75,11 @@ final class FastTextModel(
           }
           n += 1
           if (n >= minn && !(n == 1 && (i == 0 || j == w.length))) {
-            val h = (ftHash(sb.toString) % bucket + bucket) % bucket
-            out += nWords + h.toInt
+            // ftHash is already the unsigned 32-bit value (masked at the
+            // source), so plain % matches the fast path's `u % bucket`
+            // for ANY bucket size — same semantics as real fastText's
+            // uint32 mod.
+            out += nWords + (ftHash(sb.toString) % bucket).toInt
           }
         }
       }
@@ -319,7 +322,12 @@ object FastTextModel {
     * inference sees real unspaced text, and how lid.176 covers CJK). This
     * is the DEFAULT pipeline LID (see [[graft.functions.Lid.default]]);
     * same trainer and provenance as the mini fixtures. */
-  lazy val wideFixture: FastTextModel = loadResource("/graft/lid.wide.bin")
+  /** Classpath location of the wide 36-language fixture; probed by
+    * [[graft.functions.WideFastTextLid]] before loading so only a truly
+    * absent resource triggers the heuristic fallback. */
+  val WideFixturePath = "/graft/lid.wide.bin"
+
+  lazy val wideFixture: FastTextModel = loadResource(WideFixturePath)
 
   private def loadResource(name: String): FastTextModel = {
     val res = getClass.getResourceAsStream(name)

@@ -33,15 +33,18 @@ object Lid {
   * each executor JVM lazily loads the fixture from its own jar resources —
   * no model bytes travel in task closures and no broadcast is needed. */
 object WideFastTextLid extends Lid {
+  /** Fallback is narrowed to the genuinely-missing-resource case: we probe
+    * for the classpath resource first and only then load it. Any failure
+    * DURING the load (truncated bytes, transient I/O, OOM) propagates and
+    * fails the task, so a flaky executor can never silently degrade the
+    * cluster to mixed real-model/heuristic predictions. */
   @transient private lazy val backend: Lid =
-    try FastTextModel.wideFixture
-    catch {
-      case e: Exception =>
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"wide LID fixture unavailable (${e.getMessage}); " +
-            "falling back to HeuristicLid")
-        HeuristicLid
-    }
+    if (getClass.getResource(FastTextModel.WideFixturePath) == null) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"wide LID fixture ${FastTextModel.WideFixturePath} not on " +
+          "classpath; falling back to HeuristicLid")
+      HeuristicLid
+    } else FastTextModel.wideFixture
   def predict(text: String): (String, Double, Map[String, Double]) =
     backend.predict(text)
 }

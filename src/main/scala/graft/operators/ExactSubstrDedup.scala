@@ -49,11 +49,22 @@ import graft.text.Tokenizer
   *   inside it, so ranges ≥ spanWords + w − 1 words are still always
   *   detected; ranges in [spanWords, spanWords+w−1) MAY be missed — the
   *   measured trade (tools/exact_substr_divergence.py anchor mode). */
+/** @param hotKeyGroupByMin escape hatch for EXTREME hot span hashes: the
+  *   default window-min shape shuffles the span table once but lands every
+  *   row of one hash on a single reducer partition, where it can only be
+  *   spill-streamed — fine up to the measured sf1 skew, but one boilerplate
+  *   span shared by ~10^8 docs would serialize through one task. This flag
+  *   switches to groupBy-min + join-back: the min uses map-side partial
+  *   aggregation (hot keys combine before the exchange) and the join-back
+  *   is AQE-skew-splittable. Costs a second shuffle of the span table —
+  *   flip it when the duplicate histogram shows any span hash above ~10^6
+  *   occurrences (≈ the rows one reducer can stream per minute). */
 final case class ExactSubstrConfig(
     spanWords: Int = 50,
     minDocWords: Int = 50,
     shortSpanWords: Option[Int] = None,
-    anchorEvery: Option[Int] = None)
+    anchorEvery: Option[Int] = None,
+    hotKeyGroupByMin: Boolean = false)
 
 object ExactSubstrDedup {
 
@@ -185,9 +196,17 @@ object ExactSubstrDedup {
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
         .select(col("__doc"), col("s._1").as("__pos"),
           col("s._2").as("__h1"), col("s._3").as("__h2"))
-      val w = Window.partitionBy("__h1", "__h2")
-      spans
-        .withColumn("__first", min(struct(col("__doc"), col("__pos"))).over(w))
+      val laterCopies =
+        if (cfg.hotKeyGroupByMin) {
+          val firsts = spans.groupBy("__h1", "__h2")
+            .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+          spans.join(firsts, Seq("__h1", "__h2"))
+        } else {
+          val w = Window.partitionBy("__h1", "__h2")
+          spans.withColumn("__first",
+            min(struct(col("__doc"), col("__pos"))).over(w))
+        }
+      laterCopies
         .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
         .groupBy("__doc")
         .agg(sort_array(collect_list(struct(col("__pos"), lit(sw).as("__len"))))
@@ -213,9 +232,17 @@ object ExactSubstrDedup {
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
         .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__len"),
           col("s._3").as("__h1"), col("s._4").as("__h2"))
-      val w = Window.partitionBy("__len", "__h1", "__h2")
-      spans
-        .withColumn("__first", min(struct(col("__doc"), col("__pos"))).over(w))
+      val laterCopies =
+        if (cfg.hotKeyGroupByMin) {
+          val firsts = spans.groupBy("__len", "__h1", "__h2")
+            .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+          spans.join(firsts, Seq("__len", "__h1", "__h2"))
+        } else {
+          val w = Window.partitionBy("__len", "__h1", "__h2")
+          spans.withColumn("__first",
+            min(struct(col("__doc"), col("__pos"))).over(w))
+        }
+      laterCopies
         .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
         .groupBy("__doc")
         .agg(sort_array(collect_list(struct(col("__pos"), col("__len"))))

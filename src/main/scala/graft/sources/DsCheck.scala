@@ -43,7 +43,12 @@ object DsCheck {
       val dsPath = new org.apache.hadoop.fs.Path(d, name)
       val dsLen = fsys.getFileStatus(dsPath).getLen
       val idxPath = new org.apache.hadoop.fs.Path(d, name + ".index")
-      val idxBytes = new Array[Byte](fsys.getFileStatus(idxPath).getLen.toInt)
+      val idxLen = fsys.getFileStatus(idxPath).getLen
+      // clear diagnostic instead of NegativeArraySizeException on toInt
+      require(idxLen <= Int.MaxValue,
+        s"$name.index is $idxLen bytes — too large for this single-buffer " +
+          "validator (2 GB cap); split the shard or stream-validate")
+      val idxBytes = new Array[Byte](idxLen.toInt)
       locally {
         val is = fsys.open(idxPath)
         try is.readFully(0, idxBytes) finally is.close()
@@ -117,7 +122,13 @@ object DsCheck {
       val fsys = new org.apache.hadoop.fs.Path(d).getFileSystem(hconf.value)
       val idxPath = new org.apache.hadoop.fs.Path(d, prefix + ".idx")
       val binLen = fsys.getFileStatus(new org.apache.hadoop.fs.Path(d, prefix + ".bin")).getLen
-      val idxBytes = new Array[Byte](fsys.getFileStatus(idxPath).getLen.toInt)
+      val idxLen = fsys.getFileStatus(idxPath).getLen
+      // a validator's job is clear diagnostics: a >2 GB index (~>80M docs
+      // per shard) would overflow toInt into NegativeArraySizeException
+      require(idxLen <= Int.MaxValue,
+        s"$prefix.idx is $idxLen bytes — too large for this single-buffer " +
+          "validator (2 GB cap); split the shard or stream-validate")
+      val idxBytes = new Array[Byte](idxLen.toInt)
       locally {
         val is = fsys.open(idxPath)
         try is.readFully(0, idxBytes) finally is.close()

@@ -104,4 +104,30 @@ class ExactSubstrGcSpec extends SparkSpec {
     }
   }
 
+  test("hotKeyGroupByMin escape hatch agrees with the window-min default") {
+    // mixed corpus: a mass-duplicated boilerplate block (the hot-key case
+    // the flag exists for), partial overlaps, and unique docs — in both
+    // single-length and multi-length (shortSpanWords) modes
+    val block = words(50, 60).mkString(" ")
+    val shared = words(50, 61)
+    val docs = ((0 until 300).map(i =>
+        (i.toLong, if (i < 200) block else words(55, 200 + i).mkString(" "))) ++
+      Seq((300L, (words(30, 62) ++ shared).mkString(" ")),
+          (301L, (shared ++ words(30, 63)).mkString(" "))))
+      .toDF("doc_id", "text").repartition(4)
+    for (cfg <- Seq(
+        ExactSubstrConfig(),
+        ExactSubstrConfig(shortSpanWords = Some(15)),
+        ExactSubstrConfig(anchorEvery = Some(8)))) {
+      val base = ExactSubstrDedup(docs, "doc_id", "text", cfg)
+        .select("doc_id", "exact_substr_keep", "n_removed_words", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getString(3)))).toMap
+      val hot = ExactSubstrDedup(docs, "doc_id", "text",
+          cfg.copy(hotKeyGroupByMin = true))
+        .select("doc_id", "exact_substr_keep", "n_removed_words", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getString(3)))).toMap
+      assert(base == hot, s"strategies diverge for $cfg")
+    }
+  }
+
 }
