@@ -9,11 +9,36 @@ package graft.functions
   */
 object Hashes {
 
+  // One digest instance per thread: MessageDigest.getInstance is a
+  // provider lookup + allocation, and the minhash kernel calls this once
+  // per shingle (~10^11 times at the 100 TB posture). digest() resets the
+  // instance, so reuse is safe.
+  private val sha1Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+
+  /** A reset, thread-owned SHA-1 instance for incremental update() use —
+    * lets hot loops feed word bytes directly instead of building a shingle
+    * String first. Callers must finish with digest() before the next
+    * borrow on the same thread. */
+  def sha1Borrow(): java.security.MessageDigest = {
+    val md = sha1Local.get()
+    md.reset()
+    md
+  }
+
+  /** First 8 digest bytes, little-endian (shared by sha1Hash64/sha1Hash32
+    * and the incremental minhash path). */
+  def sha1DigestToLong64(d: Array[Byte]): Long =
+    (d(0) & 0xffL) | ((d(1) & 0xffL) << 8) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 24) | ((d(4) & 0xffL) << 32) | ((d(5) & 0xffL) << 40) |
+      ((d(6) & 0xffL) << 48) | ((d(7) & 0xffL) << 56)
+
   /** struct.unpack("<Q", sha1(utf8).digest()[:8]) as a (wrapping) Long. */
   def sha1Hash64(data: String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    val d = md.digest(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.ByteBuffer.wrap(d, 0, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val d = sha1Borrow().digest(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sha1DigestToLong64(d)
   }
 
   // ---- XXH64 (public domain algorithm, https://xxhash.com) ----
@@ -88,10 +113,9 @@ object Hashes {
   /** struct.unpack("<I", sha1(utf8).digest()[:4]) — sha1_hash32
     * (utils/hashes/sha1.py), returned as an unsigned value in a Long. */
   def sha1Hash32(data: String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    val d = md.digest(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.ByteBuffer.wrap(d, 0, 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+    val d = sha1Borrow().digest(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(0) & 0xffL) | ((d(1) & 0xffL) << 8) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 24)
   }
 
   // ---- XXH32 (public domain algorithm, https://xxhash.com) ----

@@ -105,21 +105,49 @@ object MinhashDedup {
       if (words.length < ng) Array.empty[(Long, Long)]
       else {
         val mins = Array.fill(n)(-1L) // unsigned max
+        // CPU-kernel shape (r6, VERDICT r5 #3 — the exchange is solved at
+        // 0.45 KB/doc, shingle hashing is the remaining sf1 cost):
+        //  * each word is UTF-8-encoded ONCE and the shingle digest is fed
+        //    incrementally — bit-identical to sha1(joined string) without
+        //    the per-shingle StringBuilder/String/getBytes round trip;
+        //  * the (h*a+b) mod (2^61-1) permutation uses the Mersenne
+        //    shift-add reduction (exact: v = hi*2^61+lo ≡ hi+lo, one
+        //    conditional subtract since hi ≤ 7) instead of a 64-bit
+        //    unsigned divide per permutation per shingle.
+        // minhashes() keeps the naive remainderUnsigned form as the truth
+        // twin; DedupSpec pins fold-equality between the two paths.
+        val wbytes: Array[Array[Byte]] =
+          if (useSha1) words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          else null
+        val sb = if (useSha1) null else new java.lang.StringBuilder()
         var i = 0
         val last = words.length - ng
-        val sb = new java.lang.StringBuilder()
         while (i <= last) {
-          sb.setLength(0)
-          var j = i
-          while (j < i + ng) {
-            if (j > i) sb.append(' ')
-            sb.append(words(j))
-            j += 1
-          }
-          val h0 = if (useSha1) Hashes.sha1Hash64(sb.toString) else Hashes.xxhash64(sb.toString)
+          val h0 =
+            if (useSha1) {
+              val md = Hashes.sha1Borrow()
+              var j = i
+              while (j < i + ng) {
+                if (j > i) md.update(' '.toByte)
+                md.update(wbytes(j))
+                j += 1
+              }
+              Hashes.sha1DigestToLong64(md.digest())
+            } else {
+              sb.setLength(0)
+              var j = i
+              while (j < i + ng) {
+                if (j > i) sb.append(' ')
+                sb.append(words(j))
+                j += 1
+              }
+              Hashes.xxhash64(sb.toString)
+            }
           var k = 0
           while (k < n) {
-            val phv = java.lang.Long.remainderUnsigned(h0 * a(k) + b(k), MersennePrime)
+            val v = h0 * a(k) + b(k)
+            var phv = (v & MersennePrime) + (v >>> 61)
+            if (phv >= MersennePrime) phv -= MersennePrime
             if (java.lang.Long.compareUnsigned(phv, mins(k)) < 0) mins(k) = phv
             k += 1
           }

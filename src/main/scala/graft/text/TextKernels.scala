@@ -23,6 +23,46 @@ object TextKernels {
   // PUNCTUATION_TRANS (utils/text.py:182): each PUNCTUATION char → " "
   private val punctToSpace: Set[Char] = Punct.PUNCTUATION.toSet
 
+  // Flat BMP lookup tables for the hot default simplifyText path: the
+  // boxed Set[Char] lookup and the \s+ regex were measurable costs at the
+  // sf1 minhash scale (VERDICT r5 #3). punctTable mirrors punctToSpace;
+  // wsTable is derived from the ACTUAL \s pattern at init so the squeeze
+  // pass is regex-equivalent by construction, not by transcription.
+  private val punctTable: Array[Boolean] = {
+    val t = new Array[Boolean](65536)
+    Punct.PUNCTUATION.foreach(c => t(c) = true)
+    t
+  }
+  private val wsTable: Array[Boolean] = {
+    val t = new Array[Boolean](65536)
+    val m = Pattern.compile("\\s", Pattern.UNICODE_CHARACTER_CLASS)
+      .matcher("")
+    var c = 0
+    while (c < 65536) {
+      if (!Character.isSurrogate(c.toChar) &&
+          m.reset(String.valueOf(c.toChar)).matches()) t(c) = true
+      c += 1
+    }
+    t
+  }
+
+  /** `\s+` → " " exactly like WhitespacePattern.replaceAll(" "), as one
+    * table-driven pass (each maximal whitespace run, anywhere in the
+    * string, becomes a single space). */
+  private def squeezeWs(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (wsTable(c)) { if (!inRun) sb.append(' '); inRun = true }
+      else { sb.append(c); inRun = false }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** TextNormConfig (utils/text.py:185-193) — the full knob surface;
     * defaults match DEF_TEXT_NORM_CONFIG. */
   final case class TextNormConfig(
@@ -76,8 +116,56 @@ object TextKernels {
   }
 
   /** simplify_text with the default TextNormConfig (lowercase, norm numbers,
-    * punct→space, whitespace squeeze, NFD with Mn stripped). */
+    * punct→space, whitespace squeeze, NFD with Mn stripped).
+    *
+    * Hot-path form (r6): same steps in the same order, with the regex/boxed
+    * lookups replaced by table passes and two exact skips — the Nd regex
+    * only runs when a classification scan saw a decimal digit (or a
+    * surrogate, which may hide an astral digit), and the NFD+Mn stage is
+    * skipped for pure-ASCII strings (ASCII is NFD-normalized and contains
+    * no marks). [[simplifyTextNaive]] keeps the original regex/Set form as
+    * the property-test twin. */
   def simplifyText(text0: String): String = {
+    var text = PyText.pyLower(text0)
+    var n = text.length
+    var ascii = true
+    var hasNd = false
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c < 128) { if (c >= '0' && c <= '9') hasNd = true }
+      else {
+        ascii = false
+        if (Character.isSurrogate(c) || Character.isDigit(c)) hasNd = true
+      }
+      i += 1
+    }
+    if (hasNd) text = NumbersPattern.matcher(text).replaceAll("0")
+    n = text.length
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      sb.append(if (punctTable(c)) ' ' else c)
+      i += 1
+    }
+    text = squeezeWs(PyText.pyStrip(sb.toString))
+    if (ascii) return PyText.pyStrip(text)
+    val nfd = Normalizer.normalize(text, Normalizer.Form.NFD)
+    val out = new java.lang.StringBuilder(nfd.length)
+    i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) out.append(c)
+      i += 1
+    }
+    PyText.pyStrip(out.toString)
+  }
+
+  /** Original regex/Set implementation of the default-config path — kept
+    * ONLY as the property-test twin of [[simplifyText]] (TextKernelsSpec
+    * asserts equality on random unicode strings). */
+  private[graft] def simplifyTextNaive(text0: String): String = {
     var text = PyText.pyLower(text0)
     text = NumbersPattern.matcher(text).replaceAll("0")
     val sb = new java.lang.StringBuilder(text.length)

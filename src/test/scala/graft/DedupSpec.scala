@@ -41,6 +41,42 @@ in culpa qui officia deserunt mollit anim id est laborum""".replace("\n", " ")
     }
   }
 
+  test("minhash signatures: fast kernel folds equal the naive minhashes twin") {
+    import spark.implicits._
+    // the production sigUdf (incremental sha1 + Mersenne shift-add mod)
+    // must be bit-identical to folding the naive remainderUnsigned
+    // minhashes() vector — over random texts in both hash configs
+    val rng = new scala.util.Random(42)
+    def randText(): String =
+      (0 until 30 + rng.nextInt(200)).map { _ =>
+        (0 until 1 + rng.nextInt(8)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString +
+          (if (rng.nextInt(10) == 0) "é中" else "")
+      }.mkString(" ")
+    val texts = (0 until 25).map(i => (i.toLong, randText()))
+    for (hashFc <- Seq("sha1", "xxhash")) {
+      val cfg = MinhashDedupConfig(hashFunc = hashFc)
+      val (pa, pb) = MinhashDedup.parameters(cfg)
+      val expected = texts.flatMap { case (id, t) =>
+        MinhashDedup.minhashes(t, cfg, pa, pb).toSeq.flatMap { mins =>
+          (0 until cfg.numBuckets).map { bi =>
+            var f1 = 0L; var f2 = 0L
+            var k = bi * cfg.hashesPerBucket
+            while (k < (bi + 1) * cfg.hashesPerBucket) {
+              f1 = f1 * 0x100000001b3L + mins(k)
+              f2 = f2 * 0x9E3779B97F4A7C15L + mins(k)
+              k += 1
+            }
+            (id, bi, f1, f2)
+          }
+        }
+      }.toSet
+      val got = MinhashDedup.signatures(texts.toDF("doc_id", "text"), "doc_id", "text", cfg)
+        .select("doc", "bucket", "sig._1", "sig._2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"fast/naive divergence for hashFunc=$hashFc")
+    }
+  }
+
   test("minhash dedup: exact + near duplicates cluster, one survivor each") {
     val near = perturb(loremBase, 0.03, seed = 3) // ~97% same words
     val distinct1 = perturb(loremBase, 0.9, seed = 11)

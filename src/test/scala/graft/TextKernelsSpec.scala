@@ -101,4 +101,29 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(Tokenizer.sentenceCount("No terminal punct") == 1)
     assert(Tokenizer.sentenceCount("Hello World!") == 1)
   }
+
+  test("simplify_text fast path equals the naive regex/Set twin on random unicode") {
+    val rng = new scala.util.Random(1234)
+    // char pool spanning every fast-path branch: ascii letters/digits,
+    // punctuation, exotic whitespace, combining marks, precomposed
+    // accents, CJK, arabic-indic digits, astral (surrogate pairs)
+    val pool: Array[String] = Array(
+      "a", "Z", "q", "7", "0", "9", " ", "\t", "\n", " ", " ",
+      "　", ".", ",", "!", "،", "٫", "é", "é",
+      "中", "文", "١", "٢", "𝟎" /* 𝟎 MATH Nd */,
+      "😀" /* emoji */, "", "", "|", "$", "-")
+    for (trial <- 0 until 400) {
+      val s = (0 until rng.nextInt(60)).map(_ => pool(rng.nextInt(pool.length))).mkString
+      assert(TextKernels.simplifyText(s) == TextKernels.simplifyTextNaive(s),
+        s"divergence on trial $trial: ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    // targeted edges: digits adjacent to decimal separators, all-ws,
+    // all-punct, empty, leading/trailing exotic ws
+    for (s <- Seq("", "   ", "", "12.34", "12,34", "1٫2",
+        "١٫٢", "..12..", " é 12 ", "\t x \t",
+        "𝟎𝟏", "a  b   c")) {
+      assert(TextKernels.simplifyText(s) == TextKernels.simplifyTextNaive(s),
+        s"divergence on '$s'")
+    }
+  }
 }
