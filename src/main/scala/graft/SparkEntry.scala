@@ -120,6 +120,22 @@ object SparkEntry {
     documents(s, dir).select("doc_id").where(col("doc_id") < below)
       .orderBy("doc_id").collect().map(_.getLong(0))
 
+  /** Ground-truth (label, text) pairs for the WIDE 36-language fixture,
+    * spanning 10 scripts incl. unspaced zh/ja/th — labels are true by
+    * authorship. Shared by language_id_wide (per-doc oracle) and the raw
+    * language_id threshold oracle; index order tracks doc_id % 10. */
+  private val WidePlantedTexts: Seq[(String, String)] = Seq(
+    "en" -> "the quiet market and the bright garden of the village in the morning",
+    "fr" -> "le marché était calme ce matin et les enfants dans la rue près du pont",
+    "de" -> "der markt war heute ruhig und die kinder auf der straße nähe brücke",
+    "ru" -> "и в деревне на рынке утром было очень тихо и дети на улице у моста",
+    "zh" -> "的一是在不了有和人这中大为上个国我以要他时来用们生到作地于出就分。",
+    "ja" -> "これは静かな村の朝の市場です子供たちは橋の近くの道にいます",
+    "ko" -> "그리고 마을 시장 에서 아침 물 빛 아이들 길 다리 강 우리 모든 매우 집",
+    "ar" -> "في من على أن لا هو كان إلى مع هذا كل جدا بيوت ماء ضوء مساء صباح سوق",
+    "el" -> "και σε με που δεν είναι ήταν για από μετά όλα πολύ σπίτια νερό φως βράδυ",
+    "th" -> "และในบนว่าไม่เป็นอยู่บ้านน้ำแสงตลาดสวนหมู่บ้านเด็กถนนสะพานแม่น้ำ")
+
   /** Ground-truth planted texts for the committed fastText fixture, one
     * per trained language (en fr de es it) — shared by language_id_ft and
     * lang_stats; the oracle label order tracks doc_id % 5. */
@@ -292,13 +308,6 @@ FROM documents ORDER BY doc_id"""
     documents(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
   }
 
-  private val langUdf = udf { text: String =>
-    // round 5: the raw language_id query now runs REAL fastText inference
-    // over the wide 36-language fixture (the default pipeline LID) — the
-    // utils/lid.py:53-59 path: newlines → spaces, full distribution, top-1
-    val (lang, score, _) = graft.functions.Lid.default.predict(text)
-    lang + ":" + (score * 1000).toLong // integer-quantized for stable hashing
-  }
 
   /** Flagship: full quality pipeline (language → score → Gopher repetition →
     * Gopher quality → FineWeb → token count → PII) over the sf0.001
@@ -481,10 +490,29 @@ FROM documents ORDER BY doc_id"""
         .orderBy("doc_id")
     }),
     "language_id" -> ((s, dir) => {
-      // heuristic LID labels (no SQL equivalent; rows-only check)
-      documents(s, dir)
-        .select(col("doc_id"), langUdf(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
+      // Raw-corpus inference THRESHOLD oracle (VERDICT r5 #4; the pattern
+      // ann_lsh_topk proved in r5): the default LID still runs real
+      // inference over EVERY raw corpus text (predictions on arbitrary web
+      // text are model-defined, not SQL-derivable), and planted ground-
+      // truth twins — one per 10 raw docs, labels true by authorship,
+      // rotating through the 10-script WidePlantedTexts — ride alongside.
+      // The single aggregate row pins in DuckDB: raw doc count, every raw
+      // doc scored (non-empty label), planted count, and planted recall
+      // >= 0.9.
+      val u = udf { t: String => graft.functions.Lid.default.predict(t)._1 }
+      val docs = documents(s, dir)
+      val raw = docs.select(u(col("text")).as("p"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(length(col("p")) > 0, 1L).otherwise(0L)).as("n_raw_scored"))
+      val idx = (col("doc_id") / 10 % 10).cast("int") + 1
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .select(
+          (u(element_at(typedlit(WidePlantedTexts.map(_._2)), idx)) ===
+            element_at(typedlit(WidePlantedTexts.map(_._1)), idx)).as("m"))
+        .agg(count(lit(1)).as("n_planted"),
+          (sum(when(col("m"), 1L).otherwise(0L)) >=
+            count(lit(1)) * 0.9).as("recall_ok"))
+      raw.crossJoin(planted)
     }),
     "minhash_dedup" -> ((s, dir) => {
       // MinHash+LSH near-dup (shuffling operator; rows-only check — the
@@ -1150,9 +1178,31 @@ FROM documents ORDER BY doc_id"""
         .orderBy("doc_id")
     }),
     "fingerprint" -> ((s, dir) => {
-      // 64-bit content fingerprints (engine-specific hash; rows-only)
-      val fpUdf = udf { t: String => graft.functions.Fingerprint.contentHash(t) }
-      documents(s, dir).select(col("doc_id"), fpUdf(col("text")).as("fp")).orderBy("doc_id")
+      // Winnowing SELF-CONSISTENCY oracle over the raw corpus (VERDICT r5
+      // #4): the defining local-fingerprinting property (Schleimer et al.
+      // 2003) is that a word-suffix copy of a document selects a SUBSET of
+      // the original's anchors — every window of the suffix is a window of
+      // the original with identical content, so its minimum is selected in
+      // both. The suffix drops min(10, max(0, nWords-13)) leading words so
+      // it always keeps >= window+n grams (the global-min fallback for
+      // shorter texts doesn't obey the subset law). has_anchors pins that
+      // every >=5-word doc produced a sketch; both booleans recompute
+      // exactly in DuckDB from word counts.
+      val u = udf { t: String =>
+        val full = graft.functions.Fingerprint.winnow(t).toSet
+        // suffix over the SAME normalized word stream winnow hashes
+        // (simplify_text is idempotent, so re-winnowing the joined suffix
+        // sees exactly these words)
+        val words = graft.text.Tokenizer.words(graft.text.TextKernels.simplifyText(t))
+        val drop = math.min(10, math.max(0, words.length - 13))
+        val sub = graft.functions.Fingerprint.winnow(words.drop(drop).mkString(" ")).toSet
+        (full.nonEmpty, sub.subsetOf(full))
+      }
+      documents(s, dir)
+        .select(col("doc_id"), u(col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("has_anchors"),
+          col("r._2").as("subset_ok"))
+        .orderBy("doc_id")
     }),
     "c4_quality" -> ((s, dir) => {
       // C4 line-rewriting filter over six planted variants (keep-all,
@@ -1322,17 +1372,7 @@ FROM documents ORDER BY doc_id"""
       // arabic/greek/hangul scripts plus UNSPACED zh/ja/th, whose labels
       // are ground truth by authorship — the CJK/Thai rows prove the
       // subword-only OOV path end-to-end on the production model.
-      val wideTexts = Seq(
-        "the quiet market and the bright garden of the village in the morning",
-        "le march\u00e9 \u00e9tait calme ce matin et les enfants dans la rue pr\u00e8s du pont",
-        "der markt war heute ruhig und die kinder auf der stra\u00dfe n\u00e4he br\u00fccke",
-        "\u0438 \u0432 \u0434\u0435\u0440\u0435\u0432\u043d\u0435 \u043d\u0430 \u0440\u044b\u043d\u043a\u0435 \u0443\u0442\u0440\u043e\u043c \u0431\u044b\u043b\u043e \u043e\u0447\u0435\u043d\u044c \u0442\u0438\u0445\u043e \u0438 \u0434\u0435\u0442\u0438 \u043d\u0430 \u0443\u043b\u0438\u0446\u0435 \u0443 \u043c\u043e\u0441\u0442\u0430",
-        "\u7684\u4e00\u662f\u5728\u4e0d\u4e86\u6709\u548c\u4eba\u8fd9\u4e2d\u5927\u4e3a\u4e0a\u4e2a\u56fd\u6211\u4ee5\u8981\u4ed6\u65f6\u6765\u7528\u4eec\u751f\u5230\u4f5c\u5730\u4e8e\u51fa\u5c31\u5206\u3002",
-        "\u3053\u308c\u306f\u9759\u304b\u306a\u6751\u306e\u671d\u306e\u5e02\u5834\u3067\u3059\u5b50\u4f9b\u305f\u3061\u306f\u6a4b\u306e\u8fd1\u304f\u306e\u9053\u306b\u3044\u307e\u3059",
-        "\uadf8\ub9ac\uace0 \ub9c8\uc744 \uc2dc\uc7a5 \uc5d0\uc11c \uc544\uce68 \ubb3c \ube5b \uc544\uc774\ub4e4 \uae38 \ub2e4\ub9ac \uac15 \uc6b0\ub9ac \ubaa8\ub4e0 \ub9e4\uc6b0 \uc9d1",
-        "\u0641\u064a \u0645\u0646 \u0639\u0644\u0649 \u0623\u0646 \u0644\u0627 \u0647\u0648 \u0643\u0627\u0646 \u0625\u0644\u0649 \u0645\u0639 \u0647\u0630\u0627 \u0643\u0644 \u062c\u062f\u0627 \u0628\u064a\u0648\u062a \u0645\u0627\u0621 \u0636\u0648\u0621 \u0645\u0633\u0627\u0621 \u0635\u0628\u0627\u062d \u0633\u0648\u0642",
-        "\u03ba\u03b1\u03b9 \u03c3\u03b5 \u03bc\u03b5 \u03c0\u03bf\u03c5 \u03b4\u03b5\u03bd \u03b5\u03af\u03bd\u03b1\u03b9 \u03ae\u03c4\u03b1\u03bd \u03b3\u03b9\u03b1 \u03b1\u03c0\u03cc \u03bc\u03b5\u03c4\u03ac \u03cc\u03bb\u03b1 \u03c0\u03bf\u03bb\u03cd \u03c3\u03c0\u03af\u03c4\u03b9\u03b1 \u03bd\u03b5\u03c1\u03cc \u03c6\u03c9\u03c2 \u03b2\u03c1\u03ac\u03b4\u03c5",
-        "\u0e41\u0e25\u0e30\u0e43\u0e19\u0e1a\u0e19\u0e27\u0e48\u0e32\u0e44\u0e21\u0e48\u0e40\u0e1b\u0e47\u0e19\u0e2d\u0e22\u0e39\u0e48\u0e1a\u0e49\u0e32\u0e19\u0e19\u0e49\u0e33\u0e41\u0e2a\u0e07\u0e15\u0e25\u0e32\u0e14\u0e2a\u0e27\u0e19\u0e2b\u0e21\u0e39\u0e48\u0e1a\u0e49\u0e32\u0e19\u0e40\u0e14\u0e47\u0e01\u0e16\u0e19\u0e19\u0e2a\u0e30\u0e1e\u0e32\u0e19\u0e41\u0e21\u0e48\u0e19\u0e49\u0e33")
+      val wideTexts = WidePlantedTexts.map(_._2)
       val planted = element_at(
         typedlit(wideTexts), (col("doc_id") % 10).cast("int") + 1)
       val u = udf { t: String =>
@@ -1903,6 +1943,41 @@ FROM documents ORDER BY doc_id""",
   WHEN 4 THEN 'zh' WHEN 5 THEN 'ja' WHEN 6 THEN 'ko' WHEN 7 THEN 'ar'
   WHEN 8 THEN 'el' ELSE 'th' END AS wide_lang,
   TRUE AS wide_keep
+FROM documents ORDER BY doc_id""",
+    "language_id" ->
+      """SELECT count(*) AS n_raw, count(*) AS n_raw_scored,
+  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+  TRUE AS recall_ok
+FROM documents""",
+    "gopher_repetition" ->
+      """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS tlen FROM documents
+), pos AS (
+  SELECT doc_id, tlen, ws, unnest(range(1, len(ws) + 1)) AS p FROM w
+), g AS (
+  SELECT doc_id, tlen, ns.n, p, array_to_string(ws[p : p + ns.n - 1], ' ') AS gram
+  FROM pos CROSS JOIN (VALUES (2),(3),(4)) AS ns(n)
+  WHERE p + ns.n - 1 <= len(ws)
+), cnt AS (
+  SELECT doc_id, tlen, n, gram, count(*) AS c, min(p) AS fp
+  FROM g GROUP BY doc_id, tlen, n, gram
+), top AS (
+  SELECT doc_id, tlen, n, length(gram) * c AS toplen
+  FROM cnt QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, fp ASC) = 1
+), fire AS (
+  SELECT doc_id, bool_or(
+    CASE n WHEN 2 THEN CAST(toplen AS DOUBLE)/tlen > 0.2
+           WHEN 3 THEN CAST(toplen AS DOUBLE)/tlen > 0.18
+           ELSE CAST(toplen AS DOUBLE)/tlen > 0.16 END) AS topfire
+  FROM top GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN COALESCE(f.topfire, FALSE) THEN 'top_n_gram' ELSE '' END AS reason,
+  NOT COALESCE(f.topfire, FALSE) AS keep
+FROM documents d LEFT JOIN fire f USING (doc_id) ORDER BY doc_id""",
+    "fingerprint" ->
+      """SELECT doc_id, len(string_split(text, ' ')) >= 5 AS has_anchors,
+  TRUE AS subset_ok
 FROM documents ORDER BY doc_id""",
     "language_id_ft" ->
       """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
