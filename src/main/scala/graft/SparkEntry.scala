@@ -429,6 +429,28 @@ FROM documents ORDER BY doc_id"""
           md5(col("t").cast("binary")).as("text_md5"))
         .orderBy("url")
     }),
+    "warc_extract_wild" -> ((s, dir) => {
+      // the general extraction path over 24 HAND-TRANSCRIBED realistic
+      // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
+      // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
+      // layout, paywall/popup chrome, details/summary, inline entities;
+      // no generator grammar involved). Goldens hand-derived from the
+      // documented semantics; WildWarcSpec pins the bytes, this oracle
+      // pins (n_lines, n_chars, md5) per url.
+      import s.implicits._
+      val bytes = graft.text.Resources.readBytes("/graft/wild.warc")
+      val docs = graft.sources.WarcParser.parse("wild.warc", bytes)
+        .map(d => (d.url, new String(d.html, "UTF-8"))).toList
+      val extractU = udf { h: String => TrafilaturaExtractor.extract(h) }
+      docs.toDF("url", "html")
+        .select(col("url"), extractU(col("html")).as("t"))
+        .select(col("url"),
+          when(length(col("t")) === 0, lit(0))
+            .otherwise(size(split(col("t"), "\n", -1))).as("n_lines"),
+          length(col("t")).as("n_chars"),
+          md5(col("t").cast("binary")).as("text_md5"))
+        .orderBy("url")
+    }),
     "perplexity" -> ((s, dir) => {
       // KenLM-semantics ARPA scorer over the committed tiny.arpa fixture
       // (self-authored toy bigram model). Planted single-line lowercase
@@ -2099,6 +2121,33 @@ FROM t JOIN b ON t.k = b.k ORDER BY t.doc_id""",
     WHEN 0 THEN 988712812298200243 WHEN 1 THEN 1564310583219091353
     WHEN 2 THEN 3449924612560771347 ELSE 2025320243732726076 END AS sketch_first
 FROM documents ORDER BY doc_id""",
+    "warc_extract_wild" ->
+      """SELECT * FROM (VALUES
+  ('https://wild.example.org/news-sidebar', 4, 382, 'ee9d3770676c2287b3fc76b9d3134982'),
+  ('https://wild.example.org/docs-toc', 9, 439, 'ccb1c4a062107c622c4ca6ffaf4c137b'),
+  ('https://wild.example.org/forum-thread', 8, 354, '716952e240a595c1aa860dea75a72887'),
+  ('https://wild.example.org/table-specs', 7, 212, 'df4174add1de193aa57ca39a8d5e9d00'),
+  ('https://wild.example.org/rtl-news', 3, 190, 'c33e3688a6508d07afbc93cc8ee5caca'),
+  ('https://wild.example.org/blog-share', 3, 281, 'e192379c4c6f6a1f33dd0e53c1588be0'),
+  ('https://wild.example.org/product-page', 6, 287, 'ce106ef7c0b641abfbb22aaf4066fb4c'),
+  ('https://wild.example.org/recipe', 11, 367, '806e6bb8ad47ce1bcd7310c64254ff97'),
+  ('https://wild.example.org/wiki-article', 5, 280, 'ae66140008115b707d1b58cf3ae750f4'),
+  ('https://wild.example.org/landing-page', 7, 178, '7f4deb131bc83e65b9c3b359ff6bb640'),
+  ('https://wild.example.org/terms', 5, 211, 'bf3efd6520c74e30daf4b71190b417c1'),
+  ('https://wild.example.org/faq-details', 5, 173, 'f9e84230b3f16dd92956d606db9b7e43'),
+  ('https://wild.example.org/photo-gallery', 2, 67, 'a6d4847cc7ea38931830d7d147a94028'),
+  ('https://wild.example.org/paywall-teaser', 2, 164, '2661d57edd7e8a6a5116d261dad1fba4'),
+  ('https://wild.example.org/museum-popups', 3, 205, '7fd1655a0e3a79fe36a2e3c64cb457e2'),
+  ('https://wild.example.org/abstract-page', 3, 193, 'a1dc205fd2366d420d120eb73815f93b'),
+  ('https://wild.example.org/changelog', 6, 137, 'ee5c0f6d3c282c1daf2d5d14ee8327b8'),
+  ('https://wild.example.org/sports-report', 6, 234, '899150c66686a37fc2c05f71dcc114dc'),
+  ('https://wild.example.org/mixed-language', 3, 112, '50562af43b9cc0790fba60cc1531104d'),
+  ('https://wild.example.org/inline-entities', 5, 253, '8af94de14f9ac0e6360f468673967de9'),
+  ('https://wild.example.org/legacy-table-layout', 3, 181, 'db0bfb67eded9045bf197247316ef2a1'),
+  ('https://wild.example.org/comments-heavy', 2, 110, 'b585407b8cea5eabd6402dcbaf6c5457'),
+  ('https://wild.example.org/code-article', 4, 241, 'be4d4fb7750b3b91275f28c8b864bd65'),
+  ('https://wild.example.org/hidden-drafts', 3, 109, '4bf76d5a77cee6d6196534ab1c67eb28')
+) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES
   ('https://adv.example.org/gen/00', 8, 384, 'de5aa23da491f3f89fe66054d0e6eaa9'),

@@ -1,0 +1,466 @@
+# -*- coding: utf-8 -*-
+"""Hand-transcribed realistic page skeletons + hand-derived goldens
+(VERDICT r5 "Next round" #5).
+
+Unlike adv.warc (whose 50 noise pages come from a grammar co-evolved with
+the extractor), every page here was WRITTEN BY HAND, transcribing the
+structure of common real-world page classes: news article with sidebar and
+comments, documentation with a TOC, forum thread, table-heavy spec sheet,
+RTL Arabic news, wiki article with reference lists, marketing landing page,
+legacy table layout, paywall teaser, FAQ with details/summary, and so on.
+
+The goldens were DERIVED BY HAND from the documented extraction semantics
+(TrafilaturaExtractor scaladoc: one line per block element, cells joined by
+space per row, br flushes, whitespace collapse, entity decode, boilerplate /
+hidden / discard-keyword pruning, favor_precision link-density deletion,
+>=70% candidate commit, >100-char lines keep first two copies) — NOT by
+running the extractor. Divergences found when the fixture was first run are
+documented in FIXTURES.md §17.
+
+Writes src/main/resources/graft/wild.warc + wild_golden.tsv and prints the
+DuckDB VALUES rows for the warc_extract_wild oracle.
+"""
+import hashlib
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RES = os.path.join(HERE, "..", "src", "main", "resources", "graft")
+WARC_OUT = os.path.join(RES, "wild.warc")
+GOLD_OUT = os.path.join(RES, "wild_golden.tsv")
+
+
+# (name, html, golden_lines) — golden_lines hand-derived, see module doc.
+PAGES = [
+    ("news-sidebar", """<!DOCTYPE html>
+<html><head><title>Storm closes harbor</title>
+<meta charset="utf-8"><style>p{margin:0}</style></head>
+<body>
+<div class="masthead"><img src="logo.png"><ul class="nav"><li><a href="/">Home</a></li><li><a href="/news">News</a></li></ul></div>
+<div id="wrapper">
+<article>
+<h1>Storm closes the northern harbor for two days</h1>
+<p class="byline">By A. Reporter, Tuesday</p>
+<p>The northern harbor closed on Tuesday after a winter storm pushed waves over the outer pier, the port authority said.</p>
+<p>Ferry crossings to the island were cancelled through Thursday morning, and cargo traffic was rerouted to the southern terminal.</p>
+<p>Officials said the pier lighting would be repaired before the weekend, weather permitting.</p>
+</article>
+<div id="sidebar"><h3>Most read</h3><ul><li><a href="/a">Bridge reopens</a></li><li><a href="/b">Rail strike ends</a></li></ul></div>
+<div class="comments"><h3>Comments</h3><div class="comment"><p>Glad the ferry is back soon!</p></div></div>
+</div>
+<div class="footer"><p>&copy; 2024 Example News</p></div>
+</body></html>""", [
+        "Storm closes the northern harbor for two days",
+        "The northern harbor closed on Tuesday after a winter storm pushed waves over the outer pier, the port authority said.",
+        "Ferry crossings to the island were cancelled through Thursday morning, and cargo traffic was rerouted to the southern terminal.",
+        "Officials said the pier lighting would be repaired before the weekend, weather permitting.",
+    ]),
+
+    ("docs-toc", """<html><head><title>API Guide</title></head><body>
+<nav class="toc"><ul><li><a href="#intro">Introduction</a></li><li><a href="#auth">Authentication</a></li></ul></nav>
+<main>
+<h1>Connector API guide</h1>
+<p>This guide explains how to configure the connector and submit your first batch of records.</p>
+<h2 id="intro">Introduction</h2>
+<p>The connector accepts newline-delimited records over HTTP and writes them to the store in ordered batches.</p>
+<pre>POST /v1/records
+Content-Type: application/x-ndjson</pre>
+<h2 id="auth">Authentication</h2>
+<p>Every request must carry a signed token in the Authorization header.</p>
+<ul><li>Tokens expire after one hour.</li><li>Clock skew above five minutes is rejected.</li></ul>
+</main>
+<footer><p>Docs built nightly.</p></footer>
+</body></html>""", [
+        "Connector API guide",
+        "This guide explains how to configure the connector and submit your first batch of records.",
+        "Introduction",
+        "The connector accepts newline-delimited records over HTTP and writes them to the store in ordered batches.",
+        "POST /v1/records Content-Type: application/x-ndjson",
+        "Authentication",
+        "Every request must carry a signed token in the Authorization header.",
+        "Tokens expire after one hour.",
+        "Clock skew above five minutes is rejected.",
+    ]),
+
+    ("forum-thread", """<html><body>
+<div class="breadcrumb"><a href="/">Forum</a> &raquo; <a href="/gear">Gear</a></div>
+<h1>Which tent pole fits the 2019 model?</h1>
+<div class="post"><div class="post-author">trailfan_42</div><p>My rear pole snapped on the last trip. Does the 2019 model take the same 9 mm segments as the 2021 one?</p></div>
+<div class="post"><div class="post-author">gearhead</div><p>Yes, the 9 mm segments are identical across 2018 to 2022. Bring a repair sleeve anyway.</p><p>Mine lasted four seasons with one splice.</p></div>
+<div class="post"><div class="post-author">trailfan_42</div><p>Ordered the segments, thanks. Marking this solved.</p></div>
+<div class="pagination"><a href="?p=1">1</a> <a href="?p=2">2</a></div>
+</body></html>""", [
+        "Which tent pole fits the 2019 model?",
+        "trailfan_42",
+        "My rear pole snapped on the last trip. Does the 2019 model take the same 9 mm segments as the 2021 one?",
+        "gearhead",
+        "Yes, the 9 mm segments are identical across 2018 to 2022. Bring a repair sleeve anyway.",
+        "Mine lasted four seasons with one splice.",
+        "trailfan_42",
+        "Ordered the segments, thanks. Marking this solved.",
+    ]),
+
+    ("table-specs", """<html><body>
+<main class="content">
+<h1>Camera specifications</h1>
+<p>Measured values from the bench test, firmware 2.3.</p>
+<table>
+<caption>Sensor and body</caption>
+<tr><th>Sensor</th><th>Resolution</th><th>Weight</th></tr>
+<tr><td>APS-C</td><td>26 MP</td><td>440 g</td></tr>
+<tr><td>Full frame</td><td>24 MP</td><td>650 g</td></tr>
+</table>
+<p>Both bodies share the same battery and charge over USB-C.</p>
+</main>
+</body></html>""", [
+        "Camera specifications",
+        "Measured values from the bench test, firmware 2.3.",
+        "Sensor and body",
+        "Sensor Resolution Weight",
+        "APS-C 26 MP 440 g",
+        "Full frame 24 MP 650 g",
+        "Both bodies share the same battery and charge over USB-C.",
+    ]),
+
+    ("rtl-news", """<html dir="rtl" lang="ar"><body>
+<header><h1>أخبار الميناء</h1></header>
+<article>
+<h1>إغلاق الميناء الشمالي يومين بسبب العاصفة</h1>
+<p>أغلقت سلطة الميناء الرصيف الخارجي بعد أن تجاوزت الأمواج الحاجز صباح الثلاثاء.</p>
+<p>وقالت السلطة إن حركة الشحن ستحول إلى المحطة الجنوبية حتى نهاية الأسبوع.</p>
+</article>
+<footer><p>جميع الحقوق محفوظة</p></footer>
+</body></html>""", [
+        "إغلاق الميناء الشمالي يومين بسبب العاصفة",
+        "أغلقت سلطة الميناء الرصيف الخارجي بعد أن تجاوزت الأمواج الحاجز صباح الثلاثاء.",
+        "وقالت السلطة إن حركة الشحن ستحول إلى المحطة الجنوبية حتى نهاية الأسبوع.",
+    ]),
+
+    ("blog-share", """<html><body>
+<article class="entry">
+<h1>Notes from a week of slow baking</h1>
+<p>I spent the week testing a colder final proof, and the crumb opened up noticeably compared with my usual schedule.</p>
+<div class="share"><a href="#">Tweet</a><a href="#">Share</a></div>
+<p>The second change was a darker bake. Twelve extra minutes with the lid off gave the crust a deep caramel note without any bitterness.</p>
+</article>
+<div class="related"><h3>Related posts</h3><ul><li><a href="/a">Starter care</a></li></ul></div>
+</body></html>""", [
+        "Notes from a week of slow baking",
+        "I spent the week testing a colder final proof, and the crumb opened up noticeably compared with my usual schedule.",
+        "The second change was a darker bake. Twelve extra minutes with the lid off gave the crust a deep caramel note without any bitterness.",
+    ]),
+
+    ("product-page", """<html><body>
+<div class="breadcrumb"><a href="/">Shop</a> / <a href="/packs">Packs</a></div>
+<main>
+<h1>Ridgeline 38 pack</h1>
+<p>A 38 litre pack for three-season ridge walks, with a stiffened back panel and a roll-top closure that sheds rain without a separate cover.</p>
+<h2>Details</h2>
+<ul><li>Weight: 980 g in the medium back length.</li><li>Fabric: 210 denier ripstop with a PU coating.</li><li>Hip belt pockets fit a large phone.</li></ul>
+<div class="rating">4.6 out of 5 from 212 reviews</div>
+</main>
+</body></html>""", [
+        "Ridgeline 38 pack",
+        "A 38 litre pack for three-season ridge walks, with a stiffened back panel and a roll-top closure that sheds rain without a separate cover.",
+        "Details",
+        "Weight: 980 g in the medium back length.",
+        "Fabric: 210 denier ripstop with a PU coating.",
+        "Hip belt pockets fit a large phone.",
+    ]),
+
+    ("recipe", """<html><body>
+<article class="post">
+<h1>Skillet flatbreads in twenty minutes</h1>
+<p>These flatbreads need no yeast and cook in a dry skillet while the dough is still warm.</p>
+<h2>Ingredients</h2>
+<ul><li>300 g flour</li><li>200 g warm water</li><li>One teaspoon salt</li><li>Two tablespoons oil</li></ul>
+<h2>Method</h2>
+<ol><li>Mix everything into a shaggy dough and rest it for ten minutes.</li><li>Divide into eight balls and roll each one thin.</li><li>Cook each round for about a minute per side.</li></ol>
+</article>
+</body></html>""", [
+        "Skillet flatbreads in twenty minutes",
+        "These flatbreads need no yeast and cook in a dry skillet while the dough is still warm.",
+        "Ingredients",
+        "300 g flour",
+        "200 g warm water",
+        "One teaspoon salt",
+        "Two tablespoons oil",
+        "Method",
+        "Mix everything into a shaggy dough and rest it for ten minutes.",
+        "Divide into eight balls and roll each one thin.",
+        "Cook each round for about a minute per side.",
+    ]),
+
+    ("wiki-article", """<html><body>
+<div id="siteNotice" class="banner">Support our mission.</div>
+<main id="content" class="mw-body">
+<h1>Harbor lighthouse</h1>
+<p>The harbor lighthouse is a cast iron tower completed in 1884 at the end of the northern pier. It replaced an oil lantern mounted on a wooden mast.</p>
+<p>The light was electrified in 1921 and automated in 1969, when the last keeper left the station.</p>
+<h2>See also</h2>
+<ul><li><a href="/w/Pier">Northern pier</a></li><li><a href="/w/List">List of lighthouses</a></li></ul>
+<h2>References</h2>
+<ol class="references"><li><a href="#r1">Harbor board minutes, 1884</a></li><li><a href="#r2">Coastal light registry</a></li></ol>
+</main>
+</body></html>""", [
+        "Harbor lighthouse",
+        "The harbor lighthouse is a cast iron tower completed in 1884 at the end of the northern pier. It replaced an oil lantern mounted on a wooden mast.",
+        "The light was electrified in 1921 and automated in 1969, when the last keeper left the station.",
+        "See also",
+        "References",
+    ]),
+
+    ("landing-page", """<html><body>
+<section class="hero"><h1>Ship your data anywhere</h1><p>One pipeline, every destination.</p><a class="cta" href="/signup">Start free</a></section>
+<section class="features">
+<div class="card"><h3>Fast</h3><p>Batches land in under a minute, even at peak load.</p></div>
+<div class="card"><h3>Safe</h3><p>Every record is checksummed twice before the ack.</p></div>
+</section>
+<div class="cookie-banner">We use cookies. <a href="/consent">Manage</a></div>
+</body></html>""", [
+        "Ship your data anywhere",
+        "One pipeline, every destination.",
+        "Start free",
+        "Fast",
+        "Batches land in under a minute, even at peak load.",
+        "Safe",
+        "Every record is checksummed twice before the ack.",
+    ]),
+
+    ("terms", """<html><body>
+<main>
+<h1>Terms of service</h1>
+<h2>1. Accounts</h2>
+<p>You are responsible for activity on your account and for keeping your password secure.</p>
+<h2>2. Acceptable use</h2>
+<p>You may not probe the service for vulnerabilities without written permission.</p>
+<p class="disclaimer">Nothing here is legal advice.</p>
+</main>
+</body></html>""", [
+        "Terms of service",
+        "1. Accounts",
+        "You are responsible for activity on your account and for keeping your password secure.",
+        "2. Acceptable use",
+        "You may not probe the service for vulnerabilities without written permission.",
+    ]),
+
+    ("faq-details", """<html><body>
+<main class="content">
+<h1>Billing questions</h1>
+<details><summary>When are invoices issued?</summary><p>Invoices are issued on the first business day of each month.</p></details>
+<details><summary>Can I pay in euros?</summary><p>Yes, invoices can be issued in euros or dollars.</p></details>
+</main>
+</body></html>""", [
+        "Billing questions",
+        "When are invoices issued?",
+        "Invoices are issued on the first business day of each month.",
+        "Can I pay in euros?",
+        "Yes, invoices can be issued in euros or dollars.",
+    ]),
+
+    ("photo-gallery", """<html><body>
+<main>
+<h1>Winter on the pier</h1>
+<p>Photographs from the first cold week of January.</p>
+<figure><img src="1.jpg"><figcaption>Ice on the rail</figcaption></figure>
+<figure><img src="2.jpg"><figcaption>The light at dusk</figcaption></figure>
+</main>
+</body></html>""", [
+        "Winter on the pier",
+        "Photographs from the first cold week of January.",
+    ]),
+
+    ("paywall-teaser", """<html><body>
+<article>
+<h1>Council approves the bridge repair budget</h1>
+<p>The council voted seven to two on Monday to fund the full repair of the swing bridge, ending a year of temporary closures.</p>
+<div class="signup-wall"><h3>Subscribe to keep reading</h3><p>Get unlimited access for two euros a month.</p></div>
+</article>
+</body></html>""", [
+        "Council approves the bridge repair budget",
+        "The council voted seven to two on Monday to fund the full repair of the swing bridge, ending a year of temporary closures.",
+    ]),
+
+    ("museum-popups", """<html><body>
+<div class="modal newsletter"><h3>Join the letter</h3></div>
+<main><article>
+<h1>The old mill opens as a museum</h1>
+<p>After four years of restoration the water mill reopened with its original gearing turning again.</p>
+<p>The museum plans milling demonstrations on the first Saturday of every month.</p>
+</article></main>
+<div class="consent-bar">Accept cookies?</div>
+</body></html>""", [
+        "The old mill opens as a museum",
+        "After four years of restoration the water mill reopened with its original gearing turning again.",
+        "The museum plans milling demonstrations on the first Saturday of every month.",
+    ]),
+
+    ("abstract-page", """<html><body>
+<main id="main-content">
+<h1>Sampling bounds for streaming quantile sketches</h1>
+<div class="byline">J. Doe and R. Roe</div>
+<h2>Abstract</h2>
+<p>We give tighter space bounds for mergeable quantile sketches under adversarial streams, improving the known constant by a factor of two.</p>
+<div class="tags"><a href="/t/streams">streams</a><a href="/t/sketches">sketches</a></div>
+</main>
+</body></html>""", [
+        "Sampling bounds for streaming quantile sketches",
+        "Abstract",
+        "We give tighter space bounds for mergeable quantile sketches under adversarial streams, improving the known constant by a factor of two.",
+    ]),
+
+    ("changelog", """<html><body>
+<main class="content">
+<h1>Release notes</h1>
+<h2>2.4.0</h2>
+<ul><li>Added retry budgets to the uploader.</li><li>Fixed a crash when the manifest was empty.</li></ul>
+<h2>2.3.2</h2>
+<ul><li>Reduced idle memory by a third.</li></ul>
+</main>
+</body></html>""", [
+        "Release notes",
+        "2.4.0",
+        "Added retry budgets to the uploader.",
+        "Fixed a crash when the manifest was empty.",
+        "2.3.2",
+        "Reduced idle memory by a third.",
+    ]),
+
+    ("sports-report", """<html><body>
+<article>
+<h1>Harbor Rovers take the derby three to one</h1>
+<p>Rovers scored twice before the break and controlled the midfield throughout the second half.</p>
+<table class="scoreline"><tr><th>Team</th><th>Goals</th></tr><tr><td>Harbor Rovers</td><td>3</td></tr><tr><td>Mill Town</td><td>1</td></tr></table>
+<p>The returning keeper saved a penalty in the closing minutes.</p>
+</article>
+</body></html>""", [
+        "Harbor Rovers take the derby three to one",
+        "Rovers scored twice before the break and controlled the midfield throughout the second half.",
+        "Team Goals",
+        "Harbor Rovers 3",
+        "Mill Town 1",
+        "The returning keeper saved a penalty in the closing minutes.",
+    ]),
+
+    ("mixed-language", """<html><body>
+<main>
+<h1>Port notice 港口通告</h1>
+<p>The ferry timetable changes on Monday. 渡轮时刻表将于星期一调整。</p>
+<p>Night crossings resume in March. 夜间航线三月恢复。</p>
+</main>
+</body></html>""", [
+        "Port notice 港口通告",
+        "The ferry timetable changes on Monday. 渡轮时刻表将于星期一调整。",
+        "Night crossings resume in March. 夜间航线三月恢复。",
+    ]),
+
+    ("inline-entities", """<html><body>
+<article>
+<h1>Care &amp; feeding of cast iron</h1>
+<p>Rinse the pan while it is still <b>warm</b>, dry it on the stove, and wipe on a film of oil &ndash; about half a teaspoon.</p>
+<p>Storage tip:<br>keep the lid off so the seasoning can breathe.</p>
+<p>Never soak it &#8211; an hour in water undoes a month of use.</p>
+</article>
+</body></html>""", [
+        "Care & feeding of cast iron",
+        "Rinse the pan while it is still warm, dry it on the stove, and wipe on a film of oil – about half a teaspoon.",
+        "Storage tip:",
+        "keep the lid off so the seasoning can breathe.",
+        "Never soak it – an hour in water undoes a month of use.",
+    ]),
+
+    ("legacy-table-layout", """<html><body>
+<table width="100%"><tr><td class="nav-cell"><a href="/">Home</a><br><a href="/fleet">Fleet</a></td><td>
+<h1>Ferry fleet history</h1>
+<p>The first diesel ferry entered service in 1935 and stayed on the crossing for forty years.</p>
+<p>Two sister ships followed after the war, both built at the local yard.</p>
+</td></tr></table>
+</body></html>""", [
+        "Ferry fleet history",
+        "The first diesel ferry entered service in 1935 and stayed on the crossing for forty years.",
+        "Two sister ships followed after the war, both built at the local yard.",
+    ]),
+
+    ("comments-heavy", """<html><body>
+<article class="story">
+<h1>Short notice: road closed tonight</h1>
+<p>Mill Road closes at eight for resurfacing and reopens at six in the morning.</p>
+</article>
+<section class="comments">
+<h3>12 comments</h3>
+<div class="comment"><p>About time, the potholes were brutal.</p></div>
+<div class="comment"><p>Any detour for the night bus?</p></div>
+</section>
+</body></html>""", [
+        "Short notice: road closed tonight",
+        "Mill Road closes at eight for resurfacing and reopens at six in the morning.",
+    ]),
+
+    ("code-article", """<html><body>
+<main class="post-body">
+<h1>Retrying uploads with a budget</h1>
+<p>The uploader retries a failed part only while the shared budget is positive, which caps the total extra traffic.</p>
+<pre><code>budget = parts * 0.2
+if budget &lt; 1: give_up()</code></pre>
+<p>Set the factor to zero to disable retries entirely.</p>
+</main>
+</body></html>""", [
+        "Retrying uploads with a budget",
+        "The uploader retries a failed part only while the shared budget is positive, which caps the total extra traffic.",
+        "budget = parts * 0.2 if budget < 1: give_up()",
+        "Set the factor to zero to disable retries entirely.",
+    ]),
+
+    ("hidden-drafts", """<html><body>
+<main>
+<h1>Opening hours</h1>
+<p>The reading room is open from nine to five on weekdays.</p>
+<p style="display:none">Draft: do not publish this paragraph.</p>
+<p hidden>Old hours kept for the archive.</p>
+<p>Saturday opening starts again in April.</p>
+</main>
+</body></html>""", [
+        "Opening hours",
+        "The reading room is open from nine to five on weekdays.",
+        "Saturday opening starts again in April.",
+    ]),
+]
+
+
+def record(tpe, uri, body, rec_id):
+    b = body.encode("utf-8")
+    return (("WARC/1.0\r\nWARC-Type: %s\r\nWARC-Target-URI: %s\r\n"
+             "WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:graft:%s>\r\n"
+             "Content-Length: %d\r\n\r\n") % (tpe, uri, rec_id, len(b))).encode("utf-8") \
+        + b + b"\r\n\r\n"
+
+
+def main():
+    out = record("warcinfo", "meta", "software: graft-wild-warc-transcriber", "info")
+    gold_tsv = []
+    oracle_rows = []
+    for i, (name, html, gold) in enumerate(PAGES):
+        url = "https://wild.example.org/%s" % name
+        http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+                + html)
+        out += record("response", url, http, "wild%d" % i)
+        text = "\n".join(gold)
+        for ch in text:
+            assert ord(ch) < 0x10000, "astral char would break n_chars parity"
+        esc = text.replace("\\", "\\\\").replace("\n", "\\n").replace("\t", "\\t")
+        gold_tsv.append("%s\t%s" % (url, esc))
+        md5 = hashlib.md5(text.encode("utf-8")).hexdigest()
+        n_lines = 0 if text == "" else len(gold)
+        oracle_rows.append("  ('%s', %d, %d, '%s')" % (url, n_lines, len(text), md5))
+
+    with open(WARC_OUT, "wb") as f:
+        f.write(out)
+    with open(GOLD_OUT, "w", encoding="utf-8") as f:
+        f.write("\n".join(gold_tsv) + "\n")
+    print("wrote %s (%d bytes, %d pages) + %s" %
+          (WARC_OUT, len(out), len(PAGES), GOLD_OUT))
+    print("-- oracle VALUES rows --")
+    print(",\n".join(oracle_rows))
+
+
+if __name__ == "__main__":
+    main()
