@@ -52,6 +52,24 @@ object WebCorpusGen {
     "spielten", "auf", "der", "straße", "während", "wir", "die", "schiffe",
     "auf", "dem", "fluss", "beobachteten", "nicht", "eine", "mit", "von",
     "für", "das", "ist", "auch", "aber", "oder", "wir", "sind", "werden")
+  // ko/vi pools (round 6, VERDICT r5 #8): spaced languages already in the
+  // 36-language LID fixture. Tokens lean on the fixture's trained pools
+  // (tools/gen_fasttext_model.py WIDE_LANGS) plus common words sharing
+  // their subword space — Hangul blocks (ko) and diacritic-rich Latin (vi)
+  // are near-unique to their language in the fixture, so classification
+  // margins are wide.
+  private val koreanWords = Array(
+    "그리고", "에서", "위에", "것", "아니다", "이다", "있다", "위해", "함께",
+    "이것", "모든", "매우", "집", "물", "빛", "저녁", "아침", "시장", "정원",
+    "마을", "아이들", "길", "다리", "강", "하지만", "처럼", "우리", "나는",
+    "사람들", "시간", "오늘", "내일", "학교", "도시", "음악", "이야기",
+    "그러나", "그래서", "있었다", "되었다", "합니다", "봅니다", "갑니다")
+  private val vietnameseWords = Array(
+    "và", "của", "là", "trong", "không", "có", "được", "cho", "với", "này",
+    "đó", "rất", "mọi", "nhà", "nước", "sáng", "buổi", "tối", "chợ", "vườn",
+    "làng", "trẻ", "em", "đường", "cầu", "sông", "nhưng", "như", "người",
+    "những", "một", "các", "để", "khi", "đã", "sẽ", "cũng", "về", "thì",
+    "từ", "năm", "ngày", "việc", "trên", "đến", "bằng", "sau", "trước")
   private val spanishWords = Array(
     "el", "mercado", "estaba", "muy", "tranquilo", "esta", "mañana", "y",
     "los", "niños", "jugaban", "en", "la", "calle", "mientras", "mirábamos",
@@ -132,7 +150,9 @@ object WebCorpusGen {
     val kind = (id % 100).toInt
     kind match {
       case k if k < 60 => (cleanDoc(rng, if (k % 7 == 0) 6 else 2), "en")
-      case k if k < 65 => (foreignDoc(rng, frenchWords), "fr")
+      case k if k < 63 => (foreignDoc(rng, frenchWords), "fr")
+      case k if k < 64 => (foreignDoc(rng, koreanWords), "ko")
+      case k if k < 65 => (foreignDoc(rng, vietnameseWords), "vi")
       case k if k < 68 => (zhDoc(rng), "zh")
       case k if k < 70 => (foreignDoc(rng, germanWords), "de")
       case k if k < 72 => (foreignDoc(rng, spanishWords), "es")

@@ -165,4 +165,22 @@ class FastTextSpec extends AnyFunSuite {
     assert(ru == "ru")
   }
 
+  test("corpus ko/vi kinds (63/64) classify as ko/vi and are dropped by the en filter") {
+    // VERDICT r5 #8: the bench corpus now plants spaced ko/vi docs. The
+    // en-kept invariant (123,665 at 200k) holds only if every one of them
+    // is (a) labeled with its true language by the wide fixture and (b)
+    // dropped by LanguageFilter(Seq("en")) — checked over 200 docs of each.
+    val lf = new graft.operators.LanguageFilter(Some(Seq("en")))
+    for (base <- 0L until 200L; kind <- Seq(63L, 64L)) {
+      val id = base * 100L + kind
+      val (text, lang) = graft.sources.WebCorpusGen.genText(id, graft.sources.WebCorpusGen.DefaultSeed)
+      assert(lang == (if (kind == 63L) "ko" else "vi"))
+      val (pred, score, _) = graft.functions.Lid.default.predict(text)
+      assert(pred == lang, s"id=$id expected $lang got $pred ($score)")
+      assert(score > 0.65, s"id=$id $lang score $score below the keep threshold")
+      val r = lf.check(text)
+      assert(!r.keep, s"id=$id ko/vi doc escaped the en language filter")
+    }
+  }
+
 }
