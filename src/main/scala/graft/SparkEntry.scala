@@ -537,12 +537,31 @@ FROM documents ORDER BY doc_id"""
       raw.crossJoin(planted)
     }),
     "minhash_dedup" -> ((s, dir) => {
-      // MinHash+LSH near-dup (shuffling operator; rows-only check — the
-      // corpus plants fuzzy near-dups whose clustering is not SQL-derivable)
+      // Raw variant upgraded from rows-only to a THRESHOLD oracle (r6,
+      // same planted-twin pattern as ann_lsh_topk): fuzzy clustering over
+      // the raw corpus is not SQL-derivable, but an identical planted twin
+      // is — same text ⇒ same shingle set ⇒ identical signature ⇒ every
+      // band collides ⇒ same cluster, and the min-id survivor rule can
+      // never pick the twin (its id is offset past every raw id). DuckDB
+      // pins the corpus/planted counts; the structural guarantees are
+      // engine-computed booleans the oracle requires to be TRUE.
       implicit val sp: SparkSession = s
-      MinhashDedup.dedup(documents(s, dir), "doc_id", "text")
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
+      val twins = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
+      val out = MinhashDedup.dedup(docs.unionByName(twins), "doc_id", "text")
         .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
-        .orderBy("doc_id")
+      val t = out.where(col("doc_id") >= base)
+        .select((col("doc_id") - lit(base)).as("src_id"),
+          col("minhash_cluster").as("t_cluster"), col("minhash_keep").as("t_keep"))
+      val o = out.where(col("doc_id") < base)
+      o.agg(count(lit(1)).as("n_raw")).crossJoin(
+        t.join(o, t("src_id") === o("doc_id"))
+          .agg(count(lit(1)).as("n_planted"),
+            (sum(when(col("t_keep"), 1L).otherwise(0L)) === 0L).as("twins_all_dropped"),
+            (sum(when(col("t_cluster") === col("minhash_cluster"), 1L).otherwise(0L)) ===
+              count(lit(1))).as("twins_same_cluster")))
     }),
     "minhash_dedup_exact" -> ((s, dir) => {
       // planted-outcome oracle: exact duplicates share all buckets by
@@ -703,7 +722,31 @@ FROM documents ORDER BY doc_id"""
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val bc = s.sparkContext.broadcast(graft.text.Bpe.train(freqs, 64))
       val cnt = udf { t: String => graft.text.Bpe.encode(t, bc.value).length.toLong }
-      docs.select(col("doc_id"), cnt(col("text")).as("n_bpe_tokens")).orderBy("doc_id")
+      // Threshold oracle (r6): trained merge ids are engine-specific, but
+      // the encoding is a pure function of (text, trained model) — so a
+      // planted twin must get EXACTLY its source's token count — and the
+      // encoding shape bounds every count: each word emits between 1 token
+      // (fully merged) and len+1 tokens (chars + the EndOfWord marker,
+      // unmerged), plus one trailing EOS id — so for these pure-[a-z0-9 ]
+      // texts (where whitespace split == Tokenizer.words)
+      //   words + 1 ≤ n_bpe_tokens ≤ non-space chars + words + 1.
+      // Asserted engine-side as a single boolean the oracle pins TRUE.
+      val wordsC = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+      val charsC = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val counted = docs.select(col("doc_id"), cnt(col("text")).as("n_bpe_tokens"),
+        (cnt(col("text")) >= wordsC + lit(1L) &&
+          cnt(col("text")) <= charsC + wordsC + lit(1L)).as("in_bounds"))
+      val twins = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), cnt(col("text")).as("n_twin_tokens"))
+      // the twin re-encodes the same text through the same broadcast model
+      // (planting cannot perturb training here: identical text adds the
+      // same words, and equality is what's asserted)
+      counted.join(twins.select(col("doc_id"), col("n_twin_tokens")), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_raw"),
+          (sum(when(col("in_bounds"), 1L).otherwise(0L)) === count(lit(1))).as("all_in_bounds"),
+          sum(when(col("n_twin_tokens").isNotNull, 1L).otherwise(0L)).as("n_planted"),
+          (sum(when(col("n_twin_tokens") === col("n_bpe_tokens"), 1L).otherwise(0L)) ===
+            sum(when(col("n_twin_tokens").isNotNull, 1L).otherwise(0L))).as("twins_count_equal"))
     }),
     "ann_lsh_topk_exact" -> ((s, dir) => {
       // planted identical-vector groups make the LSH top-1 deterministic:
@@ -1078,16 +1121,58 @@ FROM documents ORDER BY doc_id"""
         .orderBy("win_start_s", "reason")
     }),
     "sentence_dedup" -> ((s, dir) => {
+      // Threshold oracle (r6). The raw documents are single-line texts, so
+      // line-window dedup (nSentences=3) is structurally a no-op on them;
+      // to exercise the real operator the query builds a 3-line corpus by
+      // stitching consecutive docs (doc i = lines of raw docs i, i+1, i+2
+      // — the same construction is one self-join in DuckDB), then plants a
+      // full twin of every 10th stitched doc. Guarantees: each stitched
+      // doc has exactly one 3-line window, originals are first occurrences
+      // (min (doc, sent) struct wins) so they stay untouched and kept;
+      // each twin's window is a duplicate, so its first line is removed
+      // and the survivor fails the min-sentence threshold — removed ≥ 1
+      // and keep = false for every twin.
       implicit val sp: SparkSession = s
-      SentenceDedup(documents(s, dir), "doc_id", "text")
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val d1 = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("t1"))
+      val d2 = docs.select((col("doc_id") - 2).as("doc_id"), col("text").as("t2"))
+      val tri = docs.join(d1, "doc_id").join(d2, "doc_id")
+        .select(col("doc_id"), concat_ws("\n", col("text"), col("t1"), col("t2")).as("text"))
+      val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
+      val twins = tri.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
+      val out = SentenceDedup(tri.unionByName(twins), "doc_id", "text")
         .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
-        .orderBy("doc_id")
+      val t = out.where(col("doc_id") >= base)
+      val o = out.where(col("doc_id") < base)
+      o.agg(count(lit(1)).as("n_stitched"),
+          (sum(when(col("sentence_dedup_keep") && col("removed_sentences") === 0L, 1L)
+            .otherwise(0L)) === count(lit(1))).as("originals_all_kept_untouched"))
+        .crossJoin(t.agg(count(lit(1)).as("n_planted"),
+          (sum(when(!col("sentence_dedup_keep") && col("removed_sentences") >= 1L, 1L)
+            .otherwise(0L)) === count(lit(1))).as("twins_all_deduped")))
     }),
     "simhash_dedup" -> ((s, dir) => {
+      // Threshold oracle (r6): identical planted twin ⇒ identical 64-bit
+      // fingerprint ⇒ hamming 0 ≤ maxHamming ⇒ banding must surface the
+      // pair ⇒ same cluster; min-id survivor ⇒ the twin is always dropped.
       implicit val sp: SparkSession = s
-      SimHashDedup(documents(s, dir), "doc_id", "text", maxHamming = 3)
-        .select(col("doc_id"), col("simhash"), col("simhash_keep"))
-        .orderBy("doc_id")
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
+      val twins = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
+      val out = SimHashDedup(docs.unionByName(twins), "doc_id", "text", maxHamming = 3)
+        .select(col("doc_id"), col("simhash_cluster"), col("simhash_keep"))
+      val t = out.where(col("doc_id") >= base)
+        .select((col("doc_id") - lit(base)).as("src_id"),
+          col("simhash_cluster").as("t_cluster"), col("simhash_keep").as("t_keep"))
+      val o = out.where(col("doc_id") < base)
+      o.agg(count(lit(1)).as("n_raw")).crossJoin(
+        t.join(o, t("src_id") === o("doc_id"))
+          .agg(count(lit(1)).as("n_planted"),
+            (sum(when(col("t_keep"), 1L).otherwise(0L)) === 0L).as("twins_all_dropped"),
+            (sum(when(col("t_cluster") === col("simhash_cluster"), 1L).otherwise(0L)) ===
+              count(lit(1))).as("twins_same_cluster")))
     }),
     "ann_topk" -> ((s, dir) => {
       // brute-force cosine top-1 neighbor (ids only — float ordering is
@@ -1658,10 +1743,25 @@ FROM documents ORDER BY doc_id"""
         .orderBy("doc_id")
     }),
     "bloom_dedup" -> ((s, dir) => {
+      // Threshold oracle (r6): Bloom filters have no false negatives, so
+      // by the time a planted twin (id offset past every raw id, hence
+      // sequenced after its source in the sorted single partition) is
+      // probed, its text's bits are all set — every twin must be dropped.
+      // Raw-side keeps are engine-specific (deterministic FP rate), not
+      // asserted.
       implicit val sp: SparkSession = s
-      BloomDedup(documents(s, dir).coalesce(1).sortWithinPartitions("doc_id"),
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
+      val twins = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
+      val out = BloomDedup(
+          docs.unionByName(twins).coalesce(1).sortWithinPartitions("doc_id"),
           "doc_id", "text", BloomDedupConfig(nGrams = 5))
-        .select("doc_id", "bloom_keep").orderBy("doc_id")
+        .select(col("doc_id"), col("bloom_keep"))
+      out.where(col("doc_id") < base).agg(count(lit(1)).as("n_raw")).crossJoin(
+        out.where(col("doc_id") >= base)
+          .agg(count(lit(1)).as("n_planted"),
+            (sum(when(col("bloom_keep"), 1L).otherwise(0L)) === 0L).as("twins_all_dropped")))
     }),
     "gopher_quality_sql" -> ((s, dir) => {
       // same semantics as gopher_quality, but as pure column expressions
@@ -2228,6 +2328,15 @@ FROM documents ORDER BY doc_id""",
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
   WHEN 0 THEN 6 WHEN 1 THEN 7 WHEN 2 THEN 8 ELSE 6 END AS n_bpe_tokens
 FROM documents ORDER BY doc_id""",
+    // threshold oracle (r6): DuckDB pins the corpus/planted counts; the
+    // structural guarantees (bounds hold for every doc, every identical
+    // planted twin re-encodes to its source's exact count) are
+    // engine-computed booleans the oracle requires to be TRUE
+    "token_count_bpe_trained" ->
+      """SELECT count(*) AS n_raw, TRUE AS all_in_bounds,
+  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+  TRUE AS twins_count_equal
+FROM documents""",
     "perplexity" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
   WHEN 0 THEN 44 WHEN 1 THEN 47 WHEN 2 THEN 141 ELSE 110 END AS ppl_x10
@@ -2281,6 +2390,41 @@ SELECT doc_id, CASE
   WHEN ldc * 5 > tl THEN 'dup_line_char_frac'
   ELSE '' END AS reason
 FROM m ORDER BY doc_id""",
+    // threshold oracles (r6, planted-twin pattern): identical twin ⇒
+    // identical signature/fingerprint ⇒ same cluster, and the min-id
+    // survivor rule can never pick the twin (ids offset past every raw
+    // id) — DuckDB pins the counts, the engine-computed booleans must be
+    // TRUE
+    "minhash_dedup" ->
+      """SELECT count(*) AS n_raw,
+  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+  TRUE AS twins_all_dropped, TRUE AS twins_same_cluster
+FROM documents""",
+    "simhash_dedup" ->
+      """SELECT count(*) AS n_raw,
+  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+  TRUE AS twins_all_dropped, TRUE AS twins_same_cluster
+FROM documents""",
+    "bloom_dedup" ->
+      """SELECT count(*) AS n_raw,
+  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+  TRUE AS twins_all_dropped
+FROM documents""",
+    // threshold oracle (r6): the stitched 3-line corpus is one self-join
+    // in DuckDB; originals are first occurrences (kept, untouched) and
+    // every planted full twin loses its only window (removed ≥ 1 line,
+    // rewritten empty ⇒ dropped)
+    "sentence_dedup" ->
+      """SELECT
+  (SELECT count(*) FROM documents a
+     JOIN documents b ON b.doc_id = a.doc_id + 1
+     JOIN documents c ON c.doc_id = a.doc_id + 2) AS n_stitched,
+  TRUE AS originals_all_kept_untouched,
+  (SELECT count(*) FROM documents a
+     JOIN documents b ON b.doc_id = a.doc_id + 1
+     JOIN documents c ON c.doc_id = a.doc_id + 2
+     WHERE a.doc_id % 10 = 0) AS n_planted,
+  TRUE AS twins_all_deduped""",
     "minhash_dedup_exact" ->
       """WITH a AS (
   SELECT doc_id, translate(md5(CAST(doc_id % 100 AS VARCHAR)), '0123456789', 'ghijklmnop') AS hx
