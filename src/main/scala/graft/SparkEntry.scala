@@ -371,8 +371,13 @@ FROM documents ORDER BY doc_id"""
         .orderBy("doc_id")
     }),
     "gopher_repetition" -> ((s, dir) => {
-      // full repetition kernel (sequential n-gram scan — not SQL-expressible;
-      // rows-only check)
+      // full repetition kernel over the raw corpus. Oracled (r6): DuckDB
+      // independently recomputes the top-{2,3,4}-gram char-fraction rules
+      // in window SQL — the only rules these single-line word-soup docs
+      // can trigger (no \n ⇒ line/para fracs are 0; the dup-5..10-gram
+      // thresholds are measured never to fire on the 10-99-word soups,
+      // so any engine-side firing breaks the compare) — and the per-doc
+      // reason strings must agree exactly
       documents(s, dir)
         .select(col("doc_id"), gopherRepetitionUdf(col("text")).as("reason"))
         .withColumn("keep", col("reason") === "")
