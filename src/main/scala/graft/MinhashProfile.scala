@@ -11,10 +11,11 @@ import graft.functions.Hashes
 object MinhashProfile {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toInt else 20000
+    val corpus = if (args.length > 1) args(1) else "/tmp/graft_corpus_2000000"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val texts = spark.read.parquet("/tmp/graft_corpus_2000000")
+    val texts = spark.read.parquet(corpus)
       .select("text").limit(nDocs).collect().map(_.getString(0))
     spark.stop()
 
