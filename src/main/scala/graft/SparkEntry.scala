@@ -2251,7 +2251,17 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/legacy-table-layout', 3, 181, 'db0bfb67eded9045bf197247316ef2a1'),
   ('https://wild.example.org/comments-heavy', 2, 110, 'b585407b8cea5eabd6402dcbaf6c5457'),
   ('https://wild.example.org/code-article', 4, 241, 'be4d4fb7750b3b91275f28c8b864bd65'),
-  ('https://wild.example.org/hidden-drafts', 3, 109, '4bf76d5a77cee6d6196534ab1c67eb28')
+  ('https://wild.example.org/hidden-drafts', 3, 109, '4bf76d5a77cee6d6196534ab1c67eb28'),
+  ('https://wild.example.org/liveblog', 5, 303, '1d69e083b6f531f2e262d1d40b012380'),
+  ('https://wild.example.org/job-posting', 8, 324, 'd8299872c67e190ed15012fdbb0f3e4a'),
+  ('https://wild.example.org/qa-interview', 6, 306, '18a85f2fea017e98102fa33fa485d279'),
+  ('https://wild.example.org/weather-report', 8, 224, 'a8247fe16757c4f9ac437aafd532a1a1'),
+  ('https://wild.example.org/event-schedule', 7, 223, '0537dc1a796119bab4132db336d8e988'),
+  ('https://wild.example.org/press-release', 3, 286, 'de23936ef4f59f9b2cdaf37331ad0c59'),
+  ('https://wild.example.org/soft-404', 2, 75, '1325044c8e775e9d23db233937a9c70b'),
+  ('https://wild.example.org/glossary', 7, 238, '673b7a8a9645fb03b4cb94649aa131eb'),
+  ('https://wild.example.org/archive-letter', 5, 327, '483d973f4dc400a1ac67518670da9500'),
+  ('https://wild.example.org/guide-chrome', 3, 214, '72230e87cc2fc9f87a752e5add7a51b8')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

@@ -44,9 +44,9 @@ class WildWarcSpec extends AnyFunSuite {
       .toMap
   }
 
-  test("corpus shape: 24 hand-transcribed pages, all with goldens") {
-    assert(extracted.size == 24)
-    assert(goldens.size == 24)
+  test("corpus shape: 34 hand-transcribed pages, all with goldens") {
+    assert(extracted.size == 34)
+    assert(goldens.size == 34)
     assert(extracted.keySet == goldens.keySet)
   }
 

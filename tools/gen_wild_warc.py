@@ -423,6 +423,202 @@ if budget &lt; 1: give_up()</code></pre>
         "The reading room is open from nine to five on weekdays.",
         "Saturday opening starts again in April.",
     ]),
+
+    # ---- round-6 second batch: 10 more hand-transcribed classes ----
+
+    ("liveblog", """<html><body>
+<div class="masthead"><a href="/">The Harbor Ledger</a><ul><li><a href="/live">Live</a></li></ul></div>
+<article class="live">
+<h1>Live: council vote on the harbor plan</h1>
+<p class="standfirst">Rolling updates as the council debates the harbor redevelopment plan.</p>
+<div class="update"><p><strong>14:05</strong> The meeting opened with a quorum of nineteen members.</p></div>
+<div class="update"><p><strong>14:32</strong> An amendment to cap building height at six storeys was tabled.</p></div>
+<div class="update"><p><strong>15:10</strong> The vote passed by eleven to eight; work starts next spring.</p></div>
+</article>
+<div class="related"><h3>Related</h3><ul><li><a href="/plan">The plan in maps</a></li></ul></div>
+</body></html>""", [
+        "Live: council vote on the harbor plan",
+        "Rolling updates as the council debates the harbor redevelopment plan.",
+        "14:05 The meeting opened with a quorum of nineteen members.",
+        "14:32 An amendment to cap building height at six storeys was tabled.",
+        "15:10 The vote passed by eleven to eight; work starts next spring.",
+    ]),
+
+    ("job-posting", """<html><body>
+<header><img src="crest.png"><span>Records office</span></header>
+<main>
+<h1>Data steward (part time)</h1>
+<p>The records office seeks a data steward to curate the municipal archive two days per week.</p>
+<h2>Requirements</h2>
+<ul>
+<li>Two years of archival or library experience.</li>
+<li>Comfort with spreadsheets and fixed-width exports.</li>
+</ul>
+<h2>What we offer</h2>
+<ul>
+<li>Flexible hours and a season transit pass.</li>
+</ul>
+<p>Applications close at the end of the month.</p>
+</main>
+<div class="signup"><p>Apply through the portal with reference RS-12.</p></div>
+<footer><p>An equal opportunity employer.</p></footer>
+</body></html>""", [
+        "Data steward (part time)",
+        "The records office seeks a data steward to curate the municipal archive two days per week.",
+        "Requirements",
+        "Two years of archival or library experience.",
+        "Comfort with spreadsheets and fixed-width exports.",
+        "What we offer",
+        "Flexible hours and a season transit pass.",
+        "Applications close at the end of the month.",
+    ]),
+
+    ("qa-interview", """<html><body>
+<article>
+<h1>Five questions for the harbormaster</h1>
+<p class="intro">We sat down with the harbormaster after the storm closure to ask what comes next.</p>
+<p><em>What broke on the outer pier?</em></p>
+<blockquote>Mostly the lighting and two mooring cleats; the deck itself held up fine.</blockquote>
+<p><em>When do ferries resume?</em></p>
+<blockquote>Thursday morning, once the insurer signs off on the repairs.</blockquote>
+</article>
+</body></html>""", [
+        "Five questions for the harbormaster",
+        "We sat down with the harbormaster after the storm closure to ask what comes next.",
+        "What broke on the outer pier?",
+        "Mostly the lighting and two mooring cleats; the deck itself held up fine.",
+        "When do ferries resume?",
+        "Thursday morning, once the insurer signs off on the repairs.",
+    ]),
+
+    ("weather-report", """<html><body>
+<main>
+<h1>Harbor weather, Tuesday</h1>
+<p>A clearing trend follows the storm, with winds easing through the afternoon.</p>
+<dl>
+<dt>Wind</dt><dd>Northwest at 30 km/h, gusting 45</dd>
+<dt>Visibility</dt><dd>Eight kilometres, improving</dd>
+<dt>Sea state</dt><dd>Two metre swell, subsiding overnight</dd>
+</dl>
+</main>
+</body></html>""", [
+        "Harbor weather, Tuesday",
+        "A clearing trend follows the storm, with winds easing through the afternoon.",
+        "Wind",
+        "Northwest at 30 km/h, gusting 45",
+        "Visibility",
+        "Eight kilometres, improving",
+        "Sea state",
+        "Two metre swell, subsiding overnight",
+    ]),
+
+    ("event-schedule", """<html><body>
+<main>
+<h1>Spring regatta programme</h1>
+<p>Racing runs over two days, with the prize ceremony on the quay after the final heat.</p>
+<table>
+<caption>Saturday heats</caption>
+<thead><tr><th>Time</th><th>Class</th><th>Course</th></tr></thead>
+<tbody>
+<tr><td>09:00</td><td>Dinghy</td><td>Inner bay</td></tr>
+<tr><td>11:30</td><td>Keelboat</td><td>Outer mark</td></tr>
+</tbody>
+</table>
+<p>Entry closes on Friday at noon.</p>
+</main>
+</body></html>""", [
+        "Spring regatta programme",
+        "Racing runs over two days, with the prize ceremony on the quay after the final heat.",
+        "Saturday heats",
+        "Time Class Course",
+        "09:00 Dinghy Inner bay",
+        "11:30 Keelboat Outer mark",
+        "Entry closes on Friday at noon.",
+    ]),
+
+    # candidate-commit trap: a surviving paragraph OUTSIDE the content div
+    # must be excluded once the div holds >= 70% of surviving text
+    ("press-release", """<html><body>
+<div class="masthead"><p>Port Authority newsroom</p></div>
+<div class="content">
+<h1>Port authority to rebuild the outer pier lighting</h1>
+<p>HARBORTOWN, Tuesday — The port authority will replace the storm-damaged lighting on the outer pier with sealed LED units before the weekend.</p>
+<p>The work is funded from the maintenance reserve and requires no closure beyond the current one.</p>
+</div>
+<div class="disclaimer"><p>This release may contain forward-looking statements.</p></div>
+<p class="contactline">Press contact: the newsroom desk, weekdays.</p>
+</body></html>""", [
+        "Port authority to rebuild the outer pier lighting",
+        "HARBORTOWN, Tuesday — The port authority will replace the storm-damaged lighting on the outer pier with sealed LED units before the weekend.",
+        "The work is funded from the maintenance reserve and requires no closure beyond the current one.",
+    ]),
+
+    # tiny-block edge: a 14-char h1 survives (not fully anchored) while the
+    # all-anchor link list dies by density and the menu/form by pruning
+    ("soft-404", """<html><body>
+<div class="error">
+<h1>Page not found</h1>
+<p>The address may have moved when the archive was reorganised.</p>
+<ul class="menu"><li><a href="/news">News</a></li><li><a href="/tides">Tides</a></li></ul>
+<ul><li><a href="/">Front page</a></li><li><a href="/search">Search</a></li></ul>
+</div>
+<form action="/search"><input name="q"><button>Search the site</button></form>
+</body></html>""", [
+        "Page not found",
+        "The address may have moved when the archive was reorganised.",
+    ]),
+
+    ("glossary", """<html><body>
+<main>
+<h1>Glossary of port terms</h1>
+<dl>
+<dt>Bollard</dt><dd>A short post on the quay for securing mooring lines.</dd>
+<dt>Fairway</dt><dd>The navigable channel kept clear for vessels, marked on the <a href="/charts">harbor chart</a>.</dd>
+<dt>Slack water</dt><dd>The short pause between tides when the current nearly stops.</dd>
+</dl>
+</main>
+</body></html>""", [
+        "Glossary of port terms",
+        "Bollard",
+        "A short post on the quay for securing mooring lines.",
+        "Fairway",
+        "The navigable channel kept clear for vessels, marked on the harbor chart.",
+        "Slack water",
+        "The short pause between tides when the current nearly stops.",
+    ]),
+
+    ("archive-letter", """<html><body>
+<article>
+<h1>From the archive: the keeper's letter</h1>
+<p>In 1934 the lighthouse keeper wrote to the harbor board about the winter supply run.</p>
+<blockquote>
+<p>The tender calls but once a month, and the oil barely lasts the fortnight of fog.</p>
+<p>I ask the board to double the ration before the ice closes the sound.</p>
+</blockquote>
+<p>The board approved the request the following spring.</p>
+</article>
+</body></html>""", [
+        "From the archive: the keeper's letter",
+        "In 1934 the lighthouse keeper wrote to the harbor board about the winter supply run.",
+        "The tender calls but once a month, and the oil barely lasts the fortnight of fog.",
+        "I ask the board to double the ration before the ice closes the sound.",
+        "The board approved the request the following spring.",
+    ]),
+
+    ("guide-chrome", """<html><body>
+<div class="breadcrumbs"><a href="/">Home</a> › <a href="/guides">Guides</a> › Mooring</div>
+<article>
+<h1>Mooring in a crosswind</h1>
+<p>Approach slowly against the stronger element, wind or tide, and rig the midship spring first.</p>
+<p>With the spring made fast, engine ahead at idle holds the boat alongside while crew steps ashore.</p>
+</article>
+<div class="pagination"><a href="/guides/1">Previous</a><a href="/guides/3">Next</a></div>
+<div class="tags"><a href="/t/mooring">mooring</a><a href="/t/wind">wind</a></div>
+</body></html>""", [
+        "Mooring in a crosswind",
+        "Approach slowly against the stronger element, wind or tide, and rig the midship spring first.",
+        "With the spring made fast, engine ahead at idle holds the boat alongside while crew steps ashore.",
+    ]),
 ]
 
 
