@@ -435,17 +435,22 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 24 HAND-TRANSCRIBED realistic
+      // the general extraction path over 41 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
-      // layout, paywall/popup chrome, details/summary, inline entities;
-      // no generator grammar involved). Goldens hand-derived from the
-      // documented semantics; WildWarcSpec pins the bytes, this oracle
-      // pins (n_lines, n_chars, md5) per url.
+      // layout, paywall/popup chrome, details/summary, inline entities,
+      // plus a non-UTF-8 batch: cp1252 fallback, meta-sniffed
+      // iso-8859-2/shift_jis/gbk/koi8-r, UTF-16LE+BOM, UTF-8+BOM; no
+      // generator grammar involved). Bytes go through the reference's
+      // decode-or-drop (warc.py:117-129 ≙ WarcParser.decodeHtml): the
+      // corpus plants 3 undecodable records that must NOT appear here.
+      // Goldens hand-derived from the documented semantics; WildWarcSpec
+      // pins the bytes, this oracle pins (n_lines, n_chars, md5) per url.
       import s.implicits._
       val bytes = graft.text.Resources.readBytes("/graft/wild.warc")
       val docs = graft.sources.WarcParser.parse("wild.warc", bytes)
-        .map(d => (d.url, new String(d.html, "UTF-8"))).toList
+        .flatMap(d => graft.sources.WarcParser.decodeHtml(d.html).map(h => (d.url, h)))
+        .toList
       val extractU = udf { h: String => TrafilaturaExtractor.extract(h) }
       docs.toDF("url", "html")
         .select(col("url"), extractU(col("html")).as("t"))
@@ -2261,7 +2266,14 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/soft-404', 2, 75, '1325044c8e775e9d23db233937a9c70b'),
   ('https://wild.example.org/glossary', 7, 238, '673b7a8a9645fb03b4cb94649aa131eb'),
   ('https://wild.example.org/archive-letter', 5, 327, '483d973f4dc400a1ac67518670da9500'),
-  ('https://wild.example.org/guide-chrome', 3, 214, '72230e87cc2fc9f87a752e5add7a51b8')
+  ('https://wild.example.org/guide-chrome', 3, 214, '72230e87cc2fc9f87a752e5add7a51b8'),
+  ('https://wild.example.org/cp1252-bistro', 4, 260, '88551db87e60f0469db7140d03e9cdc0'),
+  ('https://wild.example.org/latin2-notice', 5, 216, '237d8d0ba70b20b739cba1dbbcc0ff9d'),
+  ('https://wild.example.org/shiftjis-guide', 3, 50, 'b1ab239a42f6fa2bf4594091bff053d8'),
+  ('https://wild.example.org/gbk-bulletin', 3, 64, '022a1225f6cb6a1cb1b04985a4e8c2f1'),
+  ('https://wild.example.org/koi8-memo', 3, 146, '09ab91a53fc6f91d52778c07a35d5bd4'),
+  ('https://wild.example.org/utf16-press', 3, 180, '6f345ef757d410ddb0ad4c65fa9401f6'),
+  ('https://wild.example.org/utf8bom-changelog', 4, 179, 'd2e392a083d1a8c9fe05988907fdaf58')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TrafilaturaExtractor
 
 /** Byte-equality replay of the HAND-TRANSCRIBED realistic page corpus
-  * (VERDICT r5 "Next round" #5): 24 page skeletons written by hand in
+  * (VERDICT r5 "Next round" #5): 41 page skeletons written by hand in
   * tools/gen_wild_warc.py — news+sidebar+comments, docs+TOC, forum thread,
   * table-heavy, RTL Arabic, wiki reference lists, legacy table layout,
   * paywall/popup/cookie chrome, details/summary FAQ, inline entities —
@@ -37,17 +37,47 @@ class WildWarcSpec extends AnyFunSuite {
         line.substring(0, tab) -> unescape(line.substring(tab + 1))
       }.toMap
 
-  private lazy val extracted: Map[String, String] = {
+  private lazy val parsed: List[graft.sources.WarcParser.WarcDoc] = {
     val bytes = graft.text.Resources.readBytes("/graft/wild.warc")
-    graft.sources.WarcParser.parse("wild.warc", bytes)
-      .map(d => d.url -> TrafilaturaExtractor.extract(new String(d.html, "UTF-8")))
-      .toMap
+    graft.sources.WarcParser.parse("wild.warc", bytes).toList
   }
 
-  test("corpus shape: 34 hand-transcribed pages, all with goldens") {
-    assert(extracted.size == 34)
-    assert(goldens.size == 34)
+  // decode-or-drop, exactly like the driver query and warc.py:117-129:
+  // undecodable response bytes remove the document, everything else is
+  // decoded per BOM / strict UTF-8 / meta charset / cp1252 fallback.
+  private lazy val extracted: Map[String, String] =
+    parsed.flatMap { d =>
+      graft.sources.WarcParser.decodeHtml(d.html)
+        .map(h => d.url -> TrafilaturaExtractor.extract(h))
+    }.toMap
+
+  test("corpus shape: 41 hand-transcribed pages decode, all with goldens") {
+    assert(extracted.size == 41)
+    assert(goldens.size == 41)
     assert(extracted.keySet == goldens.keySet)
+  }
+
+  test("planted undecodable records parse but are dropped by decode-or-drop") {
+    val dropUrls = Set(
+      "https://wild.example.org/bogus-charset-drop",
+      "https://wild.example.org/utf8-declared-broken-drop",
+      "https://wild.example.org/binary-nul-drop")
+    // the WARC parser sees all three (they are well-formed records with an
+    // html content type)…
+    assert(dropUrls.subsetOf(parsed.map(_.url).toSet))
+    // …and decodeHtml rejects exactly them
+    val dropped = parsed.filter(d => graft.sources.WarcParser.decodeHtml(d.html).isEmpty)
+    assert(dropped.map(_.url).toSet == dropUrls)
+  }
+
+  test("non-UTF-8 pages decode through the declared or sniffed charset") {
+    // spot-check one page per branch: the cp1252 fallback keeps the curly
+    // apostrophe (U+2019), the meta-sniffed GBK page keeps real hanzi,
+    // the BOM'd UTF-16 page loses its BOM (U+FEFF)
+    assert(extracted("https://wild.example.org/cp1252-bistro").contains("l\u2019oignon"))
+    assert(extracted("https://wild.example.org/gbk-bulletin").contains("\u4f9b\u6c34"))
+    val p = extracted("https://wild.example.org/utf16-press")
+    assert(p.startsWith("Ferry line") && !p.contains("\ufeff"))
   }
 
   test("every wild page extracts byte-identically to its hand-derived golden") {

@@ -621,24 +621,194 @@ if budget &lt; 1: give_up()</code></pre>
     ]),
 ]
 
+# ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
+# (name, html_unicode, golden_lines, encoding, bom) — the page bytes are
+# html.encode(encoding) with an optional BOM prefix, exercising
+# WarcParser.decodeHtml end to end (warc.py:117-129 analogue): BOM wins,
+# then strict UTF-8, then the in-body meta-charset sniff, then the
+# windows-1252 single-byte fallback. Goldens are hand-derived over the
+# DECODED unicode, same discipline as the rest of this file.
+PAGES_ENC = [
+    # windows-1252 legacy page with NO meta charset and no header help:
+    # strict UTF-8 fails on the 0xE9/0x92 bytes, no meta, no NULs -> the
+    # deterministic cp1252 fallback decodes it.
+    ("cp1252-bistro", """<html><head><title>Bistro du port</title></head><body>
+<div class="masthead"><a href="/">Le Carnet</a><ul><li><a href="/cuisine">Cuisine</a></li></ul></div>
+<article>
+<h1>Une soir\u00e9e au bistro du port</h1>
+<p>La carte du soir proposait une soupe \u00e0 l\u2019oignon et un plat du jour g\u00e9n\u00e9reux.</p>
+<p>Le chef, arriv\u00e9 l\u2019an dernier, pr\u00e9f\u00e8re les produits de la c\u00f4te : moules, merlu, l\u00e9gumes du march\u00e9.</p>
+<p>Comptez vingt euros pour un d\u00eener complet, caf\u00e9 compris.</p>
+</article>
+<div class="footer"><p>\u00a9 Le Carnet</p></div>
+</body></html>""", [
+        "Une soir\u00e9e au bistro du port",
+        "La carte du soir proposait une soupe \u00e0 l\u2019oignon et un plat du jour g\u00e9n\u00e9reux.",
+        "Le chef, arriv\u00e9 l\u2019an dernier, pr\u00e9f\u00e8re les produits de la c\u00f4te : moules, merlu, l\u00e9gumes du march\u00e9.",
+        "Comptez vingt euros pour un d\u00eener complet, caf\u00e9 compris.",
+    ], "windows-1252", b""),
+
+    # iso-8859-2 Czech notice declaring itself via <meta charset=...>.
+    ("latin2-notice", """<html><head><meta charset="iso-8859-2"><title>Ozn\u00e1men\u00ed</title></head><body>
+<div class="nav-strip"><a href="/">M\u011bsto</a> <a href="/urad">\u00da\u0159ad</a></div>
+<main>
+<h1>Ozn\u00e1men\u00ed o uzav\u00edrce mostu</h1>
+<p>Most p\u0159es \u0159eku bude od pond\u011bl\u00ed uzav\u0159en kv\u016fli oprav\u011b z\u00e1bradl\u00ed.</p>
+<p>Obj\u00ed\u017e\u010fka povede p\u0159es n\u00e1ves a zp\u011bt na hlavn\u00ed silnici.</p>
+<ul><li>Pr\u00e1ce za\u010d\u00ednaj\u00ed v sedm hodin r\u00e1no.</li><li>Pr\u016fjezd pro z\u00e1chrann\u00e9 vozy z\u016fst\u00e1v\u00e1 mo\u017en\u00fd.</li></ul>
+</main>
+<div class="footer"><p>M\u011bstsk\u00fd \u00fa\u0159ad</p></div>
+</body></html>""", [
+        "Ozn\u00e1men\u00ed o uzav\u00edrce mostu",
+        "Most p\u0159es \u0159eku bude od pond\u011bl\u00ed uzav\u0159en kv\u016fli oprav\u011b z\u00e1bradl\u00ed.",
+        "Obj\u00ed\u017e\u010fka povede p\u0159es n\u00e1ves a zp\u011bt na hlavn\u00ed silnici.",
+        "Pr\u00e1ce za\u010d\u00ednaj\u00ed v sedm hodin r\u00e1no.",
+        "Pr\u016fjezd pro z\u00e1chrann\u00e9 vozy z\u016fst\u00e1v\u00e1 mo\u017en\u00fd.",
+    ], "iso-8859-2", b""),
+
+    # Shift_JIS with the older http-equiv declaration form.
+    ("shiftjis-guide", """<html><head><meta http-equiv="Content-Type" content="text/html; charset=shift_jis"><title>\u6848\u5185</title></head><body>
+<div class="breadcrumb"><a href="/">\u30db\u30fc\u30e0</a> &gt; <a href="/guide">\u6848\u5185</a></div>
+<article>
+<h1>\u6e2f\u306e\u98df\u5802\u306e\u6848\u5185</h1>
+<p>\u663c\u306e\u5b9a\u98df\u306f\u9b5a\u306e\u716e\u4ed8\u3051\u3068\u5473\u564c\u6c41\u3001\u5c0f\u9262\u304c\u4ed8\u304d\u307e\u3059\u3002</p>
+<p>\u55b6\u696d\u6642\u9593\u306f\u5341\u4e00\u6642\u304b\u3089\u5341\u56db\u6642\u307e\u3067\u3067\u3059\u3002</p>
+</article>
+<div class="share-row"><a href="#">\u5171\u6709</a></div>
+</body></html>""", [
+        "\u6e2f\u306e\u98df\u5802\u306e\u6848\u5185",
+        "\u663c\u306e\u5b9a\u98df\u306f\u9b5a\u306e\u716e\u4ed8\u3051\u3068\u5473\u564c\u6c41\u3001\u5c0f\u9262\u304c\u4ed8\u304d\u307e\u3059\u3002",
+        "\u55b6\u696d\u6642\u9593\u306f\u5341\u4e00\u6642\u304b\u3089\u5341\u56db\u6642\u307e\u3067\u3067\u3059\u3002",
+    ], "shift_jis", b""),
+
+    # GBK community bulletin.
+    ("gbk-bulletin", """<html><head><meta charset="gbk"><title>\u516c\u544a</title></head><body>
+<div class="top-menu"><a href="/">\u9996\u9875</a><a href="/news">\u65b0\u95fb</a></div>
+<main>
+<h1>\u793e\u533a\u4f9b\u6c34\u68c0\u4fee\u516c\u544a</h1>
+<p>\u672c\u5468\u56db\u4e0a\u5348\u4e5d\u65f6\u81f3\u4e0b\u5348\u4e09\u65f6\uff0c\u5c0f\u533a\u5c06\u8fdb\u884c\u4f9b\u6c34\u7ba1\u9053\u68c0\u4fee\uff0c\u671f\u95f4\u6682\u505c\u4f9b\u6c34\u3002</p>
+<p>\u8bf7\u5404\u4f4d\u5c45\u6c11\u63d0\u524d\u50a8\u6c34\uff0c\u7ed9\u60a8\u5e26\u6765\u4e0d\u4fbf\uff0c\u656c\u8bf7\u8c05\u89e3\u3002</p>
+</main>
+<div class="footer"><p>\u7269\u4e1a\u670d\u52a1\u4e2d\u5fc3</p></div>
+</body></html>""", [
+        "\u793e\u533a\u4f9b\u6c34\u68c0\u4fee\u516c\u544a",
+        "\u672c\u5468\u56db\u4e0a\u5348\u4e5d\u65f6\u81f3\u4e0b\u5348\u4e09\u65f6\uff0c\u5c0f\u533a\u5c06\u8fdb\u884c\u4f9b\u6c34\u7ba1\u9053\u68c0\u4fee\uff0c\u671f\u95f4\u6682\u505c\u4f9b\u6c34\u3002",
+        "\u8bf7\u5404\u4f4d\u5c45\u6c11\u63d0\u524d\u50a8\u6c34\uff0c\u7ed9\u60a8\u5e26\u6765\u4e0d\u4fbf\uff0c\u656c\u8bf7\u8c05\u89e3\u3002",
+    ], "gbk", b""),
+
+    # KOI8-R reading-room memo.
+    ("koi8-memo", """<html><head><meta charset="koi8-r"><title>\u041f\u0430\u043c\u044f\u0442\u043a\u0430</title></head><body>
+<div class="sidebar"><ul><li><a href="/docs">\u0414\u043e\u043a\u0443\u043c\u0435\u043d\u0442\u044b</a></li></ul></div>
+<article>
+<h1>\u041f\u0430\u043c\u044f\u0442\u043a\u0430 \u0434\u043b\u044f \u0447\u0438\u0442\u0430\u0442\u0435\u043b\u0435\u0439 \u0437\u0430\u043b\u0430</h1>
+<p>\u0427\u0438\u0442\u0430\u043b\u044c\u043d\u044b\u0439 \u0437\u0430\u043b \u043e\u0442\u043a\u0440\u044b\u0442 \u0441 \u0434\u0435\u0432\u044f\u0442\u0438 \u0443\u0442\u0440\u0430 \u0434\u043e \u0448\u0435\u0441\u0442\u0438 \u0432\u0435\u0447\u0435\u0440\u0430 \u043f\u043e \u0431\u0443\u0434\u043d\u044f\u043c.</p>
+<p>\u0420\u0435\u0434\u043a\u0438\u0435 \u0438\u0437\u0434\u0430\u043d\u0438\u044f \u0432\u044b\u0434\u0430\u044e\u0442\u0441\u044f \u0442\u043e\u043b\u044c\u043a\u043e \u043f\u043e \u043f\u0440\u0435\u0434\u0432\u0430\u0440\u0438\u0442\u0435\u043b\u044c\u043d\u043e\u0439 \u0437\u0430\u043f\u0438\u0441\u0438.</p>
+</article>
+</body></html>""", [
+        "\u041f\u0430\u043c\u044f\u0442\u043a\u0430 \u0434\u043b\u044f \u0447\u0438\u0442\u0430\u0442\u0435\u043b\u0435\u0439 \u0437\u0430\u043b\u0430",
+        "\u0427\u0438\u0442\u0430\u043b\u044c\u043d\u044b\u0439 \u0437\u0430\u043b \u043e\u0442\u043a\u0440\u044b\u0442 \u0441 \u0434\u0435\u0432\u044f\u0442\u0438 \u0443\u0442\u0440\u0430 \u0434\u043e \u0448\u0435\u0441\u0442\u0438 \u0432\u0435\u0447\u0435\u0440\u0430 \u043f\u043e \u0431\u0443\u0434\u043d\u044f\u043c.",
+        "\u0420\u0435\u0434\u043a\u0438\u0435 \u0438\u0437\u0434\u0430\u043d\u0438\u044f \u0432\u044b\u0434\u0430\u044e\u0442\u0441\u044f \u0442\u043e\u043b\u044c\u043a\u043e \u043f\u043e \u043f\u0440\u0435\u0434\u0432\u0430\u0440\u0438\u0442\u0435\u043b\u044c\u043d\u043e\u0439 \u0437\u0430\u043f\u0438\u0441\u0438.",
+    ], "koi8-r", b""),
+
+    # UTF-16LE with BOM: the BOM branch wins before any NUL heuristics
+    # (ASCII-heavy UTF-16 is full of NUL bytes).
+    ("utf16-press", """<html><head><title>Press note</title></head><body>
+<div class="nav"><a href="/">Press room</a></div>
+<main>
+<h1>Ferry line adds a winter sailing</h1>
+<p>The operator will add a seven o&rsquo;clock sailing from the first of December \u2014 subject to weather.</p>
+<p>Tickets go on sale next Monday at the harbor office.</p>
+</main>
+</body></html>""", [
+        "Ferry line adds a winter sailing",
+        "The operator will add a seven o\u2019clock sailing from the first of December \u2014 subject to weather.",
+        "Tickets go on sale next Monday at the harbor office.",
+    ], "utf-16-le", b"\xff\xfe"),
+
+    # UTF-8 with BOM: strict UTF-8 decodes, the leading U+FEFF is stripped.
+    ("utf8bom-changelog", """<html><head><title>Changelog</title></head><body>
+<main>
+<h1>Release notes 2.4</h1>
+<ul>
+<li>The importer now skips rows with an empty key instead of stopping.</li>
+<li>Exports include a checksum column.</li>
+</ul>
+<p>Upgrade by replacing the binary and restarting the service.</p>
+</main>
+<div class="footer-links"><a href="/old">Older releases</a></div>
+</body></html>""", [
+        "Release notes 2.4",
+        "The importer now skips rows with an empty key instead of stopping.",
+        "Exports include a checksum column.",
+        "Upgrade by replacing the binary and restarting the service.",
+    ], "utf-8", b"\xef\xbb\xbf"),
+]
+
+# Records that must be DROPPED by decode-or-drop (the reference's
+# detect-failure `return` in warc.py:120-129): raw bytes, no golden.
+DROPPED = [
+    # declares an unsupported charset name and is not valid UTF-8
+    ("bogus-charset-drop",
+     b'<html><head><meta charset="x-unknown-9"></head><body><p>Caf\xe9 legacy page</p></body></html>'),
+    # declares utf-8 but carries a stray latin-1 byte: strict decode fails
+    # and the declared name offers no second chance
+    ("utf8-declared-broken-drop",
+     b'<html><head><meta charset="utf-8"></head><body><p>Caf\xe9 broken page</p></body></html>'),
+    # served as text/html but the body is binary junk: invalid UTF-8, no
+    # meta declaration, NUL bytes veto the single-byte fallback
+    ("binary-nul-drop",
+     b'<html><body>\xff\x00\x00PK fake zip payload\x00\x00</body></html>'),
+]
+
 
 def record(tpe, uri, body, rec_id):
-    b = body.encode("utf-8")
+    b = body.encode("utf-8") if isinstance(body, str) else body
     return (("WARC/1.0\r\nWARC-Type: %s\r\nWARC-Target-URI: %s\r\n"
              "WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:graft:%s>\r\n"
              "Content-Length: %d\r\n\r\n") % (tpe, uri, rec_id, len(b))).encode("utf-8") \
         + b + b"\r\n\r\n"
 
 
+# Independent re-derivation of WarcParser.decodeHtml's DECISION (not its
+# output) so the generator fails loudly if a page lands on the wrong branch.
+def decode_branch(body):
+    if body[:2] == b"\xff\xfe":
+        return "bom-utf16le"
+    if body[:2] == b"\xfe\xff":
+        return "bom-utf16be"
+    try:
+        body.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    import re
+    head = body[:1024].decode("iso-8859-1")
+    m = re.search(r"(?i)charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", head)
+    if m:
+        cs = m.group(1)
+        if cs.lower() == "utf-8":
+            return "drop"
+        try:
+            import codecs
+            codecs.lookup(cs)
+            return "meta:" + cs.lower()
+        except LookupError:
+            return "drop"
+    return "drop" if b"\x00" in body else "cp1252-fallback"
+
+
 def main():
     out = record("warcinfo", "meta", "software: graft-wild-warc-transcriber", "info")
     gold_tsv = []
     oracle_rows = []
-    for i, (name, html, gold) in enumerate(PAGES):
-        url = "https://wild.example.org/%s" % name
-        http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
-                + html)
-        out += record("response", url, http, "wild%d" % i)
+
+    def emit(url, body_bytes, header_charset, rec_id):
+        charset_part = "; charset=%s" % header_charset if header_charset else ""
+        http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html%s\r\n\r\n"
+                % charset_part).encode("ascii") + body_bytes
+        return record("response", url, http, rec_id)
+
+    def golden(url, gold):
         text = "\n".join(gold)
         for ch in text:
             assert ord(ch) < 0x10000, "astral char would break n_chars parity"
@@ -648,12 +818,45 @@ def main():
         n_lines = 0 if text == "" else len(gold)
         oracle_rows.append("  ('%s', %d, %d, '%s')" % (url, n_lines, len(text), md5))
 
+    for i, (name, html, gold) in enumerate(PAGES):
+        url = "https://wild.example.org/%s" % name
+        out += emit(url, html.encode("utf-8"), "utf-8", "wild%d" % i)
+        golden(url, gold)
+
+    for i, (name, html, gold, enc, bom) in enumerate(PAGES_ENC):
+        url = "https://wild.example.org/%s" % name
+        body = bom + html.encode(enc)
+        branch = decode_branch(body)
+        if enc == "utf-8":
+            assert branch == "utf-8", (name, branch)
+        elif bom:
+            assert branch.startswith("bom-"), (name, branch)
+        elif enc == "windows-1252":
+            assert branch == "cp1252-fallback", (name, branch)
+            assert b"charset" not in body and b"\x00" not in body, name
+        else:
+            assert branch == "meta:" + enc.replace("_", "").replace("-", "") \
+                or branch.startswith("meta:"), (name, branch)
+        # the declared decode must roundtrip the authored unicode exactly
+        decode_as = {"bom-utf16le": "utf-16-le", "cp1252-fallback": "windows-1252",
+                     "utf-8": "utf-8"}.get(branch, branch.split(":", 1)[-1])
+        stripped = body[len(bom):] if bom else body
+        assert stripped.decode(decode_as) == html, name
+        out += emit(url, body, None if enc == "windows-1252" else enc, "wildenc%d" % i)
+        golden(url, gold)
+
+    for i, (name, body) in enumerate(DROPPED):
+        url = "https://wild.example.org/%s" % name
+        assert decode_branch(body) == "drop", name
+        out += emit(url, body, None, "wilddrop%d" % i)
+
     with open(WARC_OUT, "wb") as f:
         f.write(out)
     with open(GOLD_OUT, "w", encoding="utf-8") as f:
         f.write("\n".join(gold_tsv) + "\n")
-    print("wrote %s (%d bytes, %d pages) + %s" %
-          (WARC_OUT, len(out), len(PAGES), GOLD_OUT))
+    n_pages = len(PAGES) + len(PAGES_ENC) + len(DROPPED)
+    print("wrote %s (%d bytes, %d pages: %d goldens + %d planted drops) + %s" %
+          (WARC_OUT, len(out), n_pages, len(gold_tsv), len(DROPPED), GOLD_OUT))
     print("-- oracle VALUES rows --")
     print(",\n".join(oracle_rows))
 
