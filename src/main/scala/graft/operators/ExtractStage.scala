@@ -59,30 +59,38 @@ object ExtractStage {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       rows.map { row =>
-        val html = row.get(htmlIdx) match {
-          case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        // binary html goes through the reference's decode-or-drop
+        // (warc.py:117-129 ≙ WarcParser.decodeHtml: BOM / strict UTF-8 /
+        // meta charset sniff / cp1252 fallback); undecodable bytes mean
+        // the doc is skipped (extract_ok=false), never mojibake'd through
+        // a lossy replacement decode
+        val html: String = row.get(htmlIdx) match {
+          case b: Array[Byte] => graft.sources.WarcParser.decodeHtml(b).orNull
           case s: String => s
           case null => ""
         }
-        val task = pool.submit(new Callable[String] {
-          def call(): String = extractor(html)
-        })
         val (text, ok) =
-          try (task.get(timeoutMs, TimeUnit.MILLISECONDS), true)
-          catch {
-            case _: TimeoutException =>
-              // cancel(true) interrupts the worker; HtmlExtractor checks
-              // Thread.interrupted() in its scan loop, so the built-in
-              // extractor stops promptly. A third-party extractor plugged
-              // into this seam may ignore interrupts — replace the executor
-              // so the NEXT doc gets a fresh worker either way (the old
-              // thread, if truly stuck, is abandoned: a documented JVM
-              // limitation vs the reference's killable child process)
-              task.cancel(true)
-              pool.shutdownNow()
-              pool = newPool()
-              ("", false)
-            case _: Exception => ("", false)
+          if (html == null) ("", false)
+          else {
+            val task = pool.submit(new Callable[String] {
+              def call(): String = extractor(html)
+            })
+            try (task.get(timeoutMs, TimeUnit.MILLISECONDS), true)
+            catch {
+              case _: TimeoutException =>
+                // cancel(true) interrupts the worker; HtmlExtractor checks
+                // Thread.interrupted() in its scan loop, so the built-in
+                // extractor stops promptly. A third-party extractor plugged
+                // into this seam may ignore interrupts — replace the executor
+                // so the NEXT doc gets a fresh worker either way (the old
+                // thread, if truly stuck, is abandoned: a documented JVM
+                // limitation vs the reference's killable child process)
+                task.cancel(true)
+                pool.shutdownNow()
+                pool = newPool()
+                ("", false)
+              case _: Exception => ("", false)
+            }
           }
         org.apache.spark.sql.Row.fromSeq(keepIdx.map(row.get).toSeq :+ text :+ ok)
       }

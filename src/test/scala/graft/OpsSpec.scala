@@ -138,6 +138,19 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == (("Second doc fine.", true)))
   }
 
+  test("ExtractStage: binary html goes through decode-or-drop, not lossy UTF-8") {
+    val cp1252 = "<html><body><article><p>Caf\u00e9 menu l\u2019addition.</p></article></body></html>"
+      .getBytes("windows-1252") // 0xE9/0x92 bytes: invalid as UTF-8, no meta, no NULs
+    val junk = Array[Byte]('<', 'p', '>', 0xFF.toByte, 0, 0, 'x', 0) // binary: invalid UTF-8 + NULs
+    val df = Seq((1L, cp1252), (2L, junk)).toDF("id", "html")
+    val out = ExtractStage(df, "html", "text", timeoutMs = 2000).collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[String]("text"), r.getAs[Boolean]("extract_ok")))).toMap
+    // the cp1252 fallback decodes the accented bytes correctly...
+    assert(out(1L) == (("Caf\u00e9 menu l\u2019addition.", true)))
+    // ...and undecodable bytes skip the doc (reference warc.py detect-failure)
+    assert(out(2L) == (("", false)))
+  }
+
   test("ExtractStage: the general TrafilaturaExtractor plugs into the sandbox seam") {
     val adversarial = "<div data-id=\"comment-1\"><p>Kept by the general extractor.</p></div>" +
       "<nav><a href='/'>Home</a></nav><script>var x='<p>decoy</p>';</script>"
