@@ -435,7 +435,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 41 HAND-TRANSCRIBED realistic
+      // the general extraction path over 46 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
       // layout, paywall/popup chrome, details/summary, inline entities,
@@ -2267,6 +2267,11 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/glossary', 7, 238, '673b7a8a9645fb03b4cb94649aa131eb'),
   ('https://wild.example.org/archive-letter', 5, 327, '483d973f4dc400a1ac67518670da9500'),
   ('https://wild.example.org/guide-chrome', 3, 214, '72230e87cc2fc9f87a752e5add7a51b8'),
+  ('https://wild.example.org/xhtml-strict', 4, 214, '1a276c361d1982c07f616c469585c7f2'),
+  ('https://wild.example.org/conditional-comments', 3, 113, '113db4552a968c0314bedadf540a5bcf'),
+  ('https://wild.example.org/amp-custom-tags', 4, 214, '0895993afcdd3316d14d2d1274ddcf2b'),
+  ('https://wild.example.org/noscript-pixel', 3, 126, 'c7e464aec8676f8285cbc6a2bfbae6fe'),
+  ('https://wild.example.org/svg-figure', 3, 125, '339c5e47f52c320f847ddefce82a6fdc'),
   ('https://wild.example.org/cp1252-bistro', 4, 260, '88551db87e60f0469db7140d03e9cdc0'),
   ('https://wild.example.org/latin2-notice', 5, 216, '237d8d0ba70b20b739cba1dbbcc0ff9d'),
   ('https://wild.example.org/shiftjis-guide', 3, 50, 'b1ab239a42f6fa2bf4594091bff053d8'),

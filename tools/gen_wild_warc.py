@@ -619,6 +619,93 @@ if budget &lt; 1: give_up()</code></pre>
         "Approach slowly against the stronger element, wind or tide, and rig the midship spring first.",
         "With the spring made fast, engine ahead at idle holds the boat alongside while crew steps ashore.",
     ]),
+
+    # ---- round-6 fourth batch: markup classes the wild set lacked ----
+
+    # XHTML 1.0 Strict with XML prolog, PUBLIC doctype, xmlns, and
+    # XHTML-style self-closed void tags (<br />)
+    ("xhtml-strict", """<?xml version="1.0" encoding="UTF-8"?>
+<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">
+<html xmlns="http://www.w3.org/1999/xhtml">
+<head><title>Tide tables</title><meta http-equiv="Content-Type" content="text/html; charset=utf-8" /></head>
+<body>
+<div id="page">
+<h1>Tide tables for the outer harbor</h1>
+<p>High water arrives forty minutes later at the outer harbor than at the city quay.</p>
+<p>Spring tides add roughly half a metre to the predicted heights.<br />Neap tides subtract about the same.</p>
+</div>
+</body>
+</html>""", [
+        "Tide tables for the outer harbor",
+        "High water arrives forty minutes later at the outer harbor than at the city quay.",
+        "Spring tides add roughly half a metre to the predicted heights.",
+        "Neap tides subtract about the same.",
+    ]),
+
+    # IE conditional comments: the hidden form (<!--[if ...]> ... <![endif]-->)
+    # is one ordinary comment and vanishes whole; the downlevel-revealed form
+    # (<![if !IE]> ... <![endif]>) is two bogus comments whose enclosed
+    # content stays parsed — exactly what browsers render
+    ("conditional-comments", """<html><head><title>Branch opening hours</title></head><body>
+<!--[if lt IE 9]><p>Please upgrade your browser to view this page.</p><![endif]-->
+<main>
+<h1>Branch opening hours</h1>
+<![if !IE]><p>The branch opens at half past eight on weekdays.</p><![endif]>
+<p>Saturday service runs from nine until noon.</p>
+</main>
+<!-- analytics snippet removed -->
+</body></html>""", [
+        "Branch opening hours",
+        "The branch opens at half past eight on weekdays.",
+        "Saturday service runs from nine until noon.",
+    ]),
+
+    # AMP-style unknown custom elements: parsed as ordinary inline elements,
+    # their text flows; empty media custom tags contribute nothing
+    ("amp-custom-tags", """<html><body>
+<header><a href="/">Reader</a></header>
+<article>
+<h1>Night bus routes extended</h1>
+<amp-img src="bus.jpg" width="600" height="400"></amp-img>
+<p>Two night bus routes will run every twenty minutes until two in the morning.</p>
+<my-pullquote>The extension follows a year of rising late ridership.</my-pullquote>
+<p>The change takes effect from the first weekend of March.</p>
+</article>
+</body></html>""", [
+        "Night bus routes extended",
+        "Two night bus routes will run every twenty minutes until two in the morning.",
+        "The extension follows a year of rising late ridership.",
+        "The change takes effect from the first weekend of March.",
+    ]),
+
+    # <noscript> fallback junk (tracking pixel + prompt) drops whole
+    ("noscript-pixel", """<html><body>
+<main>
+<h1>Library card renewal</h1>
+<p>Cards renew automatically unless a fine is outstanding.</p>
+<noscript><img src="pixel.gif"><p>Enable scripts to renew online.</p></noscript>
+<p>Visit any branch desk to settle a fine in person.</p>
+</main>
+</body></html>""", [
+        "Library card renewal",
+        "Cards renew automatically unless a fine is outstanding.",
+        "Visit any branch desk to settle a fine in person.",
+    ]),
+
+    # inline SVG chart: the svg subtree (including its <text> labels) is
+    # non-content and drops whole
+    ("svg-figure", """<html><body>
+<main>
+<h1>Rainfall by month</h1>
+<p>October remains the wettest month in the forty-year series.</p>
+<svg viewBox="0 0 100 40"><rect x="1" y="2" width="5" height="30"></rect><text x="3" y="38">Oct</text></svg>
+<p>The driest stretch runs from February to April.</p>
+</main>
+</body></html>""", [
+        "Rainfall by month",
+        "October remains the wettest month in the forty-year series.",
+        "The driest stretch runs from February to April.",
+    ]),
 ]
 
 # ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
