@@ -875,13 +875,22 @@ def decode_branch(body):
         cs = m.group(1)
         if cs.lower() == "utf-8":
             return "drop"
-        try:
-            import codecs
-            codecs.lookup(cs)
+        # the ENGINE's supported() check is java.nio.charset; Python's codec
+        # registry is a superset (hz, euc_jisx0213, ...), so gate on an
+        # explicit allowlist of names verified supported by BOTH runtimes —
+        # a future page declaring a Python-only charset must fail HERE, not
+        # at Scala test time
+        if cs.lower() in JVM_AND_PY_CHARSETS:
             return "meta:" + cs.lower()
-        except LookupError:
-            return "drop"
+        return "drop"
     return "drop" if b"\x00" in body else "cp1252-fallback"
+
+
+# meta-declarable charsets used by PAGES_ENC, each verified supported by
+# BOTH java.nio.charset.Charset.isSupported and Python codecs.lookup
+JVM_AND_PY_CHARSETS = {"iso-8859-2", "shift_jis", "gbk", "koi8-r",
+                       "windows-1252", "iso-8859-1", "big5", "euc-kr",
+                       "euc-jp", "iso-8859-5", "iso-8859-7", "windows-1251"}
 
 
 def main():
@@ -922,8 +931,10 @@ def main():
             assert branch == "cp1252-fallback", (name, branch)
             assert b"charset" not in body and b"\x00" not in body, name
         else:
-            assert branch == "meta:" + enc.replace("_", "").replace("-", "") \
-                or branch.startswith("meta:"), (name, branch)
+            # the sniffed name must be exactly the encoding this page was
+            # authored in — a stray earlier "charset=" mention in the first
+            # 1024 bytes would sniff onto the wrong charset and fail here
+            assert branch == "meta:" + enc, (name, branch)
         # the declared decode must roundtrip the authored unicode exactly
         decode_as = {"bom-utf16le": "utf-16-le", "cp1252-fallback": "windows-1252",
                      "utf-8": "utf-8"}.get(branch, branch.split(":", 1)[-1])
