@@ -14,6 +14,10 @@ object Profile {
     }
     // warmup
     texts.take(500).foreach { t => lf.check(t); GopherRepetitionFilter.check(t); GopherQualityFilter.check(t); FineWebQualityFilter.check(t); C4QualityFilter.check(t); graft.text.Tokenizer.wordCount(t); graft.text.Tokenizer.words(t) }
+    // force the segmenter's lazy dict load OUTSIDE the timed loop — at 4000
+    // iterations the one-time 44k-entry parse would otherwise dominate the
+    // per-cut number
+    graft.text.ZhSegmenter.cut("我们今天去北京大学学习计算机")
     time("language_filter")(lf.check)
     time("gopher_repetition")(t => GopherRepetitionFilter.check(t))
     time("gopher_quality")(t => GopherQualityFilter.check(t))
