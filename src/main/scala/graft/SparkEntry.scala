@@ -435,7 +435,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 46 HAND-TRANSCRIBED realistic
+      // the general extraction path over 49 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
       // layout, paywall/popup chrome, details/summary, inline entities,
@@ -2272,6 +2272,9 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/amp-custom-tags', 4, 214, '0895993afcdd3316d14d2d1274ddcf2b'),
   ('https://wild.example.org/noscript-pixel', 3, 126, 'c7e464aec8676f8285cbc6a2bfbae6fe'),
   ('https://wild.example.org/svg-figure', 3, 125, '339c5e47f52c320f847ddefce82a6fdc'),
+  ('https://wild.example.org/frameset-legacy', 1, 56, 'f2cd8efa8de6fabeaebe101a6917fea0'),
+  ('https://wild.example.org/legacy-font-center', 5, 201, 'b6b0b6a9587c8de549861094d24a8347'),
+  ('https://wild.example.org/mailing-list-pre', 3, 232, 'ef1ed9dbfcf6c59501c5d37fcb4e2322'),
   ('https://wild.example.org/cp1252-bistro', 4, 260, '88551db87e60f0469db7140d03e9cdc0'),
   ('https://wild.example.org/latin2-notice', 5, 216, '237d8d0ba70b20b739cba1dbbcc0ff9d'),
   ('https://wild.example.org/shiftjis-guide', 3, 50, 'b1ab239a42f6fa2bf4594091bff053d8'),

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TrafilaturaExtractor
 
 /** Byte-equality replay of the HAND-TRANSCRIBED realistic page corpus
-  * (VERDICT r5 "Next round" #5): 46 page skeletons written by hand in
+  * (VERDICT r5 "Next round" #5): 49 page skeletons written by hand in
   * tools/gen_wild_warc.py — news+sidebar+comments, docs+TOC, forum thread,
   * table-heavy, RTL Arabic, wiki reference lists, legacy table layout,
   * paywall/popup/cookie chrome, details/summary FAQ, inline entities —
@@ -51,9 +51,9 @@ class WildWarcSpec extends AnyFunSuite {
         .map(h => d.url -> TrafilaturaExtractor.extract(h))
     }.toMap
 
-  test("corpus shape: 46 hand-transcribed pages decode, all with goldens") {
-    assert(extracted.size == 46)
-    assert(goldens.size == 46)
+  test("corpus shape: 49 hand-transcribed pages decode, all with goldens") {
+    assert(extracted.size == 49)
+    assert(goldens.size == 49)
     assert(extracted.keySet == goldens.keySet)
   }
 

@@ -706,6 +706,61 @@ if budget &lt; 1: give_up()</code></pre>
         "October remains the wettest month in the forty-year series.",
         "The driest stretch runs from February to April.",
     ]),
+
+    # legacy <frameset> page: frameset/frame are unknown (inline, no text);
+    # the <noframes> fallback body is the only real content, and its
+    # all-anchor link list dies by list link density
+    ("frameset-legacy", """<html><head><title>Ferry schedules</title></head>
+<frameset cols="20%,80%">
+<frame src="menu.html" name="menu">
+<frame src="main.html" name="main">
+<noframes><body>
+<p>This site uses frames. Open the schedule pages directly:</p>
+<ul><li><a href="menu.html">Route menu</a></li><li><a href="main.html">Current schedule</a></li></ul>
+</body></noframes>
+</frameset>
+</html>""", [
+        "This site uses frames. Open the schedule pages directly:",
+    ]),
+
+    # legacy presentational markup: center/font/big/u/marquee are inline,
+    # their text flows and flushes at the surrounding block boundaries
+    ("legacy-font-center", """<html><body bgcolor="#ffffff">
+<center><h1><font face="Arial" color="#000080">Village fete this Saturday</font></h1></center>
+<center><font size="2">Gates open at ten; the parade starts at noon sharp.</font></center>
+<p><big>Entry is free</big> and <u>parking</u> is signposted from the green.</p>
+<marquee>Raffle tickets on sale at the gate.</marquee>
+<p>The brass band plays at three.</p>
+</body></html>""", [
+        "Village fete this Saturday",
+        "Gates open at ten; the parade starts at noon sharp.",
+        "Entry is free and parking is signposted from the green.",
+        "Raffle tickets on sale at the gate.",
+        "The brass band plays at three.",
+    ]),
+
+    # mailing-list archive: the From/date chrome carries a meta- class
+    # (discard keyword); the <pre> body is one whitespace-collapsed block
+    # line (disclosed divergence from real trafilatura)
+    ("mailing-list-pre", """<html><body>
+<div class="masthead"><a href="/">List archive</a></div>
+<main>
+<h1>[harbor-users] Dredging schedule</h1>
+<div class="meta-line">From: a.sailor — Tue, 12 Mar</div>
+<pre>
+The dredger arrives on the 18th and works the outer
+channel first.  Expect single-lane traffic at the
+narrows for two days.
+
+Moorings on the east wall stay open throughout.
+</pre>
+<p>Replies to the list, please.</p>
+</main>
+</body></html>""", [
+        "[harbor-users] Dredging schedule",
+        "The dredger arrives on the 18th and works the outer channel first. Expect single-lane traffic at the narrows for two days. Moorings on the east wall stay open throughout.",
+        "Replies to the list, please.",
+    ]),
 ]
 
 # ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
