@@ -212,11 +212,24 @@ object ExactSubstrDedup {
         .agg(sort_array(collect_list(struct(col("__pos"), lit(sw).as("__len"))))
           .as("__dupPos"))
     } else {
+      // Multi-length rows fold the span LENGTH into the 128-bit key (two
+      // independent odd-constant linear folds — cross-length collisions
+      // need both 64-bit sums to agree, the same ≪1-at-10^12-docs argument
+      // as the (h1,h2) pair itself) and pack (len, pos) into ONE int
+      // (len<<24|pos; len ≤ 255, pos < 2^24 — ~16M words/doc, require()d).
+      // This drops the separate __len column from the hot explode: 5
+      // aligned UnsafeRow fields → 4 (48 → 40 bytes/row, −17% exchange)
+      // and the window key shrinks to (__h1, __h2). Within a fixed key the
+      // length is constant, so min(struct(doc, lenpos)) is exactly
+      // min(struct(doc, pos)).
       val lens = lengths
+      require(lens.max <= 255, s"span lengths must fit the packed byte: $lens")
       val spanUdf = udf { text: String =>
-        if (text == null) Seq.empty[(Int, Int, Long, Long)]
+        if (text == null) Seq.empty[(Int, Long, Long)]
         else {
           val h = Tokenizer.words(text).map(graft.functions.Hashes.xxhash64)
+          require(h.length < (1 << 24),
+            s"doc too long for packed span rows: ${h.length} words")
           val a = anchorW.map(anchorPositions(h, _))
           lens.flatMap { l =>
             val spans = spanHashesFromWordHashes(h, l)
@@ -224,28 +237,32 @@ object ExactSubstrDedup {
               case Some(anch) => spans.filter(t => anch(t._1))
               case None => spans
             }
-            kept.map(t => (t._1, l, t._2, t._3))
+            kept.map(t => ((l << 24) | t._1,
+              t._2 + l * 0x9E3779B97F4A7C15L,
+              t._3 + l * 0xC2B2AE3D27D4EB4FL))
           }
         }
       }
       val spans = df
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
-        .select(col("__doc"), col("s._1").as("__pos"), col("s._2").as("__len"),
-          col("s._3").as("__h1"), col("s._4").as("__h2"))
+        .select(col("__doc"), col("s._1").as("__lp"),
+          col("s._2").as("__h1"), col("s._3").as("__h2"))
       val laterCopies =
         if (cfg.hotKeyGroupByMin) {
-          val firsts = spans.groupBy("__len", "__h1", "__h2")
-            .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
-          spans.join(firsts, Seq("__len", "__h1", "__h2"))
+          val firsts = spans.groupBy("__h1", "__h2")
+            .agg(min(struct(col("__doc"), col("__lp"))).as("__first"))
+          spans.join(firsts, Seq("__h1", "__h2"))
         } else {
-          val w = Window.partitionBy("__len", "__h1", "__h2")
+          val w = Window.partitionBy("__h1", "__h2")
           spans.withColumn("__first",
-            min(struct(col("__doc"), col("__pos"))).over(w))
+            min(struct(col("__doc"), col("__lp"))).over(w))
         }
       laterCopies
-        .where(struct(col("__doc"), col("__pos")) =!= col("__first"))
+        .where(struct(col("__doc"), col("__lp")) =!= col("__first"))
         .groupBy("__doc")
-        .agg(sort_array(collect_list(struct(col("__pos"), col("__len"))))
+        .agg(sort_array(collect_list(struct(
+          col("__lp").bitwiseAND(lit((1 << 24) - 1)).as("__pos"),
+          shiftright(col("__lp"), 24).as("__len"))))
           .as("__dupPos"))
     }
 
