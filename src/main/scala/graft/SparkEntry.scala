@@ -435,12 +435,15 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 49 HAND-TRANSCRIBED realistic
+      // the general extraction path over 56 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
       // layout, paywall/popup chrome, details/summary, inline entities,
       // plus a non-UTF-8 batch: cp1252 fallback, meta-sniffed
-      // iso-8859-2/shift_jis/gbk/koi8-r, UTF-16LE+BOM, UTF-8+BOM; no
+      // iso-8859-2/shift_jis/gbk/koi8-r, UTF-16LE+BOM, UTF-8+BOM, and a
+      // non-Latin-LAYOUT batch: Hebrew bdo/bidi-entity, ja ruby furigana,
+      // zh all-anchor channel nav, unspaced Thai+wbr, Eastern-Arabic
+      // numeral table, ko mixed scripts, Persian &zwnj; over LTR pre; no
       // generator grammar involved). Bytes go through the reference's
       // decode-or-drop (warc.py:117-129 ≙ WarcParser.decodeHtml): the
       // corpus plants 3 undecodable records that must NOT appear here.
@@ -2275,6 +2278,13 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/frameset-legacy', 1, 56, 'f2cd8efa8de6fabeaebe101a6917fea0'),
   ('https://wild.example.org/legacy-font-center', 5, 201, 'b6b0b6a9587c8de549861094d24a8347'),
   ('https://wild.example.org/mailing-list-pre', 3, 232, 'ef1ed9dbfcf6c59501c5d37fcb4e2322'),
+  ('https://wild.example.org/hebrew-rtl-bidi', 4, 205, 'a992b10b006d1bf7b801670e9c480350'),
+  ('https://wild.example.org/ruby-furigana', 4, 105, '55c1022123486c502fb88f1247f289be'),
+  ('https://wild.example.org/zh-portal', 3, 98, 'db08531a419fe11134dd60357094caa9'),
+  ('https://wild.example.org/thai-unspaced', 3, 169, '00c0a38a37fa8f92224cefdaf1ecbe5a'),
+  ('https://wild.example.org/arabic-numerals-table', 7, 197, '2ffb27de0d53e9345a4cd34e23182c97'),
+  ('https://wild.example.org/ko-mixed-scripts', 4, 123, 'd52b938c53d878c2a99ab0b99095aac8'),
+  ('https://wild.example.org/persian-zwnj-pre', 4, 191, 'ef270bd425cd5961dadfe35305998a8b'),
   ('https://wild.example.org/cp1252-bistro', 4, 260, '88551db87e60f0469db7140d03e9cdc0'),
   ('https://wild.example.org/latin2-notice', 5, 216, '237d8d0ba70b20b739cba1dbbcc0ff9d'),
   ('https://wild.example.org/shiftjis-guide', 3, 50, 'b1ab239a42f6fa2bf4594091bff053d8'),

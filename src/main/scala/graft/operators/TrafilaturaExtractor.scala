@@ -130,7 +130,11 @@ object TrafilaturaExtractor {
     "pound" -> "\u00a3", "cent" -> "\u00a2", "yen" -> "\u00a5",
     "sect" -> "\u00a7", "para" -> "\u00b6", "dagger" -> "\u2020",
     "prime" -> "\u2032", "Prime" -> "\u2033", "minus" -> "\u2212",
-    "shy" -> "")
+    "shy" -> "",
+    // bidi / joiner controls \u2014 ubiquitous in RTL (Arabic, Hebrew, Persian)
+    // markup; all four are standard HTML5 named references
+    "zwnj" -> "\u200c", "zwj" -> "\u200d",
+    "lrm" -> "\u200e", "rlm" -> "\u200f")
 
   /** Decode numeric (dec/hex) and the common named entities; unknown
     * entities pass through verbatim (browsers render them literally). */

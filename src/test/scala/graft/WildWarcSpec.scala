@@ -4,11 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TrafilaturaExtractor
 
 /** Byte-equality replay of the HAND-TRANSCRIBED realistic page corpus
-  * (VERDICT r5 "Next round" #5): 49 page skeletons written by hand in
+  * (VERDICT r5 "Next round" #5): 56 page skeletons written by hand in
   * tools/gen_wild_warc.py — news+sidebar+comments, docs+TOC, forum thread,
   * table-heavy, RTL Arabic, wiki reference lists, legacy table layout,
-  * paywall/popup/cookie chrome, details/summary FAQ, inline entities —
-  * none authored by any generator grammar in this repo. Goldens were
+  * paywall/popup/cookie chrome, details/summary FAQ, inline entities, a
+  * non-UTF-8 charset batch, and a non-Latin-LAYOUT batch (Hebrew bdo/bidi
+  * entities, ja ruby furigana, zh channel-nav density, unspaced Thai,
+  * Eastern-Arabic numeral table, ko mixed scripts, Persian zwnj + LTR pre)
+  * — none authored by any generator grammar in this repo. Goldens were
   * hand-derived from the documented extraction semantics, not produced by
   * running the extractor. The driver-facing twin is `warc_extract_wild`. */
 class WildWarcSpec extends AnyFunSuite {
@@ -51,9 +54,9 @@ class WildWarcSpec extends AnyFunSuite {
         .map(h => d.url -> TrafilaturaExtractor.extract(h))
     }.toMap
 
-  test("corpus shape: 49 hand-transcribed pages decode, all with goldens") {
-    assert(extracted.size == 49)
-    assert(goldens.size == 49)
+  test("corpus shape: 56 hand-transcribed pages decode, all with goldens") {
+    assert(extracted.size == 56)
+    assert(goldens.size == 56)
     assert(extracted.keySet == goldens.keySet)
   }
 

@@ -761,6 +761,130 @@ Moorings on the east wall stay open throughout.
         "The dredger arrives on the 18th and works the outer channel first. Expect single-lane traffic at the narrows for two days. Moorings on the east wall stay open throughout.",
         "Replies to the list, please.",
     ]),
+
+    # ---- round-6 sixth batch: non-Latin LAYOUTS, not just non-Latin bytes —
+    # RTL pages with bidi controls (bdo, numeric+named bidi entities), ruby
+    # furigana annotations, unspaced Thai with <wbr>, Eastern-Arabic-numeral
+    # tables, mixed-script Korean, Persian ZWNJ-joined words over an LTR
+    # <pre>. Same discipline: structures transcribed from common real-world
+    # page classes, goldens hand-derived from the documented semantics.
+
+    # Hebrew news page: dir=rtl, an LTR <bdo> product code inline, a numeric
+    # bidi entity (&#x200F; = RLM) that must decode and SURVIVE whitespace
+    # collapse (Java \s is ASCII-only; RLM > U+0020 survives trim)
+    ("hebrew-rtl-bidi", """<html dir="rtl" lang="he"><head><title>\u05d7\u05d3\u05e9\u05d5\u05ea</title></head><body>
+<div class="masthead"><a href="/">\u05e8\u05d0\u05e9\u05d9</a> | <a href="/news">\u05d7\u05d3\u05e9\u05d5\u05ea</a></div>
+<main>
+<h1>\u05e9\u05d3\u05d4 \u05d4\u05ea\u05e2\u05d5\u05e4\u05d4 \u05d7\u05d5\u05d6\u05e8 \u05dc\u05e4\u05e2\u05d9\u05dc\u05d5\u05ea \u05de\u05dc\u05d0\u05d4</h1>
+<p>\u05e9\u05d3\u05d4 \u05d4\u05ea\u05e2\u05d5\u05e4\u05d4 \u05d7\u05d6\u05e8 \u05d4\u05d1\u05d5\u05e7\u05e8 \u05dc\u05e4\u05e2\u05d9\u05dc\u05d5\u05ea \u05de\u05dc\u05d0\u05d4 \u05dc\u05d0\u05d7\u05e8 \u05e9\u05dc\u05d5\u05e9\u05d4 \u05d9\u05de\u05d9\u05dd \u05e9\u05dc \u05d4\u05e4\u05e8\u05e2\u05d5\u05ea \u05d1\u05d2\u05dc\u05dc \u05d4\u05e9\u05dc\u05d2 \u05d4\u05db\u05d1\u05d3.</p>
+<p>\u05d4\u05d3\u05d2\u05dd \u05d4\u05d7\u05d3\u05e9 <bdo dir="ltr">XR-7</bdo> \u05e9\u05dc \u05de\u05e2\u05e8\u05db\u05ea \u05d4\u05d4\u05db\u05d5\u05d5\u05e0\u05d4 \u05d4\u05d5\u05e4\u05e2\u05dc \u05dc\u05e8\u05d0\u05e9\u05d5\u05e0\u05d4 \u05d1\u05de\u05e1\u05dc\u05d5\u05dc \u05d4\u05d3\u05e8\u05d5\u05de\u05d9.</p>
+<p>&#x200F;\u05d4\u05de\u05e0\u05d4\u05dc \u05d0\u05de\u05e8: &quot;\u05db\u05dc \u05d4\u05d8\u05d9\u05e1\u05d5\u05ea \u05d9\u05d7\u05d5\u05d3\u05e9\u05d5 \u05e2\u05d3 \u05d4\u05e2\u05e8\u05d1&quot;.</p>
+</main>
+<footer><p>\u05db\u05dc \u05d4\u05d6\u05db\u05d5\u05d9\u05d5\u05ea \u05e9\u05de\u05d5\u05e8\u05d5\u05ea</p></footer>
+</body></html>""", [
+        "\u05e9\u05d3\u05d4 \u05d4\u05ea\u05e2\u05d5\u05e4\u05d4 \u05d7\u05d5\u05d6\u05e8 \u05dc\u05e4\u05e2\u05d9\u05dc\u05d5\u05ea \u05de\u05dc\u05d0\u05d4",
+        "\u05e9\u05d3\u05d4 \u05d4\u05ea\u05e2\u05d5\u05e4\u05d4 \u05d7\u05d6\u05e8 \u05d4\u05d1\u05d5\u05e7\u05e8 \u05dc\u05e4\u05e2\u05d9\u05dc\u05d5\u05ea \u05de\u05dc\u05d0\u05d4 \u05dc\u05d0\u05d7\u05e8 \u05e9\u05dc\u05d5\u05e9\u05d4 \u05d9\u05de\u05d9\u05dd \u05e9\u05dc \u05d4\u05e4\u05e8\u05e2\u05d5\u05ea \u05d1\u05d2\u05dc\u05dc \u05d4\u05e9\u05dc\u05d2 \u05d4\u05db\u05d1\u05d3.",
+        "\u05d4\u05d3\u05d2\u05dd \u05d4\u05d7\u05d3\u05e9 XR-7 \u05e9\u05dc \u05de\u05e2\u05e8\u05db\u05ea \u05d4\u05d4\u05db\u05d5\u05d5\u05e0\u05d4 \u05d4\u05d5\u05e4\u05e2\u05dc \u05dc\u05e8\u05d0\u05e9\u05d5\u05e0\u05d4 \u05d1\u05de\u05e1\u05dc\u05d5\u05dc \u05d4\u05d3\u05e8\u05d5\u05de\u05d9.",
+        "\u200f\u05d4\u05de\u05e0\u05d4\u05dc \u05d0\u05de\u05e8: \"\u05db\u05dc \u05d4\u05d8\u05d9\u05e1\u05d5\u05ea \u05d9\u05d7\u05d5\u05d3\u05e9\u05d5 \u05e2\u05d3 \u05d4\u05e2\u05e8\u05d1\".",
+    ]),
+    # ja ruby/rt/rp annotations flow INLINE (same as lxml text content): reading in rp-parens follows the base text
+    ("ruby-furigana", """<html lang="ja"><body>
+<article>
+<h1>\u6e2f\u306e\u796d\u308a\u304c\u4e09\u5e74\u3076\u308a\u306b\u958b\u50ac</h1>
+<p><ruby>\u6f01\u6e2f<rp>\uff08</rp><rt>\u304e\u3087\u3053\u3046</rt><rp>\uff09</rp></ruby>\u306e\u6625\u796d\u308a\u304c\u4e09\u5e74\u3076\u308a\u306b\u958b\u304b\u308c\u3001\u521d\u65e5\u306f\u6674\u5929\u306b\u6075\u307e\u308c\u305f\u3002</p>
+<p>\u4e3b\u50ac\u8005\u306b\u3088\u308b\u3068\u3001\u5c4b\u53f0\u306f\u5168\u90e8\u3067\u56db\u5341\u8ed2\u304c\u4e26\u3073\u3001<ruby>\u795e\u8f3f<rt>\u307f\u3053\u3057</rt></ruby>\u306e\u5de1\u884c\u306f\u6b63\u5348\u306b\u59cb\u307e\u308b\u3002</p>
+<p>\u4f1a\u5834\u3078\u306f\u81e8\u6642\u30d0\u30b9\u306e\u5229\u7528\u304c\u63a8\u5968\u3055\u308c\u3066\u3044\u308b\u3002</p>
+</article>
+<div class="share-tools"><a href="#">\u5171\u6709</a> <a href="#">\u4fdd\u5b58</a></div>
+</body></html>""", [
+        "\u6e2f\u306e\u796d\u308a\u304c\u4e09\u5e74\u3076\u308a\u306b\u958b\u50ac",
+        "\u6f01\u6e2f\uff08\u304e\u3087\u3053\u3046\uff09\u306e\u6625\u796d\u308a\u304c\u4e09\u5e74\u3076\u308a\u306b\u958b\u304b\u308c\u3001\u521d\u65e5\u306f\u6674\u5929\u306b\u6075\u307e\u308c\u305f\u3002",
+        "\u4e3b\u50ac\u8005\u306b\u3088\u308b\u3068\u3001\u5c4b\u53f0\u306f\u5168\u90e8\u3067\u56db\u5341\u8ed2\u304c\u4e26\u3073\u3001\u795e\u8f3f\u307f\u3053\u3057\u306e\u5de1\u884c\u306f\u6b63\u5348\u306b\u59cb\u307e\u308b\u3002",
+        "\u4f1a\u5834\u3078\u306f\u81e8\u6642\u30d0\u30b9\u306e\u5229\u7528\u304c\u63a8\u5968\u3055\u308c\u3066\u3044\u308b\u3002",
+    ]),
+
+    # CJK link-density: an 8-channel all-anchor nav (16 chars, d=1.0 > 0.5) dies by DENSITY (id=channels is not a discard keyword); a short in-text anchor survives
+    ("zh-portal", """<html lang="zh"><body>
+<div id="channels"><ul><li><a href="/gn">\u56fd\u5185</a></li><li><a href="/gj">\u56fd\u9645</a></li><li><a href="/cj">\u8d22\u7ecf</a></li><li><a href="/ty">\u4f53\u80b2</a></li><li><a href="/kj">\u79d1\u6280</a></li><li><a href="/wh">\u6587\u5316</a></li><li><a href="/js">\u519b\u4e8b</a></li><li><a href="/jk">\u5065\u5eb7</a></li></ul></div>
+<div class="content">
+<h1>\u57ce\u5e02\u56fe\u4e66\u9986\u4e0b\u6708\u8d77\u5ef6\u957f\u5f00\u653e\u65f6\u95f4</h1>
+<p>\u5e02\u56fe\u4e66\u9986\u5ba3\u5e03\uff0c\u81ea\u4e0b\u6708\u4e00\u65e5\u8d77\uff0c\u603b\u9986\u548c\u4e09\u5904\u5206\u9986\u7684\u5f00\u653e\u65f6\u95f4\u5c06\u5ef6\u957f\u81f3\u665a\u95f4\u4e5d\u70b9\uff0c\u5468\u672b\u7167\u5e38\u5f00\u653e\u3002</p>
+<p>\u9986\u65b9\u8868\u793a\uff0c\u65b0\u589e\u7684\u591c\u95f4\u65f6\u6bb5\u5c06\u5f00\u653e\u81ea\u4e60\u533a\u548c\u671f\u520a\u9605\u89c8\u533a\uff0c\u501f\u9605\u670d\u52a1\u7167\u5e38\uff0c\u8be6\u60c5\u89c1<a href="/gg">\u5b98\u65b9\u516c\u544a</a>\u3002</p>
+</div>
+<div class="footer"><p>\u5907\u6848\u53f7 12345</p></div>
+</body></html>""", [
+        "\u57ce\u5e02\u56fe\u4e66\u9986\u4e0b\u6708\u8d77\u5ef6\u957f\u5f00\u653e\u65f6\u95f4",
+        "\u5e02\u56fe\u4e66\u9986\u5ba3\u5e03\uff0c\u81ea\u4e0b\u6708\u4e00\u65e5\u8d77\uff0c\u603b\u9986\u548c\u4e09\u5904\u5206\u9986\u7684\u5f00\u653e\u65f6\u95f4\u5c06\u5ef6\u957f\u81f3\u665a\u95f4\u4e5d\u70b9\uff0c\u5468\u672b\u7167\u5e38\u5f00\u653e\u3002",
+        "\u9986\u65b9\u8868\u793a\uff0c\u65b0\u589e\u7684\u591c\u95f4\u65f6\u6bb5\u5c06\u5f00\u653e\u81ea\u4e60\u533a\u548c\u671f\u520a\u9605\u89c8\u533a\uff0c\u501f\u9605\u670d\u52a1\u7167\u5e38\uff0c\u8be6\u60c5\u89c1\u5b98\u65b9\u516c\u544a\u3002",
+    ]),
+
+    # unspaced Thai; <wbr> is a void element contributing no text and no break
+    ("thai-unspaced", """<html lang="th"><body>
+<main>
+<h1>\u0e1e\u0e22\u0e32\u0e01\u0e23\u0e13\u0e4c\u0e2d\u0e32\u0e01\u0e32\u0e28\u0e1b\u0e23\u0e30\u0e08\u0e33\u0e2a\u0e31\u0e1b\u0e14\u0e32\u0e2b\u0e4c</h1>
+<p>\u0e01\u0e23\u0e21\u0e2d\u0e38\u0e15\u0e38\u0e19\u0e34\u0e22\u0e21\u0e27\u0e34\u0e17\u0e22\u0e32<wbr>\u0e23\u0e32\u0e22\u0e07\u0e32\u0e19\u0e27\u0e48\u0e32\u0e0a\u0e48\u0e27\u0e07\u0e15\u0e49\u0e19\u0e2a\u0e31\u0e1b\u0e14\u0e32\u0e2b\u0e4c\u0e08\u0e30\u0e21\u0e35\u0e1d\u0e19\u0e15\u0e01\u0e2b\u0e19\u0e31\u0e01\u0e43\u0e19\u0e20\u0e32\u0e04\u0e40\u0e2b\u0e19\u0e37\u0e2d\u0e41\u0e25\u0e30\u0e20\u0e32\u0e04\u0e01\u0e25\u0e32\u0e07</p>
+<p>\u0e1b\u0e23\u0e30\u0e0a\u0e32\u0e0a\u0e19\u0e04\u0e27\u0e23\u0e15\u0e34\u0e14\u0e15\u0e32\u0e21\u0e1b\u0e23\u0e30\u0e01\u0e32\u0e28\u0e2d\u0e22\u0e48\u0e32\u0e07\u0e43\u0e01\u0e25\u0e49\u0e0a\u0e34\u0e14\u0e41\u0e25\u0e30\u0e2b\u0e25\u0e35\u0e01\u0e40\u0e25\u0e35\u0e48\u0e22\u0e07\u0e01\u0e32\u0e23\u0e40\u0e14\u0e34\u0e19\u0e17\u0e32\u0e07\u0e43\u0e19\u0e1e\u0e37\u0e49\u0e19\u0e17\u0e35\u0e48\u0e40\u0e2a\u0e35\u0e48\u0e22\u0e07</p>
+</main>
+</body></html>""", [
+        "\u0e1e\u0e22\u0e32\u0e01\u0e23\u0e13\u0e4c\u0e2d\u0e32\u0e01\u0e32\u0e28\u0e1b\u0e23\u0e30\u0e08\u0e33\u0e2a\u0e31\u0e1b\u0e14\u0e32\u0e2b\u0e4c",
+        "\u0e01\u0e23\u0e21\u0e2d\u0e38\u0e15\u0e38\u0e19\u0e34\u0e22\u0e21\u0e27\u0e34\u0e17\u0e22\u0e32\u0e23\u0e32\u0e22\u0e07\u0e32\u0e19\u0e27\u0e48\u0e32\u0e0a\u0e48\u0e27\u0e07\u0e15\u0e49\u0e19\u0e2a\u0e31\u0e1b\u0e14\u0e32\u0e2b\u0e4c\u0e08\u0e30\u0e21\u0e35\u0e1d\u0e19\u0e15\u0e01\u0e2b\u0e19\u0e31\u0e01\u0e43\u0e19\u0e20\u0e32\u0e04\u0e40\u0e2b\u0e19\u0e37\u0e2d\u0e41\u0e25\u0e30\u0e20\u0e32\u0e04\u0e01\u0e25\u0e32\u0e07",
+        "\u0e1b\u0e23\u0e30\u0e0a\u0e32\u0e0a\u0e19\u0e04\u0e27\u0e23\u0e15\u0e34\u0e14\u0e15\u0e32\u0e21\u0e1b\u0e23\u0e30\u0e01\u0e32\u0e28\u0e2d\u0e22\u0e48\u0e32\u0e07\u0e43\u0e01\u0e25\u0e49\u0e0a\u0e34\u0e14\u0e41\u0e25\u0e30\u0e2b\u0e25\u0e35\u0e01\u0e40\u0e25\u0e35\u0e48\u0e22\u0e07\u0e01\u0e32\u0e23\u0e40\u0e14\u0e34\u0e19\u0e17\u0e32\u0e07\u0e43\u0e19\u0e1e\u0e37\u0e49\u0e19\u0e17\u0e35\u0e48\u0e40\u0e2a\u0e35\u0e48\u0e22\u0e07",
+    ]),
+
+    # RTL Arabic with an Eastern-Arabic-numeral timetable: th/td cells join with single spaces per tr row
+    ("arabic-numerals-table", """<html dir="rtl" lang="ar"><body>
+<main class="content">
+<h1>\u062c\u062f\u0648\u0644 \u0645\u0648\u0627\u0639\u064a\u062f \u0627\u0644\u0642\u0637\u0627\u0631\u0627\u062a</h1>
+<p>\u062a\u0639\u0645\u0644 \u0627\u0644\u0642\u0637\u0627\u0631\u0627\u062a \u064a\u0648\u0645\u064a\u0627\u064b \u0645\u0627 \u0639\u062f\u0627 \u064a\u0648\u0645 \u0627\u0644\u062c\u0645\u0639\u0629 \u062d\u0633\u0628 \u0627\u0644\u062c\u062f\u0648\u0644 \u0627\u0644\u062a\u0627\u0644\u064a.</p>
+<table>
+<caption>\u0645\u0648\u0627\u0639\u064a\u062f \u0627\u0644\u0627\u0646\u0637\u0644\u0627\u0642</caption>
+<tr><th>\u0627\u0644\u0648\u062c\u0647\u0629</th><th>\u0627\u0644\u0633\u0627\u0639\u0629</th><th>\u0627\u0644\u0631\u0635\u064a\u0641</th></tr>
+<tr><td>\u0627\u0644\u0634\u0645\u0627\u0644</td><td>\u0660\u0668:\u0661\u0665</td><td>\u0662</td></tr>
+<tr><td>\u0627\u0644\u062c\u0646\u0648\u0628</td><td>\u0660\u0669:\u0664\u0665</td><td>\u0663</td></tr>
+</table>
+<p>\u062a\u064f\u0628\u0627\u0639 \u0627\u0644\u062a\u0630\u0627\u0643\u0631 \u0641\u064a \u0627\u0644\u0634\u0628\u0627\u0643 \u062d\u062a\u0649 \u0639\u0634\u0631 \u062f\u0642\u0627\u0626\u0642 \u0642\u0628\u0644 \u0627\u0644\u0627\u0646\u0637\u0644\u0627\u0642.</p>
+</main>
+</body></html>""", [
+        "\u062c\u062f\u0648\u0644 \u0645\u0648\u0627\u0639\u064a\u062f \u0627\u0644\u0642\u0637\u0627\u0631\u0627\u062a",
+        "\u062a\u0639\u0645\u0644 \u0627\u0644\u0642\u0637\u0627\u0631\u0627\u062a \u064a\u0648\u0645\u064a\u0627\u064b \u0645\u0627 \u0639\u062f\u0627 \u064a\u0648\u0645 \u0627\u0644\u062c\u0645\u0639\u0629 \u062d\u0633\u0628 \u0627\u0644\u062c\u062f\u0648\u0644 \u0627\u0644\u062a\u0627\u0644\u064a.",
+        "\u0645\u0648\u0627\u0639\u064a\u062f \u0627\u0644\u0627\u0646\u0637\u0644\u0627\u0642",
+        "\u0627\u0644\u0648\u062c\u0647\u0629 \u0627\u0644\u0633\u0627\u0639\u0629 \u0627\u0644\u0631\u0635\u064a\u0641",
+        "\u0627\u0644\u0634\u0645\u0627\u0644 \u0660\u0668:\u0661\u0665 \u0662",
+        "\u0627\u0644\u062c\u0646\u0648\u0628 \u0660\u0669:\u0664\u0665 \u0663",
+        "\u062a\u064f\u0628\u0627\u0639 \u0627\u0644\u062a\u0630\u0627\u0643\u0631 \u0641\u064a \u0627\u0644\u0634\u0628\u0627\u0643 \u062d\u062a\u0649 \u0639\u0634\u0631 \u062f\u0642\u0627\u0626\u0642 \u0642\u0628\u0644 \u0627\u0644\u0627\u0646\u0637\u0644\u0627\u0642.",
+    ]),
+
+    # Korean article with an inline Latin exhibition name in a <span> and a decoded &amp;
+    ("ko-mixed-scripts", """<html lang="ko"><body>
+<article>
+<h1>\uc2dc\ub9bd \ubbf8\uc220\uad00, \uc5ec\ub984 \ud2b9\ubcc4\uc804 \uac1c\ub9c9</h1>
+<p>\uc2dc\ub9bd \ubbf8\uc220\uad00\uc774 \uc774\ubc88 \uc8fc\ub9d0\ubd80\ud130 \uc5ec\ub984 \ud2b9\ubcc4\uc804 <span lang="en">Light &amp; Form</span>\uc744 \uc5f0\ub2e4\uace0 \ubc1d\ud614\ub2e4.</p>
+<p>\uc804\uc2dc\ub294 10\uc6d4 \ub9d0\uae4c\uc9c0 \uc774\uc5b4\uc9c0\uba70, \ub9e4\uc8fc \uc6d4\uc694\uc77c\uc740 \ud734\uad00\uc774\ub2e4.</p>
+<p>\uad00\ub78c\uad8c\uc740 \uc628\ub77c\uc778\uacfc \ud604\uc7a5\uc5d0\uc11c \ubaa8\ub450 \uad6c\ub9e4\ud560 \uc218 \uc788\ub2e4.</p>
+</article>
+<aside><p>\uad00\ub828 \uae30\uc0ac</p></aside>
+</body></html>""", [
+        "\uc2dc\ub9bd \ubbf8\uc220\uad00, \uc5ec\ub984 \ud2b9\ubcc4\uc804 \uac1c\ub9c9",
+        "\uc2dc\ub9bd \ubbf8\uc220\uad00\uc774 \uc774\ubc88 \uc8fc\ub9d0\ubd80\ud130 \uc5ec\ub984 \ud2b9\ubcc4\uc804 Light & Form\uc744 \uc5f0\ub2e4\uace0 \ubc1d\ud614\ub2e4.",
+        "\uc804\uc2dc\ub294 10\uc6d4 \ub9d0\uae4c\uc9c0 \uc774\uc5b4\uc9c0\uba70, \ub9e4\uc8fc \uc6d4\uc694\uc77c\uc740 \ud734\uad00\uc774\ub2e4.",
+        "\uad00\ub78c\uad8c\uc740 \uc628\ub77c\uc778\uacfc \ud604\uc7a5\uc5d0\uc11c \ubaa8\ub450 \uad6c\ub9e4\ud560 \uc218 \uc788\ub2e4.",
+    ]),
+
+    # Persian with HTML5 named &zwnj; joins (must DECODE to U+200C, not pass through) around an LTR <pre> command block (pre collapses whitespace per the disclosed divergence)
+    ("persian-zwnj-pre", """<html dir="rtl" lang="fa"><body>
+<main>
+<h1>\u0631\u0627\u0647\u0646\u0645\u0627\u06cc \u0646\u0635\u0628 \u0646\u0631\u0645&zwnj;\u0627\u0641\u0632\u0627\u0631</h1>
+<p>\u0628\u0631\u0627\u06cc \u0646\u0635\u0628\u060c \u0627\u0628\u062a\u062f\u0627 \u0628\u0633\u062a\u0647 \u0631\u0627 \u062f\u0627\u0646\u0644\u0648\u062f \u06a9\u0646\u06cc\u062f \u0648 \u0633\u067e\u0633 \u062f\u0633\u062a\u0648\u0631 \u0632\u06cc\u0631 \u0631\u0627 \u0627\u062c\u0631\u0627 \u06a9\u0646\u06cc\u062f.</p>
+<pre dir="ltr">tar -xzf app-2.4.tgz
+cd app-2.4 &amp;&amp; ./install.sh</pre>
+<p>\u067e\u0633 \u0627\u0632 \u067e\u0627\u06cc\u0627\u0646 \u0646\u0635\u0628\u060c \u0633\u0631\u0648\u06cc\u0633 \u0628\u0647&zwnj;\u0637\u0648\u0631 \u062e\u0648\u062f\u06a9\u0627\u0631 \u0631\u0627\u0647&zwnj;\u0627\u0646\u062f\u0627\u0632\u06cc \u0645\u06cc&zwnj;\u0634\u0648\u062f.</p>
+</main>
+</body></html>""", [
+        "\u0631\u0627\u0647\u0646\u0645\u0627\u06cc \u0646\u0635\u0628 \u0646\u0631\u0645\u200c\u0627\u0641\u0632\u0627\u0631",
+        "\u0628\u0631\u0627\u06cc \u0646\u0635\u0628\u060c \u0627\u0628\u062a\u062f\u0627 \u0628\u0633\u062a\u0647 \u0631\u0627 \u062f\u0627\u0646\u0644\u0648\u062f \u06a9\u0646\u06cc\u062f \u0648 \u0633\u067e\u0633 \u062f\u0633\u062a\u0648\u0631 \u0632\u06cc\u0631 \u0631\u0627 \u0627\u062c\u0631\u0627 \u06a9\u0646\u06cc\u062f.",
+        "tar -xzf app-2.4.tgz cd app-2.4 && ./install.sh",
+        "\u067e\u0633 \u0627\u0632 \u067e\u0627\u06cc\u0627\u0646 \u0646\u0635\u0628\u060c \u0633\u0631\u0648\u06cc\u0633 \u0628\u0647\u200c\u0637\u0648\u0631 \u062e\u0648\u062f\u06a9\u0627\u0631 \u0631\u0627\u0647\u200c\u0627\u0646\u062f\u0627\u0632\u06cc \u0645\u06cc\u200c\u0634\u0648\u062f.",
+    ]),
 ]
 
 # ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
