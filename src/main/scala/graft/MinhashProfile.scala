@@ -91,6 +91,76 @@ object MinhashProfile {
       }
       s
     }
+    time("perm loop (transposed)") {
+      // perm-outer / shingle-inner: a(k), b(k) hoist to registers, the
+      // running min lives in a register instead of a mins(k) load+store
+      var s = 0L
+      h0s.foreach { hs =>
+        val mins = new Array[Long](n)
+        val len = hs.length
+        var k = 0
+        while (k < n) {
+          val ak = a(k); val bk = b(k)
+          var mn = -1L
+          var i = 0
+          while (i < len) {
+            val v = hs(i) * ak + bk
+            var phv = (v & M) + (v >>> 61)
+            if (phv >= M) phv -= M
+            if (java.lang.Long.compareUnsigned(phv, mn) < 0) mn = phv
+            i += 1
+          }
+          mins(k) = mn
+          k += 1
+        }
+        s += mins(0)
+      }
+      s
+    }
+    time("perm loop (transposed x2)") {
+      // 2-way unroll over k: two independent min chains per pass, half the
+      // passes over the h0 array (n is even for all configs: nb*hpb)
+      var s = 0L
+      h0s.foreach { hs =>
+        val mins = new Array[Long](n)
+        val len = hs.length
+        var k = 0
+        while (k + 1 < n) {
+          val a0 = a(k); val b0 = b(k); val a1 = a(k + 1); val b1 = b(k + 1)
+          var m0 = -1L; var m1 = -1L
+          var i = 0
+          while (i < len) {
+            val h0 = hs(i)
+            val v0 = h0 * a0 + b0
+            var p0 = (v0 & M) + (v0 >>> 61)
+            if (p0 >= M) p0 -= M
+            if (java.lang.Long.compareUnsigned(p0, m0) < 0) m0 = p0
+            val v1 = h0 * a1 + b1
+            var p1 = (v1 & M) + (v1 >>> 61)
+            if (p1 >= M) p1 -= M
+            if (java.lang.Long.compareUnsigned(p1, m1) < 0) m1 = p1
+            i += 1
+          }
+          mins(k) = m0; mins(k + 1) = m1
+          k += 2
+        }
+        if (k < n) {
+          val ak = a(k); val bk = b(k)
+          var mn = -1L
+          var i = 0
+          while (i < len) {
+            val v = hs(i) * ak + bk
+            var phv = (v & M) + (v >>> 61)
+            if (phv >= M) phv -= M
+            if (java.lang.Long.compareUnsigned(phv, mn) < 0) mn = phv
+            i += 1
+          }
+          mins(k) = mn
+        }
+        s += mins(0)
+      }
+      s
+    }
     time("perm loop (remainderUnsigned)") {
       var s = 0L
       h0s.foreach { hs =>

@@ -104,7 +104,6 @@ object MinhashDedup {
         else Tokenizer.words(TextKernels.simplifyText(text))
       if (words.length < ng) Array.empty[(Long, Long)]
       else {
-        val mins = Array.fill(n)(-1L) // unsigned max
         // CPU-kernel shape (r6, VERDICT r5 #3 — the exchange is solved at
         // 0.45 KB/doc, shingle hashing is the remaining sf1 cost):
         //  * each word is UTF-8-encoded ONCE and the shingle digest is fed
@@ -113,17 +112,24 @@ object MinhashDedup {
         //  * the (h*a+b) mod (2^61-1) permutation uses the Mersenne
         //    shift-add reduction (exact: v = hi*2^61+lo ≡ hi+lo, one
         //    conditional subtract since hi ≤ 7) instead of a 64-bit
-        //    unsigned divide per permutation per shingle.
+        //    unsigned divide per permutation per shingle;
+        //  * the permutation loop is TRANSPOSED (perm-outer, shingle-inner,
+        //    2-way unrolled over perms): a(k)/b(k) and the running min live
+        //    in registers instead of three array accesses per inner
+        //    iteration — MinhashProfile measured 1.06 → 0.76 s per 20k docs
+        //    with identical output sums. Pure reorder: same arithmetic per
+        //    (shingle, perm) pair, so signatures are bit-identical.
         // minhashes() keeps the naive remainderUnsigned form as the truth
         // twin; DedupSpec pins fold-equality between the two paths.
         val wbytes: Array[Array[Byte]] =
           if (useSha1) words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           else null
         val sb = if (useSha1) null else new java.lang.StringBuilder()
-        var i = 0
         val last = words.length - ng
+        val h0s = new Array[Long](last + 1)
+        var i = 0
         while (i <= last) {
-          val h0 =
+          h0s(i) =
             if (useSha1) {
               val md = Hashes.sha1Borrow()
               var j = i
@@ -143,15 +149,42 @@ object MinhashDedup {
               }
               Hashes.xxhash64(sb.toString)
             }
-          var k = 0
-          while (k < n) {
-            val v = h0 * a(k) + b(k)
+          i += 1
+        }
+        val nShingles = h0s.length
+        val mins = new Array[Long](n)
+        var k = 0
+        while (k + 1 < n) {
+          val a0 = a(k); val b0 = b(k); val a1 = a(k + 1); val b1 = b(k + 1)
+          var m0 = -1L; var m1 = -1L // unsigned max
+          i = 0
+          while (i < nShingles) {
+            val h0 = h0s(i)
+            val v0 = h0 * a0 + b0
+            var p0 = (v0 & MersennePrime) + (v0 >>> 61)
+            if (p0 >= MersennePrime) p0 -= MersennePrime
+            if (java.lang.Long.compareUnsigned(p0, m0) < 0) m0 = p0
+            val v1 = h0 * a1 + b1
+            var p1 = (v1 & MersennePrime) + (v1 >>> 61)
+            if (p1 >= MersennePrime) p1 -= MersennePrime
+            if (java.lang.Long.compareUnsigned(p1, m1) < 0) m1 = p1
+            i += 1
+          }
+          mins(k) = m0; mins(k + 1) = m1
+          k += 2
+        }
+        if (k < n) { // odd n tail (nb*hpb is even for every shipped config)
+          val ak = a(k); val bk = b(k)
+          var mn = -1L
+          i = 0
+          while (i < nShingles) {
+            val v = h0s(i) * ak + bk
             var phv = (v & MersennePrime) + (v >>> 61)
             if (phv >= MersennePrime) phv -= MersennePrime
-            if (java.lang.Long.compareUnsigned(phv, mins(k)) < 0) mins(k) = phv
-            k += 1
+            if (java.lang.Long.compareUnsigned(phv, mn) < 0) mn = phv
+            i += 1
           }
-          i += 1
+          mins(k) = mn
         }
         // band identity folded to 128 bits (two independent polynomial
         // accumulators over the band's min-hashes): everything downstream
