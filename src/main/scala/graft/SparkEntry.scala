@@ -435,7 +435,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 56 HAND-TRANSCRIBED realistic
+      // the general extraction path over 63 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
       // layout, paywall/popup chrome, details/summary, inline entities,
@@ -2291,7 +2291,14 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/gbk-bulletin', 3, 64, '022a1225f6cb6a1cb1b04985a4e8c2f1'),
   ('https://wild.example.org/koi8-memo', 3, 146, '09ab91a53fc6f91d52778c07a35d5bd4'),
   ('https://wild.example.org/utf16-press', 3, 180, '6f345ef757d410ddb0ad4c65fa9401f6'),
-  ('https://wild.example.org/utf8bom-changelog', 4, 179, 'd2e392a083d1a8c9fe05988907fdaf58')
+  ('https://wild.example.org/utf8bom-changelog', 4, 179, 'd2e392a083d1a8c9fe05988907fdaf58'),
+  ('https://wild.example.org/newsletter-tables', 6, 364, '8523f3ba6e0d3bc915ab915102baf755'),
+  ('https://wild.example.org/cookie-consent', 4, 343, '8a8debf7d0e085dfdd911e3478b32257'),
+  ('https://wild.example.org/event-jsonld', 5, 248, 'ed66ce40577c2078a5511ac4d667dfd6'),
+  ('https://wild.example.org/poetry-stanzas', 10, 390, '892edc3a77bda04a03ae49476c565911'),
+  ('https://wild.example.org/lighthouse-transcript', 5, 462, '37bd05a6cdca71b084eaf51afddc7103'),
+  ('https://wild.example.org/science-subsup', 6, 480, 'a4ec7874d40200253560414440a49889'),
+  ('https://wild.example.org/licence-terms', 11, 395, 'eb91f579c173768a0b21264ce77ebea0')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

@@ -4,11 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TrafilaturaExtractor
 
 /** Byte-equality replay of the HAND-TRANSCRIBED realistic page corpus
-  * (VERDICT r5 "Next round" #5): 56 page skeletons written by hand in
+  * (VERDICT r5 "Next round" #5): 63 page skeletons written by hand in
   * tools/gen_wild_warc.py — news+sidebar+comments, docs+TOC, forum thread,
   * table-heavy, RTL Arabic, wiki reference lists, legacy table layout,
   * paywall/popup/cookie chrome, details/summary FAQ, inline entities, a
-  * non-UTF-8 charset batch, and a non-Latin-LAYOUT batch (Hebrew bdo/bidi
+  * non-UTF-8 charset batch, nested-table newsletter/JSON-LD/poetry/transcript/
+  * sub-sup/nested-list classes, and a non-Latin-LAYOUT batch (Hebrew bdo/bidi
   * entities, ja ruby furigana, zh channel-nav density, unspaced Thai,
   * Eastern-Arabic numeral table, ko mixed scripts, Persian zwnj + LTR pre)
   * — none authored by any generator grammar in this repo. Goldens were
@@ -54,9 +55,9 @@ class WildWarcSpec extends AnyFunSuite {
         .map(h => d.url -> TrafilaturaExtractor.extract(h))
     }.toMap
 
-  test("corpus shape: 56 hand-transcribed pages decode, all with goldens") {
-    assert(extracted.size == 56)
-    assert(goldens.size == 56)
+  test("corpus shape: 63 hand-transcribed pages decode, all with goldens") {
+    assert(extracted.size == 63)
+    assert(goldens.size == 63)
     assert(extracted.keySet == goldens.keySet)
   }
 

@@ -885,6 +885,153 @@ cd app-2.4 &amp;&amp; ./install.sh</pre>
         "tar -xzf app-2.4.tgz cd app-2.4 && ./install.sh",
         "\u067e\u0633 \u0627\u0632 \u067e\u0627\u06cc\u0627\u0646 \u0646\u0635\u0628\u060c \u0633\u0631\u0648\u06cc\u0633 \u0628\u0647\u200c\u0637\u0648\u0631 \u062e\u0648\u062f\u06a9\u0627\u0631 \u0631\u0627\u0647\u200c\u0627\u0646\u062f\u0627\u0632\u06cc \u0645\u06cc\u200c\u0634\u0648\u062f.",
     ]),
+
+    # ---- round-6 seventh batch: page classes still unexercised \u2014 email
+    # newsletter built from nested layout tables (hidden preheader, MSO
+    # conditional comment, cells with block children), consent/modal chrome
+    # around a committing <main>, JSON-LD + microdata markup, br-stanza
+    # poetry, a timestamped interview transcript, scientific sub/sup with
+    # footnote refs (inline: no space inserted), and nested ordered lists
+    # with a definition list. Goldens hand-derived as above.
+
+    ("newsletter-tables", """<html><head><title>Spring newsletter</title>
+<!--[if mso]><style>body{font-family:Arial}</style><![endif]-->
+</head><body bgcolor="#f4f4f4">
+<div style="display:none;max-height:0;overflow:hidden">Spring issue preview text hidden in the inbox.</div>
+<table role="presentation" width="600" align="center">
+<tr><td class="logo-td"><img src="gazette.png" alt=""></td><td>The Allotment Gazette</td></tr>
+<tr><td colspan="2">
+<h1>Seedlings survive the late frost</h1>
+<p>Most plots reported healthy seedlings this week despite Tuesday's late frost, with fleece covers doing their job on the exposed south beds.</p>
+<p>The tool shed rota for May is posted by the gate; water butts will be cleaned on the first Saturday.</p>
+</td></tr>
+<tr><td colspan="2">
+<table role="presentation"><tr><td><h2>Plot notes</h2><p>Bed 12 has spare leek seedlings, first come first served.</p></td></tr></table>
+</td></tr>
+<tr><td class="footer" colspan="2"><p>You receive this because you rent a plot. <a href="/unsub">Unsubscribe</a>.</p></td></tr>
+</table>
+</body></html>""", [
+        "The Allotment Gazette",
+        "Seedlings survive the late frost",
+        "Most plots reported healthy seedlings this week despite Tuesday's late frost, with fleece covers doing their job on the exposed south beds.",
+        "The tool shed rota for May is posted by the gate; water butts will be cleaned on the first Saturday.",
+        "Plot notes",
+        "Bed 12 has spare leek seedlings, first come first served.",
+    ]),
+
+    ("cookie-consent", """<html><body>
+<div class="cookie-banner"><p>We use cookies to remember your preferences. <a href="/cookies">Learn more</a> <button>Accept</button></p></div>
+<div id="signup-modal" aria-hidden="true"><h2>Join free</h2><p>Create an account to save your routes.</p></div>
+<div class="site-header"><a href="/">Trail Maps</a></div>
+<main>
+<h1>Ridge loop reopens after bridge repair</h1>
+<p>The ridge loop reopened on Friday after the footbridge over Miller Creek was replaced, the parks department said.</p>
+<p>Crews added a gravel apron on both approaches, and the detour through the quarry path has been removed.</p>
+<p>Rangers still advise poles for the north descent, which stays muddy into early summer.</p>
+</main>
+<div class="footer-links"><a href="/contact">Contact</a> <a href="/privacy">Privacy</a></div>
+</body></html>""", [
+        "Ridge loop reopens after bridge repair",
+        "The ridge loop reopened on Friday after the footbridge over Miller Creek was replaced, the parks department said.",
+        "Crews added a gravel apron on both approaches, and the detour through the quarry path has been removed.",
+        "Rangers still advise poles for the north descent, which stays muddy into early summer.",
+    ]),
+
+    ("event-jsonld", """<html><head>
+<script type="application/ld+json">{"@context":"https://schema.org","@type":"Event","name":"Harbor concert"}</script>
+</head><body>
+<div itemscope itemtype="https://schema.org/Event" class="event-card">
+<h1 itemprop="name">Harbor concert under the cranes</h1>
+<p>The summer series opens with a brass ensemble on the old quay, <time itemprop="startDate" datetime="2024-06-21T19:00">Friday at 19:00</time>, weather permitting.</p>
+<p itemprop="description">Seating is unreserved; the harbor office opens the gates one hour before the first piece.</p>
+<ul class="event-info"><li>Tickets 12 eur</li><li>Gates 18:00</li></ul>
+</div>
+</body></html>""", [
+        "Harbor concert under the cranes",
+        "The summer series opens with a brass ensemble on the old quay, Friday at 19:00, weather permitting.",
+        "Seating is unreserved; the harbor office opens the gates one hour before the first piece.",
+        "Tickets 12 eur",
+        "Gates 18:00",
+    ]),
+
+    ("poetry-stanzas", """<html><body>
+<article class="poem">
+<h1>Lines written at the ferry dock</h1>
+<p class="stanza">The gulls rehearse their only argument,<br>the rope uncoils its patient questions;<br>we count the channel markers, two by two,<br>and let the diesel hum decide for us.</p>
+<p class="stanza">The mainland shrinks to rumor and to mast,<br>the tide keeps books nobody audits;<br>whatever we forgot to say on shore<br>the wake repeats until it flattens out.</p>
+<p class="colophon">First printed in the harbor anthology, 2019.</p>
+</article>
+</body></html>""", [
+        "Lines written at the ferry dock",
+        "The gulls rehearse their only argument,",
+        "the rope uncoils its patient questions;",
+        "we count the channel markers, two by two,",
+        "and let the diesel hum decide for us.",
+        "The mainland shrinks to rumor and to mast,",
+        "the tide keeps books nobody audits;",
+        "whatever we forgot to say on shore",
+        "the wake repeats until it flattens out.",
+        "First printed in the harbor anthology, 2019.",
+    ]),
+
+    ("lighthouse-transcript", """<html><body>
+<main class="transcript">
+<h1>Interview: fifty years keeping the light</h1>
+<p class="turn"><b>Host</b> <span class="timecode">[00:12]</span> You started at the lighthouse in 1974. What did the first week feel like?</p>
+<p class="turn"><b>Keeper</b> <span class="timecode">[00:31]</span> Mostly stairs. Four hundred steps a day before you even touch the lens, and the brass wants polishing whether the fog comes or not.</p>
+<p class="turn"><b>Host</b> <span class="timecode">[02:05]</span> And the automation in the nineties?</p>
+<p class="turn"><b>Keeper</b> <span class="timecode">[02:18]</span> The lamp stopped needing me before I stopped needing the lamp. I stayed on as caretaker until the service sold the cottage.</p>
+</main>
+</body></html>""", [
+        "Interview: fifty years keeping the light",
+        "Host [00:12] You started at the lighthouse in 1974. What did the first week feel like?",
+        "Keeper [00:31] Mostly stairs. Four hundred steps a day before you even touch the lens, and the brass wants polishing whether the fog comes or not.",
+        "Host [02:05] And the automation in the nineties?",
+        "Keeper [02:18] The lamp stopped needing me before I stopped needing the lamp. I stayed on as caretaker until the service sold the cottage.",
+    ]),
+
+    ("science-subsup", """<html><body>
+<article>
+<h1>Measuring dissolved CO<sub>2</sub> in the reservoir</h1>
+<p>Summer samples averaged 2.4 mg per liter of dissolved CO<sub>2</sub>, rising near the inlet where leaf litter collects.</p>
+<p>The sensor floats cover roughly 1.8 km<sup>2</sup> of surface, logging temperature and partial pressure every ten minutes.<sup><a href="#n1">[1]</a></sup></p>
+<p>Calcium carbonate saturation follows the same seasonal curve, with CaCO<sub>3</sub> precipitation visible on the spill gates by August.<sup><a href="#n2">[2]</a></sup></p>
+<ol class="footnotes"><li id="n1">Sensor placement follows the 2021 survey grid.</li><li id="n2">Gate deposits were sampled in September.</li></ol>
+</article>
+</body></html>""", [
+        "Measuring dissolved CO2 in the reservoir",
+        "Summer samples averaged 2.4 mg per liter of dissolved CO2, rising near the inlet where leaf litter collects.",
+        "The sensor floats cover roughly 1.8 km2 of surface, logging temperature and partial pressure every ten minutes.[1]",
+        "Calcium carbonate saturation follows the same seasonal curve, with CaCO3 precipitation visible on the spill gates by August.[2]",
+        "Sensor placement follows the 2021 survey grid.",
+        "Gate deposits were sampled in September.",
+    ]),
+
+    ("licence-terms", """<html><body>
+<div class="content legal">
+<h1>Boat shed licence terms</h1>
+<ol>
+<li>The licensee may store one vessel and its trailer in the numbered bay.</li>
+<li>Maintenance work is permitted only
+<ol><li>between 08:00 and 18:00,</li><li>with drip trays under any engine work, and</li><li>never involving open flame.</li></ol>
+</li>
+<li>The licence renews each April unless either party gives notice in writing.</li>
+</ol>
+<dl><dt>Licensee</dt><dd>The person named on the schedule.</dd><dt>Bay</dt><dd>The marked floor area, including its wall rack.</dd></dl>
+</div>
+</body></html>""", [
+        "Boat shed licence terms",
+        "The licensee may store one vessel and its trailer in the numbered bay.",
+        "Maintenance work is permitted only",
+        "between 08:00 and 18:00,",
+        "with drip trays under any engine work, and",
+        "never involving open flame.",
+        "The licence renews each April unless either party gives notice in writing.",
+        "Licensee",
+        "The person named on the schedule.",
+        "Bay",
+        "The marked floor area, including its wall rack.",
+    ]),
 ]
 
 # ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
