@@ -189,9 +189,13 @@ object ScaleEvidence {
       // streams per doc), ids+positions only through the shuffle
       // SPARK_GRAFT_ES_ANCHOR=<w> measures the winnowing-anchored scale
       // path (content-defined span sampling, ~2/(w+1) of the rows)
+      // SPARK_GRAFT_ES_PREFILTER=0 disables the h1-only duplicate-candidate
+      // prefilter (the round-6 exchange cut) for interleaved A/B runs
       val anchor = sys.env.get("SPARK_GRAFT_ES_ANCHOR").map(_.toInt)
+      val pf = sys.env.get("SPARK_GRAFT_ES_PREFILTER").forall(_ != "0")
       ExactSubstrDedup(docs, "doc_id", "text",
-        ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = anchor))
+        ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = anchor,
+          prefilterDupHashes = pf))
         .filter(!col("exact_substr_keep")).count()
     }
 
@@ -200,7 +204,9 @@ object ScaleEvidence {
       // #6): winnowing anchors at w=8 sample ~2/(w+1) of the stride-1
       // spans content-defined, so copies anchor identically
       ExactSubstrDedup(docs, "doc_id", "text",
-        ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = Some(8)))
+        ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = Some(8),
+          prefilterDupHashes =
+            sys.env.get("SPARK_GRAFT_ES_PREFILTER").forall(_ != "0")))
         .filter(!col("exact_substr_keep")).count()
     }
 

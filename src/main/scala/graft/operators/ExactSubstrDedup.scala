@@ -59,12 +59,30 @@ import graft.text.Tokenizer
   *   is AQE-skew-splittable. Costs a second shuffle of the span table —
   *   flip it when the duplicate histogram shows any span hash above ~10^6
   *   occurrences (≈ the rows one reducer can stream per minute). */
+/** @param prefilterDupHashes duplicate-candidate prefilter: before the
+  *   (h1, h2) first-occurrence pass, a first job shuffles ONLY `__h1`
+  *   (8-byte key, map-side count combine — no sort) to find the hash
+  *   values that occur more than once, and the span table is then
+  *   broadcast-LEFT-SEMI-joined against that (small) duplicated-hash set,
+  *   so the fat (doc, pos, h1, h2) rows of the ~unique majority never
+  *   enter the window exchange or its sort. Provably result-identical:
+  *   a span row whose h1 is corpus-unique is the single row of its
+  *   (h1, h2) group, i.e. its own first occurrence, and the
+  *   `!= __first` cut discards it anyway; 64-bit h1 false candidates
+  *   (expected pairs n²/2^65 ≪ 1 below ~10^9 spans) only pass harmless
+  *   extra rows to the exact 128-bit pass. The trade: spans are computed
+  *   twice (tokenize + word-hash re-run, CPU-cheap vs the exchange) and
+  *   the duplicated-hash set must fit a broadcast — web-scale mass-dup
+  *   corpora past ~10^8 distinct duplicated spans should turn this off
+  *   (or run the anchored posture, whose span table is already ~2/(w+1)
+  *   of stride-1). Composes with either min strategy. */
 final case class ExactSubstrConfig(
     spanWords: Int = 50,
     minDocWords: Int = 50,
     shortSpanWords: Option[Int] = None,
     anchorEvery: Option[Int] = None,
-    hotKeyGroupByMin: Boolean = false)
+    hotKeyGroupByMin: Boolean = false,
+    prefilterDupHashes: Boolean = true)
 
 object ExactSubstrDedup {
 
@@ -164,6 +182,20 @@ object ExactSubstrDedup {
     val lengths = sw +: cfg.shortSpanWords.toSeq
     val multi = lengths.length > 1
 
+    // Duplicate-candidate prefilter (see ExactSubstrConfig scaladoc): an
+    // h1-only count pass finds the duplicated hash values; the fat span
+    // rows then broadcast-semi-join against that small set so the
+    // ~unique majority never rides the window exchange. Result-identical
+    // by the `!= __first` argument; recomputes the span UDF once more.
+    def prefilter(spans: DataFrame): DataFrame =
+      if (!cfg.prefilterDupHashes) spans
+      else {
+        val dup = spans.select("__h1")
+          .groupBy("__h1").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select("__h1")
+        spans.join(broadcast(dup), Seq("__h1"), "left_semi")
+      }
+
     // first occurrence (min doc, then min pos) of each span hash survives.
     // WINDOW-min over the span hash, not groupBy-min + join-back: the span
     // table is ~2 orders fatter than the doc table (every overlapping
@@ -192,10 +224,10 @@ object ExactSubstrDedup {
           }
         }
       }
-      val spans = df
+      val spans = prefilter(df
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
         .select(col("__doc"), col("s._1").as("__pos"),
-          col("s._2").as("__h1"), col("s._3").as("__h2"))
+          col("s._2").as("__h1"), col("s._3").as("__h2")))
       val laterCopies =
         if (cfg.hotKeyGroupByMin) {
           val firsts = spans.groupBy("__h1", "__h2")
@@ -243,10 +275,10 @@ object ExactSubstrDedup {
           }
         }
       }
-      val spans = df
+      val spans = prefilter(df
         .select(col(idCol).as("__doc"), explode(spanUdf(col(textCol))).as("s"))
         .select(col("__doc"), col("s._1").as("__lp"),
-          col("s._2").as("__h1"), col("s._3").as("__h2"))
+          col("s._2").as("__h1"), col("s._3").as("__h2")))
       val laterCopies =
         if (cfg.hotKeyGroupByMin) {
           val firsts = spans.groupBy("__h1", "__h2")

@@ -122,11 +122,15 @@ class ExactSubstrGcSpec extends SparkSpec {
       val base = ExactSubstrDedup(docs, "doc_id", "text", cfg)
         .select("doc_id", "exact_substr_keep", "n_removed_words", "text")
         .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getString(3)))).toMap
-      val hot = ExactSubstrDedup(docs, "doc_id", "text",
-          cfg.copy(hotKeyGroupByMin = true))
-        .select("doc_id", "exact_substr_keep", "n_removed_words", "text")
-        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getString(3)))).toMap
-      assert(base == hot, s"strategies diverge for $cfg")
+      for (variant <- Seq(
+          cfg.copy(hotKeyGroupByMin = true),
+          cfg.copy(prefilterDupHashes = false),
+          cfg.copy(hotKeyGroupByMin = true, prefilterDupHashes = false))) {
+        val alt = ExactSubstrDedup(docs, "doc_id", "text", variant)
+          .select("doc_id", "exact_substr_keep", "n_removed_words", "text")
+          .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getString(3)))).toMap
+        assert(base == alt, s"strategies diverge for $variant")
+      }
     }
   }
 

@@ -138,6 +138,15 @@ class ScaleShapeSpec extends SparkSpec {
     assert(esPlan.contains("Window"))
     assert(!esPlan.matches("(?s).*windowspecdefinition\\([^)]*(ASC|DESC).*"),
       "exact_substr window must not carry an orderBy sort spec")
+    // round 6: the duplicate-candidate prefilter must reach the window as
+    // a broadcast LEFT-SEMI join (a shuffled semi-join would re-shuffle
+    // the full span table and defeat the point)
+    assert(esPlan.contains("LeftSemi") &&
+      (esPlan.contains("BroadcastHashJoin") || esPlan.contains("BroadcastExchange")),
+      "prefilter must be a broadcast left-semi join against the dup-hash set")
+    val esNoPf = planOf(ExactSubstrDedup(docs, "doc_id", "text",
+      ExactSubstrConfig(prefilterDupHashes = false)))
+    assert(!esNoPf.contains("LeftSemi"), "prefilter off must remove the semi-join")
   }
 
   test("exact/url dedup: null text, null url, and null priority rows survive the join") {
