@@ -162,10 +162,15 @@ object ScaleEvidence {
     val docs = corpus.select(
       col("url"), xxhash64(col("url")).as("doc_id"), col("text"))
 
+    // SPARK_GRAFT_DEDUP_PREFILTER=0 disables the round-6 duplicate-candidate
+    // prefilter across the dedup family for interleaved A/B runs
+    val dedupPf = sys.env.get("SPARK_GRAFT_DEDUP_PREFILTER").forall(_ != "0")
+
     phase("exact_dedup") {
-      docs.groupBy(col("text"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
-        .filter(col("dups") > 1).count()
+      // the PRODUCT operator (annotate-back included); was an inline
+      // groupBy(text) probe through round 6's first isolated table
+      ExactDedup(docs, "doc_id", "text", prefilterDupKeys = dedupPf)
+        .filter(!col("exact_keep")).count()
     }
 
     phase("minhash_dedup") {
@@ -174,13 +179,14 @@ object ScaleEvidence {
     }
 
     phase("sentence_dedup") {
-      SentenceDedup(docs, "doc_id", "text")
+      SentenceDedup(docs, "doc_id", "text",
+        SentenceDedupConfig(prefilterDupHashes = dedupPf))
         .filter(!col("sentence_dedup_keep")).count()
     }
 
     phase("url_dedup") {
       UrlDedup(docs.withColumn("priority", col("doc_id") % 5),
-        "url", "doc_id", "priority").count()
+        "url", "doc_id", "priority", prefilterDupKeys = dedupPf).count()
     }
 
     phase("exact_substr") {
@@ -243,7 +249,8 @@ object ScaleEvidence {
              cast(pmod(hash(base * 64 + j), 2001) - 1000 as float) / 1000.0f +
              cast(pmod(hash(id * 64 + j), 7) as float) / 10000.0f)"""))
         .select(col("id"), col("vec"))
-      Similarity.lshTopK(vecs, "id", "vec", k = 5, bands = 8, bitsPerBand = 24).count()
+      Similarity.lshTopK(vecs, "id", "vec", k = 5, bands = 8, bitsPerBand = 24,
+        prefilterSingletonBuckets = dedupPf).count()
     }
 
     val total = results.valuesIterator.map(_._1).sum

@@ -11,26 +11,57 @@ object ExactDedup {
 
   /** Exact-text dedup via hash groupBy: annotate each row with the
     * surviving doc id (min id per identical text) and a keep flag.
-    * One shuffle; at scale, group on a 64-bit text hash first and only
-    * compare full text within hash groups (collision-safe two-level key). */
-  /** Scale shape: groupBy-min (map-side partial agg absorbs a hot text —
-    * millions of identical boilerplate docs never concentrate on one
-    * reducer) + join back (AQE skew-join splits the hot key); a
-    * Window.partitionBy would sort the whole hot group on one reducer. */
-  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Collision-safe two-level key: group on the 64-bit text hash, compare
+    * full text within hash groups. */
+  /** Scale shape (round 6): a duplicate-candidate prefilter first shuffles
+    * ONLY the 8-byte text hash (map-side count combine) to find hashes
+    * occurring more than once — on a mostly-unique web corpus the full
+    * TEXT column then never rides any exchange: candidate rows
+    * broadcast-semi-join against the (small) duplicated-hash set, the
+    * min-id representative is computed over candidates alone, and the
+    * corpus LEFT-joins that small reps table (AQE broadcasts it), with
+    * every non-candidate its own survivor via coalesce. Result-identical:
+    * a corpus-unique hash's row is the single member of its (hash, text)
+    * group, i.e. its own min-id representative. groupBy-min keeps the
+    * hot-text safety (map-side partial agg absorbs mass-duplicated
+    * boilerplate; a Window.partitionBy would sort the whole hot group on
+    * one reducer). `prefilterDupKeys = false` restores the r5 single-pass
+    * groupBy(hash, text) + join-back shape — the escape hatch when the
+    * duplicated-hash set itself would not fit a broadcast (mass-dup
+    * corpus before any upstream dedup). */
+  def apply(df: DataFrame, idCol: String, textCol: String,
+            prefilterDupKeys: Boolean = true): DataFrame = {
     val hashed = df.withColumn("__th", xxhash64(col(textCol)))
-    val reps = hashed.groupBy(col("__th"), col(textCol).as("__tt"))
-      .agg(min(col(idCol)).as("exact_dup_rep"))
+    val reps =
+      if (prefilterDupKeys) {
+        val dupTh = hashed.groupBy("__th").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select("__th")
+        hashed
+          .select(col("__th"), col(textCol).as("__tt"), col(idCol).as("__cid"))
+          .join(broadcast(dupTh), Seq("__th"), "left_semi")
+          .groupBy(col("__th"), col("__tt"))
+          .agg(min(col("__cid")).as("exact_dup_rep"))
+      } else {
+        hashed.groupBy(col("__th"), col(textCol).as("__tt"))
+          .agg(min(col(idCol)).as("exact_dup_rep"))
+      }
     hashed
       // null-safe keys: rows with null text must survive the join (a plain
-      // === would silently drop them)
-      .join(reps, hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"))
+      // === would silently drop them). With the prefilter, reps holds only
+      // the duplicated groups — hint it broadcast (its size is unknowable
+      // at planning, so an unhinted plan sort-merges, shuffling the full
+      // corpus text the prefilter exists to keep local; the same
+      // fits-a-broadcast assumption as dupTh above)
+      .join(if (prefilterDupKeys) broadcast(reps) else reps,
+        hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"),
+        if (prefilterDupKeys) "left" else "inner")
       .drop(reps("__th")).drop("__tt")
       // null text is UNKNOWN content, not identical content — pass such rows
       // through as their own survivors instead of deduping them against
       // each other (which would silently drop all but one)
       .withColumn("exact_dup_rep",
-        when(col(textCol).isNull, col(idCol)).otherwise(col("exact_dup_rep")))
+        when(col(textCol).isNull, col(idCol))
+          .otherwise(coalesce(col("exact_dup_rep"), col(idCol))))
       .withColumn("exact_keep", col("exact_dup_rep") === col(idCol))
       .drop("__th")
   }
@@ -62,9 +93,9 @@ object UrlDedup {
     * min-struct aggregates map-side and the join back is AQE-skew-splittable.
     * Priority must be numeric (the reference's is an int). */
   def apply(df: DataFrame, urlCol: String, idCol: String, priorityCol: String,
-            normalize: Boolean = false): DataFrame =
+            normalize: Boolean = false, prefilterDupKeys: Boolean = true): DataFrame =
     applyWithKey(df, if (normalize) normalizeUdf(col(urlCol)) else col(urlCol),
-      idCol, priorityCol)
+      idCol, priorityCol, prefilterDupKeys = prefilterDupKeys)
 
   /** url_normalizer seam (url_dedup.py's UrlDedupConfig.url_normalizer is an
     * arbitrary callable): dedup on a caller-supplied key expression. */
@@ -75,22 +106,42 @@ object UrlDedup {
   }
 
   private def applyWithKey(df: DataFrame, keyCol: Column, idCol: String,
-                           priorityCol: String, keepKey: Boolean = false): DataFrame = {
+                           priorityCol: String, keepKey: Boolean = false,
+                           prefilterDupKeys: Boolean = true): DataFrame = {
     val keyed = df.withColumn("__ukey", keyCol)
+    // Round-6 duplicate-candidate prefilter (same argument as ExactDedup):
+    // an 8-byte-ish key+count pass finds urls occurring more than once, the
+    // best-priority representative is computed over those candidates only,
+    // and every unique url is its own survivor through the LEFT join's
+    // coalesce — the url strings of the unique majority never ride the
+    // best-of exchange, and the join-back side shrinks to the dup groups.
+    val cand =
+      if (prefilterDupKeys) {
+        val dupKeys = keyed.groupBy("__ukey").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select("__ukey")
+        keyed.select(col("__ukey"), col(priorityCol), col(idCol))
+          .join(broadcast(dupKeys), Seq("__ukey"), "left_semi")
+      } else keyed
     // min over (priority-is-null, -priority, id) = highest non-null priority,
     // nulls last (matching the old orderBy(desc) semantics), ties to the
     // smallest id. Negation assumes a sane numeric priority (the reference's
     // is a small int); Long.MinValue priorities are out of contract.
-    val best = keyed.groupBy("__ukey")
+    val best = cand.groupBy("__ukey")
       .agg(min(struct(col(priorityCol).isNull.as("pn"),
         (-col(priorityCol)).as("np"), col(idCol).as("bid"))).as("__b"))
       .select(col("__ukey").as("__bkey"), col("__b.bid").as("url_dup_rep"))
     keyed
-      // null-safe key join: null-url rows keep flowing through the operator
-      .join(best, col("__ukey") <=> col("__bkey"))
-      // a null url is an unknown page, not THE SAME page — pass through
+      // null-safe key join: null-url rows keep flowing through the operator.
+      // With the prefilter, best holds only the duplicated url groups —
+      // hint it broadcast so the corpus side never shuffles for this join
+      .join(if (prefilterDupKeys) broadcast(best) else best,
+        col("__ukey") <=> col("__bkey"),
+        if (prefilterDupKeys) "left" else "inner")
+      // a null url is an unknown page, not THE SAME page — pass through;
+      // prefiltered-out unique urls are their own survivors
       .withColumn("url_dup_rep",
-        when(col("__ukey").isNull, col(idCol)).otherwise(col("url_dup_rep")))
+        when(col("__ukey").isNull, col(idCol))
+          .otherwise(coalesce(col("url_dup_rep"), col(idCol))))
       .withColumn("url_keep", col("url_dup_rep") === col(idCol))
       .drop((if (keepKey) Seq("__bkey") else Seq("__ukey", "__bkey")): _*)
   }
@@ -157,7 +208,12 @@ final case class SentenceDedupConfig(
     /** HashConfig (utils/hashing.py:12-30): precision 32 halves signature
       * width at 100 TB scale; sha1 matches the fork's configured hashes. */
     hashPrecision: Int = 64,
-    hashFc: String = "xxhash")
+    hashFc: String = "xxhash",
+    /** Round-6 duplicate-candidate prefilter (see corpusDups): ON keeps
+      * the unique-hash majority out of the first-wins exchange via an
+      * 8-byte count pass + broadcast semi-join; flip OFF when the
+      * duplicated-hash set would not fit a broadcast. */
+    prefilterDupHashes: Boolean = true)
 
 object SentenceDedup {
 
@@ -193,7 +249,7 @@ object SentenceDedup {
             cfg: SentenceDedupConfig = SentenceDedupConfig())
            (implicit spark: SparkSession): DataFrame = {
     val sigs = sigsOf(df, idCol, textCol, cfg)
-    val dups = corpusDups(sigs)
+    val dups = corpusDups(sigs, cfg.prefilterDupHashes)
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
     finish(df, idCol, textCol, cfg, dups)
@@ -204,12 +260,27 @@ object SentenceDedup {
     * a ubiquitous boilerplate window (one hash, millions of rows) is
     * absorbed by map-side partial aggregation, and the join back gets AQE
     * skew-splitting; WindowExec would sort the whole hot group on one
-    * reducer with no mitigation. */
-  private def corpusDups(sigs: DataFrame): DataFrame = {
-    val firsts = sigs.groupBy("__hash")
+    * reducer with no mitigation. Round 6 adds the duplicate-candidate
+    * prefilter (same identity argument as ExactSubstrDedup): an 8-byte
+    * hash+count pass finds duplicated window hashes, candidates
+    * broadcast-semi-join against that small set, and the min/join-back
+    * pair runs over candidates only — a corpus-unique hash's single row
+    * is its own first occurrence and the `!= __first` cut discards it
+    * regardless, so the fat (hash, doc, sent) rows of the unique majority
+    * never ride the min exchange or the join. */
+  private def corpusDups(sigs: DataFrame, prefilter: Boolean): DataFrame = {
+    val cand =
+      if (prefilter) {
+        val dup = sigs.groupBy("__hash").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select("__hash")
+        sigs.join(broadcast(dup), Seq("__hash"), "left_semi")
+      } else sigs
+    val firsts = cand.groupBy("__hash")
       .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
-    sigs
-      .join(firsts, Seq("__hash"))
+    cand
+      // prefiltered: firsts is one row per DUPLICATED hash — broadcast it
+      // so the candidate rows skip a sort-merge exchange for the join-back
+      .join(if (prefilter) broadcast(firsts) else firsts, Seq("__hash"))
       .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
       .select("__hash", "__doc", "__sent")
   }
@@ -241,7 +312,7 @@ object SentenceDedup {
     val dupRows =
       if (onlyDedupInIndex) fromIndex
       else fromIndex.select("__hash", "__doc", "__sent")
-        .union(corpusDups(sigs)).distinct()
+        .union(corpusDups(sigs, cfg.prefilterDupHashes)).distinct()
     val dups = dupRows.groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
     finish(df, idCol, textCol, cfg, dups)
@@ -334,21 +405,24 @@ object SentenceDedup {
       .withColumn("removed_sentences",
         when(col("__touched"), col("__r._2")).otherwise(lit(0)))
 
-    val wordCount = udf { t: String => Tokenizer.words(t).length }
+    val wordCount = udf { t: String => if (t == null) 0 else Tokenizer.words(t).length }
     // the keep rule counts SENTENCES regardless of dedup mode
     // (sentence_dedup.py:437-438 calls split_into_sentences
     // unconditionally, even when the dedup units were lines)
-    val sentCount = udf { t: String => Tokenizer.sentences(t).length }
+    val sentCount = udf { t: String => if (t == null) 0 else Tokenizer.sentences(t).length }
 
     // reference keep rule (sentence_dedup.py:424-441): (no change OR both
     // minimum thresholds) AND filtered text non-empty — the non-empty guard
-    // applies to BOTH branches (an empty doc is dropped even when untouched)
+    // applies to BOTH branches (an empty doc is dropped even when untouched).
+    // Null text = no units at all: dropped like the empty doc (the ===/=!=
+    // comparisons would otherwise yield a NULL keep flag, not a boolean)
     joined
       .withColumn("sentence_dedup_keep",
-        ((col("__newText") === col(textCol)) ||
-         ((lit(cfg.minDocWords) <= 0 || wordCount(col("__newText")) >= cfg.minDocWords) &&
-          (lit(cfg.minNumSentences) <= 0 || sentCount(col("__newText")) >= cfg.minNumSentences))) &&
-        col("__newText") =!= "")
+        when(col("__newText").isNull, lit(false)).otherwise(
+          ((col("__newText") === col(textCol)) ||
+           ((lit(cfg.minDocWords) <= 0 || wordCount(col("__newText")) >= cfg.minDocWords) &&
+            (lit(cfg.minNumSentences) <= 0 || sentCount(col("__newText")) >= cfg.minNumSentences))) &&
+          col("__newText") =!= ""))
       .withColumn(textCol, col("__newText"))
       .drop("__dupSents", "__touched", "__r", "__newText")
   }

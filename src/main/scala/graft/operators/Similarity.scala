@@ -138,8 +138,18 @@ object Similarity {
 
   /** Approximate top-k via random-hyperplane LSH with `bands` bucket
     * families of `bitsPerBand` bits each. Recall rises with bands. */
+  /** @param prefilterSingletonBuckets a bucket with one member can only
+    *   yield its self-pair (filtered out below), so it can never produce a
+    *   candidate: when ON, an 8-byte bucket+count pass over the persisted
+    *   id-bucket projection finds the multi-member buckets and a broadcast
+    *   semi-join keeps singleton rows — the vast majority under
+    *   well-spread hyperplane hashes — out of BOTH self-join exchanges.
+    *   Output-identical by construction; flip OFF if the multi-member
+    *   bucket set would not fit a broadcast (heavily clustered
+    *   embeddings, where the self-join is the real cost anyway). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L)
+              bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+              prefilterSingletonBuckets: Boolean = true)
              (implicit spark: SparkSession): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = spark.sparkContext.broadcast(hyperplanes(dim, bands * bitsPerBand, seed))
@@ -178,8 +188,14 @@ object Similarity {
       .select(col("__qid"), explode(bucketUdf(col("__qv"))).as("__bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    val pairs = bucketed
-      .join(bucketed.withColumnRenamed("__qid", "neighbor"), Seq("__bucket"))
+    val cand =
+      if (prefilterSingletonBuckets) {
+        val multi = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select("__bucket")
+        bucketed.join(broadcast(multi), Seq("__bucket"), "left_semi")
+      } else bucketed
+    val pairs = cand
+      .join(cand.withColumnRenamed("__qid", "neighbor"), Seq("__bucket"))
       .where(col("__qid") =!= col("neighbor"))
       .select("__qid", "neighbor")
       .dropDuplicates("__qid", "neighbor")

@@ -149,6 +149,37 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!esNoPf.contains("LeftSemi"), "prefilter off must remove the semi-join")
   }
 
+  test("dedup-family duplicate-candidate prefilter agrees with the single-pass shape") {
+    // mixed corpus: a mass-duplicated text, a 2-copy text, uniques, null
+    // text/url/priority, url priority ties — every branch of the
+    // coalesce/left-join rewrite
+    val rows = (0 until 40).map { i =>
+      val text = if (i < 10) "common boilerplate body" else if (i < 12) "twice body" else s"unique body $i"
+      val url = if (i % 7 == 0) "https://Dup.example/x?q=1" else s"https://u$i.example/p"
+      val prio: java.lang.Long = if (i % 5 == 0) null else java.lang.Long.valueOf((i % 3).toLong)
+      (i.toLong, text, url, prio)
+    } ++ Seq((100L, null.asInstanceOf[String], null.asInstanceOf[String], java.lang.Long.valueOf(1L)),
+             (101L, null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+    val df = rows.toDF("doc_id", "text", "url", "prio").repartition(4)
+    def snap(d: org.apache.spark.sql.DataFrame, cols: String*) =
+      d.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(snap(ExactDedup(df, "doc_id", "text"), "doc_id", "exact_keep", "exact_dup_rep") ==
+      snap(ExactDedup(df, "doc_id", "text", prefilterDupKeys = false), "doc_id", "exact_keep", "exact_dup_rep"))
+    assert(snap(UrlDedup(df, "url", "doc_id", "prio", normalize = true), "doc_id", "url_keep", "url_dup_rep") ==
+      snap(UrlDedup(df, "url", "doc_id", "prio", normalize = true, prefilterDupKeys = false), "doc_id", "url_keep", "url_dup_rep"))
+    val threeLine = df.withColumn("text",
+      concat(col("text"), lit("\nmid "), col("text"), lit("\n"), col("text"), lit(" end")))
+    assert(snap(SentenceDedup(threeLine, "doc_id", "text"), "doc_id", "sentence_dedup_keep", "text") ==
+      snap(SentenceDedup(threeLine, "doc_id", "text",
+        SentenceDedupConfig(prefilterDupHashes = false)), "doc_id", "sentence_dedup_keep", "text"))
+    // plan pin: the prefilter must reach the min pass as a broadcast
+    // LEFT-SEMI (a shuffled semi would re-shuffle the table it exists to
+    // protect)
+    val p = planOf(ExactDedup(df, "doc_id", "text"))
+    assert(p.contains("LeftSemi") &&
+      (p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")))
+  }
+
   test("exact/url dedup: null text, null url, and null priority rows survive the join") {
     val rows = Seq(
       (1L, "same text", "u1", java.lang.Long.valueOf(5L)),
@@ -270,6 +301,10 @@ class ScaleShapeSpec extends SparkSpec {
     val hits = joined.where(col("qc") === col("nc")).count()
     val n = rows.size
     assert(hits.toDouble / n >= 0.9, s"recall@1 ${hits.toDouble / n}")
+    // singleton-bucket prefilter is output-identical to the full self-join
+    val noPf = Similarity.lshTopK(df, "vec_id", "embedding", k = 1,
+      prefilterSingletonBuckets = false)
+    assert(top1.collect().map(_.toSeq).toSet == noPf.collect().map(_.toSeq).toSet)
   }
 
   test("ivfTopK: recall@1 >= 0.9 on planted clusters (coarse quantizer + probe)") {
