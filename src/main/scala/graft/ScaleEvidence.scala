@@ -163,8 +163,12 @@ object ScaleEvidence {
       col("url"), xxhash64(col("url")).as("doc_id"), col("text"))
 
     // SPARK_GRAFT_DEDUP_PREFILTER=0 disables the round-6 duplicate-candidate
-    // prefilter across the dedup family for interleaved A/B runs
+    // prefilter for exact/sentence/url dedup + ann_lsh; the two exact_substr
+    // phases DELIBERATELY key off their own SPARK_GRAFT_ES_PREFILTER so the
+    // ES A/B (which predates the family generalization) stays independently
+    // reproducible — a family-wide OFF run must set BOTH to 0
     val dedupPf = sys.env.get("SPARK_GRAFT_DEDUP_PREFILTER").forall(_ != "0")
+    val esPf = sys.env.get("SPARK_GRAFT_ES_PREFILTER").forall(_ != "0")
 
     phase("exact_dedup") {
       // the PRODUCT operator (annotate-back included); was an inline
@@ -198,10 +202,9 @@ object ScaleEvidence {
       // SPARK_GRAFT_ES_PREFILTER=0 disables the h1-only duplicate-candidate
       // prefilter (the round-6 exchange cut) for interleaved A/B runs
       val anchor = sys.env.get("SPARK_GRAFT_ES_ANCHOR").map(_.toInt)
-      val pf = sys.env.get("SPARK_GRAFT_ES_PREFILTER").forall(_ != "0")
       ExactSubstrDedup(docs, "doc_id", "text",
         ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = anchor,
-          prefilterDupHashes = pf))
+          prefilterDupHashes = esPf))
         .filter(!col("exact_substr_keep")).count()
     }
 
@@ -211,8 +214,7 @@ object ScaleEvidence {
       // spans content-defined, so copies anchor identically
       ExactSubstrDedup(docs, "doc_id", "text",
         ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = Some(8),
-          prefilterDupHashes =
-            sys.env.get("SPARK_GRAFT_ES_PREFILTER").forall(_ != "0")))
+          prefilterDupHashes = esPf))
         .filter(!col("exact_substr_keep")).count()
     }
 

@@ -13,49 +13,52 @@ object ExactDedup {
     * surviving doc id (min id per identical text) and a keep flag.
     * Collision-safe two-level key: group on the 64-bit text hash, compare
     * full text within hash groups. */
-  /** Scale shape (round 6): a duplicate-candidate prefilter first shuffles
-    * ONLY the 8-byte text hash (map-side count combine) to find hashes
-    * occurring more than once — on a mostly-unique web corpus the full
-    * TEXT column then never rides any exchange: candidate rows
-    * broadcast-semi-join against the (small) duplicated-hash set, the
-    * min-id representative is computed over candidates alone, and the
-    * corpus LEFT-joins that small reps table (AQE broadcasts it), with
-    * every non-candidate its own survivor via coalesce. Result-identical:
-    * a corpus-unique hash's row is the single member of its (hash, text)
+  /** Scale shape (round 6): the [[DupCandidates]] prefilter shuffles ONLY
+    * the 8-byte text hash to find hashes occurring more than once — on a
+    * mostly-unique web corpus the full TEXT column then never rides any
+    * exchange OR broadcast: candidate rows broadcast-semi-join against
+    * the (small, hash-only) duplicated-hash set, the min-id representative
+    * is computed over candidates alone and joined back within the
+    * candidate subset (both sides small; AQE picks the strategy — no
+    * payload is ever hint-broadcast), and the non-candidate majority is
+    * split off with the REUSED broadcast as a left-anti probe, each row
+    * its own survivor with no join at all. Result-identical: a
+    * corpus-unique hash's row is the single member of its (hash, text)
     * group, i.e. its own min-id representative. groupBy-min keeps the
     * hot-text safety (map-side partial agg absorbs mass-duplicated
     * boilerplate; a Window.partitionBy would sort the whole hot group on
-    * one reducer). `prefilterDupKeys = false` restores the r5 single-pass
-    * groupBy(hash, text) + join-back shape — the escape hatch when the
-    * duplicated-hash set itself would not fit a broadcast (mass-dup
-    * corpus before any upstream dedup). */
+    * one reducer). Cost: the input lineage is scanned three times (count,
+    * semi, anti) instead of twice. `prefilterDupKeys = false` restores
+    * the r5 single-pass groupBy(hash, text) + join-back shape — the
+    * escape hatch when even the hash-only duplicated-key set would not
+    * fit a broadcast (mass-dup corpus before any upstream dedup). */
   def apply(df: DataFrame, idCol: String, textCol: String,
             prefilterDupKeys: Boolean = true): DataFrame = {
     val hashed = df.withColumn("__th", xxhash64(col(textCol)))
-    val reps =
+    val annotated =
       if (prefilterDupKeys) {
-        val dupTh = hashed.groupBy("__th").agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1).select("__th")
-        hashed
+        val dupTh = DupCandidates.dupKeys(hashed.select("__th"), Seq("__th"))
+        val cand = hashed.join(broadcast(dupTh), Seq("__th"), "left_semi")
+        val reps = cand
           .select(col("__th"), col(textCol).as("__tt"), col(idCol).as("__cid"))
-          .join(broadcast(dupTh), Seq("__th"), "left_semi")
           .groupBy(col("__th"), col("__tt"))
           .agg(min(col("__cid")).as("exact_dup_rep"))
+        val candAnnot = cand
+          // null-safe keys: rows with null text must survive the join (a
+          // plain === would silently drop them)
+          .join(reps, cand("__th") <=> reps("__th") && col(textCol) <=> col("__tt"))
+          .drop(reps("__th")).drop("__tt")
+        val rest = hashed.join(broadcast(dupTh), Seq("__th"), "left_anti")
+          .withColumn("exact_dup_rep", col(idCol))
+        candAnnot.unionByName(rest)
       } else {
-        hashed.groupBy(col("__th"), col(textCol).as("__tt"))
+        val reps = hashed.groupBy(col("__th"), col(textCol).as("__tt"))
           .agg(min(col(idCol)).as("exact_dup_rep"))
+        hashed
+          .join(reps, hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"))
+          .drop(reps("__th")).drop("__tt")
       }
-    hashed
-      // null-safe keys: rows with null text must survive the join (a plain
-      // === would silently drop them). With the prefilter, reps holds only
-      // the duplicated groups — hint it broadcast (its size is unknowable
-      // at planning, so an unhinted plan sort-merges, shuffling the full
-      // corpus text the prefilter exists to keep local; the same
-      // fits-a-broadcast assumption as dupTh above)
-      .join(if (prefilterDupKeys) broadcast(reps) else reps,
-        hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"),
-        if (prefilterDupKeys) "left" else "inner")
-      .drop(reps("__th")).drop("__tt")
+    annotated
       // null text is UNKNOWN content, not identical content — pass such rows
       // through as their own survivors instead of deduping them against
       // each other (which would silently drop all but one)
@@ -109,19 +112,17 @@ object UrlDedup {
                            priorityCol: String, keepKey: Boolean = false,
                            prefilterDupKeys: Boolean = true): DataFrame = {
     val keyed = df.withColumn("__ukey", keyCol)
-    // Round-6 duplicate-candidate prefilter (same argument as ExactDedup):
-    // an 8-byte-ish key+count pass finds urls occurring more than once, the
-    // best-priority representative is computed over those candidates only,
-    // and every unique url is its own survivor through the LEFT join's
-    // coalesce — the url strings of the unique majority never ride the
-    // best-of exchange, and the join-back side shrinks to the dup groups.
+    // DupCandidates prefilter (same argument as ExactDedup): a key+count
+    // pass finds urls occurring more than once, the best-priority
+    // representative is computed over those candidates only, and every
+    // unique url is its own survivor through the LEFT join's coalesce —
+    // the unique majority never rides the best-of exchange, and the
+    // join-back side shrinks to the dup groups.
     val cand =
-      if (prefilterDupKeys) {
-        val dupKeys = keyed.groupBy("__ukey").agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1).select("__ukey")
-        keyed.select(col("__ukey"), col(priorityCol), col(idCol))
-          .join(broadcast(dupKeys), Seq("__ukey"), "left_semi")
-      } else keyed
+      if (prefilterDupKeys)
+        DupCandidates.filterToDupKeys(
+          keyed.select(col("__ukey"), col(priorityCol), col(idCol)), Seq("__ukey"))
+      else keyed
     // min over (priority-is-null, -priority, id) = highest non-null priority,
     // nulls last (matching the old orderBy(desc) semantics), ties to the
     // smallest id. Negation assumes a sane numeric priority (the reference's
@@ -132,8 +133,10 @@ object UrlDedup {
       .select(col("__ukey").as("__bkey"), col("__b.bid").as("url_dup_rep"))
     keyed
       // null-safe key join: null-url rows keep flowing through the operator.
-      // With the prefilter, best holds only the duplicated url groups —
-      // hint it broadcast so the corpus side never shuffles for this join
+      // With the prefilter, best holds one (dup url, winner id) row per
+      // duplicated url group — key-sized, no payload columns — so the hint
+      // stays within the DupCandidates broadcast contract and the corpus
+      // side never shuffles for this join
       .join(if (prefilterDupKeys) broadcast(best) else best,
         col("__ukey") <=> col("__bkey"),
         if (prefilterDupKeys) "left" else "inner")
@@ -248,7 +251,17 @@ object SentenceDedup {
   def apply(df: DataFrame, idCol: String, textCol: String,
             cfg: SentenceDedupConfig = SentenceDedupConfig())
            (implicit spark: SparkSession): DataFrame = {
-    val sigs = sigsOf(df, idCol, textCol, cfg)
+    // with the prefilter, the slim sigs projection is consumed four times
+    // (count pass, semi probe, first-wins agg, join-back) — persist it so
+    // the heavy window-hash UDF (simplify + tokenize + hash every n-unit
+    // window) runs once, the same multi-consumption hazard withIndex's
+    // loose mode already persists for
+    val sigs0 = sigsOf(df, idCol, textCol, cfg)
+    val sigs =
+      if (cfg.prefilterDupHashes)
+        CacheRegistry.swapRotating("sentencededup.sigs",
+          sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else sigs0
     val dups = corpusDups(sigs, cfg.prefilterDupHashes)
       .groupBy("__doc")
       .agg(sort_array(collect_list(col("__sent"))).as("__dupSents"))
@@ -270,11 +283,8 @@ object SentenceDedup {
     * never ride the min exchange or the join. */
   private def corpusDups(sigs: DataFrame, prefilter: Boolean): DataFrame = {
     val cand =
-      if (prefilter) {
-        val dup = sigs.groupBy("__hash").agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1).select("__hash")
-        sigs.join(broadcast(dup), Seq("__hash"), "left_semi")
-      } else sigs
+      if (prefilter) DupCandidates.filterToDupKeys(sigs, Seq("__hash"))
+      else sigs
     val firsts = cand.groupBy("__hash")
       .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
     cand
@@ -303,7 +313,10 @@ object SentenceDedup {
     val sigs0 = sigsOf(df, idCol, textCol, cfg)
     val sigs =
       if (onlyDedupInIndex) sigs0
-      else CacheRegistry.swapRotating("sentencededup.indexsigs", sigs0)
+      // (the actual .persist was missing here through r6 — swapRotating
+      // only does unpersist bookkeeping; review-caught)
+      else CacheRegistry.swapRotating("sentencededup.indexsigs",
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val indexHashes = indexDf
       .where(col(indexTextCol).isNotNull) // null index rows: skip, not NPE
       .select(explode(windowHashesUdf(cfg)(col(indexTextCol))).as("w"))

@@ -189,12 +189,12 @@ object ExactSubstrDedup {
     // by the `!= __first` argument; recomputes the span UDF once more.
     def prefilter(spans: DataFrame): DataFrame =
       if (!cfg.prefilterDupHashes) spans
-      else {
-        val dup = spans.select("__h1")
-          .groupBy("__h1").agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1).select("__h1")
-        spans.join(broadcast(dup), Seq("__h1"), "left_semi")
-      }
+      else DupCandidates.filterToDupKeys(spans, Seq("__h1"))
+    // with the prefilter, firsts is one row per DUPLICATED span hash —
+    // within the DupCandidates broadcast contract, so the groupBy-min
+    // escape hatch's join-back can skip its sort-merge exchanges too
+    def joinFirsts(spans: DataFrame, firsts: DataFrame, keys: Seq[String]): DataFrame =
+      spans.join(if (cfg.prefilterDupHashes) broadcast(firsts) else firsts, keys)
 
     // first occurrence (min doc, then min pos) of each span hash survives.
     // WINDOW-min over the span hash, not groupBy-min + join-back: the span
@@ -232,7 +232,7 @@ object ExactSubstrDedup {
         if (cfg.hotKeyGroupByMin) {
           val firsts = spans.groupBy("__h1", "__h2")
             .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
-          spans.join(firsts, Seq("__h1", "__h2"))
+          joinFirsts(spans, firsts, Seq("__h1", "__h2"))
         } else {
           val w = Window.partitionBy("__h1", "__h2")
           spans.withColumn("__first",
@@ -283,7 +283,7 @@ object ExactSubstrDedup {
         if (cfg.hotKeyGroupByMin) {
           val firsts = spans.groupBy("__h1", "__h2")
             .agg(min(struct(col("__doc"), col("__lp"))).as("__first"))
-          spans.join(firsts, Seq("__h1", "__h2"))
+          joinFirsts(spans, firsts, Seq("__h1", "__h2"))
         } else {
           val w = Window.partitionBy("__h1", "__h2")
           spans.withColumn("__first",

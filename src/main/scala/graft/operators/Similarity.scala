@@ -189,11 +189,9 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val cand =
-      if (prefilterSingletonBuckets) {
-        val multi = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1).select("__bucket")
-        bucketed.join(broadcast(multi), Seq("__bucket"), "left_semi")
-      } else bucketed
+      if (prefilterSingletonBuckets)
+        DupCandidates.filterToDupKeys(bucketed, Seq("__bucket"))
+      else bucketed
     val pairs = cand
       .join(cand.withColumnRenamed("__qid", "neighbor"), Seq("__bucket"))
       .where(col("__qid") =!= col("neighbor"))

@@ -139,10 +139,11 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!esPlan.matches("(?s).*windowspecdefinition\\([^)]*(ASC|DESC).*"),
       "exact_substr window must not carry an orderBy sort spec")
     // round 6: the duplicate-candidate prefilter must reach the window as
-    // a broadcast LEFT-SEMI join (a shuffled semi-join would re-shuffle
-    // the full span table and defeat the point)
-    assert(esPlan.contains("LeftSemi") &&
-      (esPlan.contains("BroadcastHashJoin") || esPlan.contains("BroadcastExchange")),
+    // a broadcast LEFT-SEMI join — pinned on ONE node (a SortMergeJoin
+    // LeftSemi next to some unrelated BroadcastExchange must NOT pass:
+    // a shuffled semi-join would re-shuffle the full span table and
+    // defeat the point)
+    assert(esPlan.matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"),
       "prefilter must be a broadcast left-semi join against the dup-hash set")
     val esNoPf = planOf(ExactSubstrDedup(docs, "doc_id", "text",
       ExactSubstrConfig(prefilterDupHashes = false)))
@@ -172,12 +173,17 @@ class ScaleShapeSpec extends SparkSpec {
     assert(snap(SentenceDedup(threeLine, "doc_id", "text"), "doc_id", "sentence_dedup_keep", "text") ==
       snap(SentenceDedup(threeLine, "doc_id", "text",
         SentenceDedupConfig(prefilterDupHashes = false)), "doc_id", "sentence_dedup_keep", "text"))
-    // plan pin: the prefilter must reach the min pass as a broadcast
-    // LEFT-SEMI (a shuffled semi would re-shuffle the table it exists to
-    // protect)
+    // plan pins: the prefilter must reach the min pass as a broadcast
+    // LEFT-SEMI on ONE node (a shuffled semi would re-shuffle the table it
+    // exists to protect), and the non-candidate split must be a broadcast
+    // ANTI probe — never a corpus exchange
     val p = planOf(ExactDedup(df, "doc_id", "text"))
-    assert(p.contains("LeftSemi") &&
-      (p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")))
+    assert(p.matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"), p.take(400))
+    assert(p.matches("(?s).*BroadcastHashJoin[^\\n]*LeftAnti.*"), p.take(400))
+    assert(planOf(UrlDedup(df, "url", "doc_id", "prio"))
+      .matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"))
+    assert(planOf(SentenceDedup(threeLine, "doc_id", "text"))
+      .matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"))
   }
 
   test("exact/url dedup: null text, null url, and null priority rows survive the join") {
