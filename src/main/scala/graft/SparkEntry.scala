@@ -435,7 +435,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 63 HAND-TRANSCRIBED realistic
+      // the general extraction path over 70 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
       // layout, paywall/popup chrome, details/summary, inline entities,
@@ -2298,7 +2298,14 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/poetry-stanzas', 10, 390, '892edc3a77bda04a03ae49476c565911'),
   ('https://wild.example.org/lighthouse-transcript', 5, 462, '37bd05a6cdca71b084eaf51afddc7103'),
   ('https://wild.example.org/science-subsup', 6, 480, 'a4ec7874d40200253560414440a49889'),
-  ('https://wild.example.org/licence-terms', 11, 395, 'eb91f579c173768a0b21264ce77ebea0')
+  ('https://wild.example.org/licence-terms', 11, 395, 'eb91f579c173768a0b21264ce77ebea0'),
+  ('https://wild.example.org/homepage-index', 4, 337, '5604ec52e44ae17a5adff1b3e75aad4d'),
+  ('https://wild.example.org/box-score', 7, 250, 'ed63e4a01ba4526e6a40b6ed934b1c52'),
+  ('https://wild.example.org/gov-form', 9, 417, '41946102a5ec5eef742eb21a54e8677a'),
+  ('https://wild.example.org/dictionary-entry', 5, 242, '248307f0db58d6cac179e1a96343faa5'),
+  ('https://wild.example.org/maintenance-notice', 3, 148, '58de518dfaebbc644567da397bc88368'),
+  ('https://wild.example.org/review-pros-cons', 9, 404, '65ccfa1ca3bcc803c453f5bbceedb387'),
+  ('https://wild.example.org/wiki-talk', 5, 283, 'd5a2a6e61a5052c9d928e5adcc1d8df7')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

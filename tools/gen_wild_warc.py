@@ -1032,6 +1032,148 @@ cd app-2.4 &amp;&amp; ./install.sh</pre>
         "Bay",
         "The marked floor area, including its wall rack.",
     ]),
+
+    # ---- round-6 eighth batch: homepage teaser index (link-only <h2>
+    # headlines die by the favor_precision block rule while their teaser
+    # paragraphs survive), sports box score across thead/tbody/tfoot, civic
+    # form instructions committing via id="main-content", a dictionary
+    # entry with inline <q>/<i>, a maintenance notice (near-empty class),
+    # a review whose class="rating" block is discarded, and a wiki talk
+    # page with replies nested as <dl> inside <dd>.
+
+    ("homepage-index", """<html><body>
+<main>
+<h1>The Valley Courier</h1>
+<div class="teaser"><h2><a href="/n1">Reservoir works enter final phase</a></h2><p>Contractors began lining the spill channel on Monday, with the footpath reopening planned for October.</p></div>
+<div class="teaser"><h2><a href="/n2">Market hall roof wins design award</a></h2><p>The timber lattice roof took the regional prize for public buildings, the jury citing its reuse of the 1911 trusses.</p></div>
+<div class="teaser"><h2><a href="/n3">School buses rerouted next week</a></h2><p>Three routes will divert around the bridge works; pickup times shift by ten minutes at most stops.</p></div>
+</main>
+</body></html>""", [
+        "The Valley Courier",
+        "Contractors began lining the spill channel on Monday, with the footpath reopening planned for October.",
+        "The timber lattice roof took the regional prize for public buildings, the jury citing its reuse of the 1911 trusses.",
+        "Three routes will divert around the bridge works; pickup times shift by ten minutes at most stops.",
+    ]),
+
+    ("box-score", """<html><body>
+<article>
+<h1>Harriers 3, Rovers 1</h1>
+<p>The Harriers pulled away after the hour mark with two goals in five minutes at a windy Eastfield.</p>
+<table class="box-score">
+<thead><tr><th>Player</th><th>G</th><th>A</th></tr></thead>
+<tbody>
+<tr><td>Okafor</td><td>2</td><td>0</td></tr>
+<tr><td>Lindqvist</td><td>1</td><td>1</td></tr>
+</tbody>
+<tfoot><tr><td>Total</td><td>3</td><td>1</td></tr></tfoot>
+</table>
+<p>Rovers' reply came from the penalty spot after a handball call the visitors disputed.</p>
+</article>
+</body></html>""", [
+        "Harriers 3, Rovers 1",
+        "The Harriers pulled away after the hour mark with two goals in five minutes at a windy Eastfield.",
+        "Player G A",
+        "Okafor 2 0",
+        "Lindqvist 1 1",
+        "Total 3 1",
+        "Rovers' reply came from the penalty spot after a handball call the visitors disputed.",
+    ]),
+
+    ("gov-form", """<html><body>
+<div id="main-content">
+<h1>How to renew a mooring permit</h1>
+<p>Renewals open on 1 March and close on 30 April; late applications go to the waiting list.</p>
+<ol>
+<li>Check the permit number on your current sticker.</li>
+<li>Gather the required documents listed below.</li>
+<li>Submit the form at the harbor office or by post.</li>
+</ol>
+<h2>Required documents</h2>
+<ul><li>Proof of insurance valid through September.</li><li>The boat's registration card.</li></ul>
+<blockquote>Applications without insurance proof are returned unprocessed.</blockquote>
+</div>
+</body></html>""", [
+        "How to renew a mooring permit",
+        "Renewals open on 1 March and close on 30 April; late applications go to the waiting list.",
+        "Check the permit number on your current sticker.",
+        "Gather the required documents listed below.",
+        "Submit the form at the harbor office or by post.",
+        "Required documents",
+        "Proof of insurance valid through September.",
+        "The boat's registration card.",
+        "Applications without insurance proof are returned unprocessed.",
+    ]),
+
+    ("dictionary-entry", """<html><body>
+<article class="entry">
+<h1>grapnel</h1>
+<p class="pronounce">/ˈɡræp.nəl/ · noun</p>
+<ol class="senses">
+<li>A small anchor with several flukes, used for small boats.</li>
+<li>A hooked device thrown on a rope to catch or hold something, as in <q>they hauled the raft in with a grapnel</q>.</li>
+</ol>
+<p class="etym">From Old French <i>grapin</i>, diminutive of <i>grape</i>, hook.</p>
+</article>
+</body></html>""", [
+        "grapnel",
+        "/ˈɡræp.nəl/ · noun",
+        "A small anchor with several flukes, used for small boats.",
+        "A hooked device thrown on a rope to catch or hold something, as in they hauled the raft in with a grapnel.",
+        "From Old French grapin, diminutive of grape, hook.",
+    ]),
+
+    ("maintenance-notice", """<html><body>
+<main>
+<h1>Scheduled maintenance</h1>
+<p>The booking system is offline until 06:00 tomorrow while we move to new hardware.</p>
+<p>Saved itineraries are safe; nothing is lost.</p>
+</main>
+</body></html>""", [
+        "Scheduled maintenance",
+        "The booking system is offline until 06:00 tomorrow while we move to new hardware.",
+        "Saved itineraries are safe; nothing is lost.",
+    ]),
+
+    ("review-pros-cons", """<html><body>
+<article class="review">
+<h1>Fieldlite 2 tent review</h1>
+<p>After a wet fortnight on the coast path, the Fieldlite 2 earned its place: quick to pitch, stable in gusts, and light enough to forget.</p>
+<div class="rating">4.5 out of 5</div>
+<h2>Pros</h2>
+<ul><li>Pitches inner-first in under four minutes.</li><li>Held firm in 40 mph gusts on the headland.</li></ul>
+<h2>Cons</h2>
+<ul><li>The porch floods if the door faces the wind.</li><li>Pegs are flimsy aluminum hooks.</li></ul>
+<p>At this weight and price it is the tent to beat for solo coastal trips.</p>
+</article>
+</body></html>""", [
+        "Fieldlite 2 tent review",
+        "After a wet fortnight on the coast path, the Fieldlite 2 earned its place: quick to pitch, stable in gusts, and light enough to forget.",
+        "Pros",
+        "Pitches inner-first in under four minutes.",
+        "Held firm in 40 mph gusts on the headland.",
+        "Cons",
+        "The porch floods if the door faces the wind.",
+        "Pegs are flimsy aluminum hooks.",
+        "At this weight and price it is the tent to beat for solo coastal trips.",
+    ]),
+
+    ("wiki-talk", """<html><body>
+<main>
+<h1>Talk: Harbor lighthouse</h1>
+<dl>
+<dt>Proposed merge with Breakwater light</dt>
+<dd>The two towers share one keeper's log; merging loses nothing. — Editor_A</dd>
+<dd><dl><dd>Oppose: the breakwater light has its own construction history worth a page. — Editor_B</dd></dl></dd>
+<dd>Support per Editor_A; the log citation covers both. — Editor_C</dd>
+</dl>
+</main>
+</body></html>""", [
+        "Talk: Harbor lighthouse",
+        "Proposed merge with Breakwater light",
+        "The two towers share one keeper's log; merging loses nothing. — Editor_A",
+        "Oppose: the breakwater light has its own construction history worth a page. — Editor_B",
+        "Support per Editor_A; the log citation covers both. — Editor_C",
+    ]),
 ]
 
 # ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
