@@ -251,8 +251,9 @@ object ScaleEvidence {
              cast(pmod(hash(base * 64 + j), 2001) - 1000 as float) / 1000.0f +
              cast(pmod(hash(id * 64 + j), 7) as float) / 10000.0f)"""))
         .select(col("id"), col("vec"))
-      Similarity.lshTopK(vecs, "id", "vec", k = 5, bands = 8, bitsPerBand = 24,
-        prefilterSingletonBuckets = dedupPf).count()
+      // singleton prefilter left at its (off) default: measured a wash at
+      // this band width/scale — see lshTopK scaladoc
+      Similarity.lshTopK(vecs, "id", "vec", k = 5, bands = 8, bitsPerBand = 24).count()
     }
 
     val total = results.valuesIterator.map(_._1).sum

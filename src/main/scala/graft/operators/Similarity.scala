@@ -142,14 +142,18 @@ object Similarity {
     *   yield its self-pair (filtered out below), so it can never produce a
     *   candidate: when ON, an 8-byte bucket+count pass over the persisted
     *   id-bucket projection finds the multi-member buckets and a broadcast
-    *   semi-join keeps singleton rows — the vast majority under
-    *   well-spread hyperplane hashes — out of BOTH self-join exchanges.
-    *   Output-identical by construction; flip OFF if the multi-member
-    *   bucket set would not fit a broadcast (heavily clustered
-    *   embeddings, where the self-join is the real cost anyway). */
+    *   semi-join keeps singleton rows out of BOTH self-join exchanges.
+    *   Output-identical by construction (DupCandidates) — but OFF by
+    *   default, measured honestly: at the 8-bit band default every bucket
+    *   is multi-member at any real scale (pure overhead), and even at
+    *   2M×24-bit bands the occupancy λ≈1 puts ~63% of rows in multi
+    *   buckets (birthday), so the count pass pays back what the filter
+    *   saves (measured 4,141 vs 4,135 MB — a wash). Turn ON only for
+    *   very wide bands over well-spread vectors where singleton share
+    *   dominates. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
-              prefilterSingletonBuckets: Boolean = true)
+              prefilterSingletonBuckets: Boolean = false)
              (implicit spark: SparkSession): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = spark.sparkContext.broadcast(hyperplanes(dim, bands * bitsPerBand, seed))

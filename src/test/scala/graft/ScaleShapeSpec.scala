@@ -307,10 +307,11 @@ class ScaleShapeSpec extends SparkSpec {
     val hits = joined.where(col("qc") === col("nc")).count()
     val n = rows.size
     assert(hits.toDouble / n >= 0.9, s"recall@1 ${hits.toDouble / n}")
-    // singleton-bucket prefilter is output-identical to the full self-join
-    val noPf = Similarity.lshTopK(df, "vec_id", "embedding", k = 1,
-      prefilterSingletonBuckets = false)
-    assert(top1.collect().map(_.toSeq).toSet == noPf.collect().map(_.toSeq).toSet)
+    // singleton-bucket prefilter (non-default) is output-identical to the
+    // full self-join
+    val pf = Similarity.lshTopK(df, "vec_id", "embedding", k = 1,
+      prefilterSingletonBuckets = true)
+    assert(top1.collect().map(_.toSeq).toSet == pf.collect().map(_.toSeq).toSet)
   }
 
   test("ivfTopK: recall@1 >= 0.9 on planted clusters (coarse quantizer + probe)") {
