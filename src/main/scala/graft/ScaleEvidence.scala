@@ -162,12 +162,17 @@ object ScaleEvidence {
     val docs = corpus.select(
       col("url"), xxhash64(col("url")).as("doc_id"), col("text"))
 
-    // SPARK_GRAFT_DEDUP_PREFILTER=0 disables the round-6 duplicate-candidate
-    // prefilter for exact/sentence/url dedup + ann_lsh; the two exact_substr
-    // phases DELIBERATELY key off their own SPARK_GRAFT_ES_PREFILTER so the
-    // ES A/B (which predates the family generalization) stays independently
-    // reproducible — a family-wide OFF run must set BOTH to 0
-    val dedupPf = sys.env.get("SPARK_GRAFT_DEDUP_PREFILTER").forall(_ != "0")
+    // SPARK_GRAFT_DEDUP_PREFILTER: unset → every phase measures its
+    // operator's DEFAULT (exact/url prefilter ON, sentence OFF); "0" →
+    // all off; "1" → all on. The two exact_substr phases DELIBERATELY
+    // key off their own SPARK_GRAFT_ES_PREFILTER so the ES A/B (which
+    // predates the family generalization) stays independently
+    // reproducible — a family-wide OFF run must set BOTH to 0.
+    // ann_lsh always runs the lshTopK default (singleton prefilter off —
+    // measured a wash at this band width, see lshTopK scaladoc)
+    val dedupPfEnv = sys.env.get("SPARK_GRAFT_DEDUP_PREFILTER")
+    val dedupPf = dedupPfEnv.forall(_ != "0") // exact/url default ON
+    val sentencePf = dedupPfEnv.contains("1") // sentence default OFF
     val esPf = sys.env.get("SPARK_GRAFT_ES_PREFILTER").forall(_ != "0")
 
     phase("exact_dedup") {
@@ -184,7 +189,7 @@ object ScaleEvidence {
 
     phase("sentence_dedup") {
       SentenceDedup(docs, "doc_id", "text",
-        SentenceDedupConfig(prefilterDupHashes = dedupPf))
+        SentenceDedupConfig(prefilterDupHashes = sentencePf))
         .filter(!col("sentence_dedup_keep")).count()
     }
 

@@ -214,9 +214,16 @@ final case class SentenceDedupConfig(
     hashFc: String = "xxhash",
     /** Round-6 duplicate-candidate prefilter (see corpusDups): ON keeps
       * the unique-hash majority out of the first-wins exchange via an
-      * 8-byte count pass + broadcast semi-join; flip OFF when the
-      * duplicated-hash set would not fit a broadcast. */
-    prefilterDupHashes: Boolean = true)
+      * 8-byte count pass + broadcast semi-join (+ a sigs persist for the
+      * extra consumption). OFF by default, measured honestly at 2M on a
+      * quiet host: 27.7 s / 1,321 MB ON vs 26.1 s / 1,483 MB OFF — the
+      * sig rows are already slim (hash, doc, sent) and the first-wins agg
+      * is map-side partial, so the prefilter saves only ~16% exchange
+      * while paying an extra pass + a dup-set broadcast; unlike
+      * ExactDedup (whose payload is the full text, 143× cut) the trade
+      * never crosses over. Turn ON only when the duplicated-window share
+      * is tiny AND the cluster is exchange-bound. */
+    prefilterDupHashes: Boolean = false)
 
 object SentenceDedup {
 

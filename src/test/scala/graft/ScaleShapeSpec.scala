@@ -170,9 +170,9 @@ class ScaleShapeSpec extends SparkSpec {
       snap(UrlDedup(df, "url", "doc_id", "prio", normalize = true, prefilterDupKeys = false), "doc_id", "url_keep", "url_dup_rep"))
     val threeLine = df.withColumn("text",
       concat(col("text"), lit("\nmid "), col("text"), lit("\n"), col("text"), lit(" end")))
-    assert(snap(SentenceDedup(threeLine, "doc_id", "text"), "doc_id", "sentence_dedup_keep", "text") ==
-      snap(SentenceDedup(threeLine, "doc_id", "text",
-        SentenceDedupConfig(prefilterDupHashes = false)), "doc_id", "sentence_dedup_keep", "text"))
+    assert(snap(SentenceDedup(threeLine, "doc_id", "text",
+        SentenceDedupConfig(prefilterDupHashes = true)), "doc_id", "sentence_dedup_keep", "text") ==
+      snap(SentenceDedup(threeLine, "doc_id", "text"), "doc_id", "sentence_dedup_keep", "text"))
     // plan pins: the prefilter must reach the min pass as a broadcast
     // LEFT-SEMI on ONE node (a shuffled semi would re-shuffle the table it
     // exists to protect), and the non-candidate split must be a broadcast
@@ -182,7 +182,8 @@ class ScaleShapeSpec extends SparkSpec {
     assert(p.matches("(?s).*BroadcastHashJoin[^\\n]*LeftAnti.*"), p.take(400))
     assert(planOf(UrlDedup(df, "url", "doc_id", "prio"))
       .matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"))
-    assert(planOf(SentenceDedup(threeLine, "doc_id", "text"))
+    assert(planOf(SentenceDedup(threeLine, "doc_id", "text",
+        SentenceDedupConfig(prefilterDupHashes = true)))
       .matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"))
   }
 
