@@ -435,7 +435,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 70 HAND-TRANSCRIBED realistic
+      // the general extraction path over 77 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
       // layout, paywall/popup chrome, details/summary, inline entities,
@@ -2305,7 +2305,14 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/dictionary-entry', 5, 242, '248307f0db58d6cac179e1a96343faa5'),
   ('https://wild.example.org/maintenance-notice', 3, 148, '58de518dfaebbc644567da397bc88368'),
   ('https://wild.example.org/review-pros-cons', 9, 404, '65ccfa1ca3bcc803c453f5bbceedb387'),
-  ('https://wild.example.org/wiki-talk', 5, 283, 'd5a2a6e61a5052c9d928e5adcc1d8df7')
+  ('https://wild.example.org/wiki-talk', 5, 283, 'd5a2a6e61a5052c9d928e5adcc1d8df7'),
+  ('https://wild.example.org/spa-template-ghost', 3, 174, 'a17a49ed3db41e2dad94d421166d260e'),
+  ('https://wild.example.org/tide-table-spans', 6, 180, '2a6bf33c77ae334febfc1e6b3a180de7'),
+  ('https://wild.example.org/chamber-series', 6, 318, 'ff969810ff5e649871718d3e1ddac1fe'),
+  ('https://wild.example.org/obituary', 4, 401, 'b26de5fe26728afcc5f6de7a3cc2e548'),
+  ('https://wild.example.org/api-reference', 10, 266, '68f936d3080629e29783ebf79c257c25'),
+  ('https://wild.example.org/faq-aria-hidden', 5, 206, '28d3b7c9a079faa7f0c39024d8474245'),
+  ('https://wild.example.org/board-minutes', 9, 405, '72a034fe7580156ee79d34b55bdc52f3')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

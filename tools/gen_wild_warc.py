@@ -1174,6 +1174,149 @@ cd app-2.4 &amp;&amp; ./install.sh</pre>
         "Oppose: the breakwater light has its own construction history worth a page. — Editor_B",
         "Support per Editor_A; the log citation covers both. — Editor_C",
     ]),
+
+    # ---- round-6 ninth batch: constructs still unexercised — <template>
+    # ghost content (raw-text element, never parsed, never extracted) next
+    # to a dropped <noscript> fallback, rowspan/colspan header cells
+    # (attributes ignored, rows serialize as written), aria-hidden="false"
+    # (NOT hidden — only the value "true" hides) vs hidden="until-found"
+    # (the quoted value is stripped first, leaving a bare `hidden=` that
+    # matches the hidden rule — hand-derived as dropped), inline <time>/
+    # <em>/<code> flow, and text TRAILING a nested <ol> inside its parent
+    # <li> (flushes as its own line after the sublist).
+
+    ("spa-template-ghost", """<html><body>
+<div id="app">
+<noscript><p>This schedule needs JavaScript; a text version is posted at the station.</p></noscript>
+<template id="row-tpl"><tr><td>GHOST ROW</td><td>00:00</td></tr></template>
+<h1>Cable car departures</h1>
+<p>Cars leave every twenty minutes from 08:00, with the last descent at 18:40.</p>
+<p>Service pauses in high wind; the valley station posts closures an hour ahead.</p>
+</div>
+</body></html>""", [
+        "Cable car departures",
+        "Cars leave every twenty minutes from 08:00, with the last descent at 18:40.",
+        "Service pauses in high wind; the valley station posts closures an hour ahead.",
+    ]),
+
+    ("tide-table-spans", """<html><body>
+<article>
+<h1>Tide tables, first week of June</h1>
+<table>
+<tr><th rowspan="2">Day</th><th colspan="2">High water</th></tr>
+<tr><th>Morning</th><th>Evening</th></tr>
+<tr><td>Monday</td><td>04:12</td><td>16:47</td></tr>
+<tr><td>Tuesday</td><td>05:01</td><td>17:33</td></tr>
+</table>
+<p>Heights stay under four meters all week; the shelf dries out from mid-morning.</p>
+</article>
+</body></html>""", [
+        "Tide tables, first week of June",
+        "Day High water",
+        "Morning Evening",
+        "Monday 04:12 16:47",
+        "Tuesday 05:01 17:33",
+        "Heights stay under four meters all week; the shelf dries out from mid-morning.",
+    ]),
+
+    ("chamber-series", """<html><body>
+<main class="program">
+<h1>Autumn chamber series</h1>
+<p>Seven concerts in the old granary, Thursdays at <time>19:30</time>, doors half an hour before.</p>
+<ul>
+<li><em>Trout Quintet</em> — 12 September, with the harbor quartet and guest bass.</li>
+<li><em>Winter Words</em> — 10 October, tenor and piano.</li>
+<li><em>Folk settings</em> — 7 November, full ensemble.</li>
+</ul>
+<p>Season tickets cover all seven dates and transfer freely.</p>
+</main>
+</body></html>""", [
+        "Autumn chamber series",
+        "Seven concerts in the old granary, Thursdays at 19:30, doors half an hour before.",
+        "Trout Quintet — 12 September, with the harbor quartet and guest bass.",
+        "Winter Words — 10 October, tenor and piano.",
+        "Folk settings — 7 November, full ensemble.",
+        "Season tickets cover all seven dates and transfer freely.",
+    ]),
+
+    ("obituary", """<html><body>
+<article class="obituary">
+<h1>Margit Holm, 1931-2024</h1>
+<p>Margit Holm, who kept the island's weather diary for sixty-one years without a missed day, died on Tuesday at the care home in Sundvik. She was 93.</p>
+<p>Her notebooks, donated to the maritime museum in 2019, record every gale, ice year, and first tern back to 1958.</p>
+<p>A gathering is planned at the chapel on the 14th; the family asks for bulbs for the school garden instead of flowers.</p>
+</article>
+</body></html>""", [
+        "Margit Holm, 1931-2024",
+        "Margit Holm, who kept the island's weather diary for sixty-one years without a missed day, died on Tuesday at the care home in Sundvik. She was 93.",
+        "Her notebooks, donated to the maritime museum in 2019, record every gale, ice year, and first tern back to 1958.",
+        "A gathering is planned at the chapel on the 14th; the family asks for bulbs for the school garden instead of flowers.",
+    ]),
+
+    ("api-reference", """<html><body>
+<main class="api">
+<h1>GET /v2/moorings</h1>
+<p>Lists moorings visible to the caller, newest first.</p>
+<table>
+<tr><th>Param</th><th>Type</th><th>Default</th></tr>
+<tr><td><code>harbor</code></td><td>string</td><td>all</td></tr>
+<tr><td><code>free</code></td><td>boolean</td><td>false</td></tr>
+</table>
+<dl><dt>200</dt><dd>A JSON array of mooring objects.</dd><dt>429</dt><dd>Rate limited; retry after the indicated delay.</dd></dl>
+<pre>curl -s https://api.example.com/v2/moorings?free=true</pre>
+</main>
+</body></html>""", [
+        "GET /v2/moorings",
+        "Lists moorings visible to the caller, newest first.",
+        "Param Type Default",
+        "harbor string all",
+        "free boolean false",
+        "200",
+        "A JSON array of mooring objects.",
+        "429",
+        "Rate limited; retry after the indicated delay.",
+        "curl -s https://api.example.com/v2/moorings?free=true",
+    ]),
+
+    ("faq-aria-hidden", """<html><body>
+<div class="faq-list">
+<h1>Allotment water FAQ</h1>
+<section aria-hidden="false"><h2>When do the taps open?</h2><p>The mains are charged the first weekend of April once frost risk passes.</p></section>
+<section hidden="until-found"><h2>Why is my pressure low?</h2><p>Shared spurs drop on warm evenings; fill butts at midday instead.</p></section>
+<section><h2>Can I fit a timer?</h2><p>Battery timers are fine; fixed plumbing needs the committee's sign-off.</p></section>
+</div>
+</body></html>""", [
+        "Allotment water FAQ",
+        "When do the taps open?",
+        "The mains are charged the first weekend of April once frost risk passes.",
+        "Can I fit a timer?",
+        "Battery timers are fine; fixed plumbing needs the committee's sign-off.",
+    ]),
+
+    ("board-minutes", """<html><body>
+<main>
+<h1>Harbor board minutes, 12 May</h1>
+<p>Present: <b>Aldersen</b> (chair), <b>Brandt</b>, <b>Covas</b>; apologies from <b>Dahl</b>.</p>
+<ol>
+<li>The April minutes were approved without amendment.</li>
+<li>Motion to resurface the east ramp
+<ol><li>carried, five votes to one,</li><li>with works scheduled after the regatta.</li></ol>
+The chair thanked the volunteer crew for the patching done in April.</li>
+<li>The crane inspection report was noted; follow-up in September.</li>
+</ol>
+<p>The meeting closed at 21:10.</p>
+</main>
+</body></html>""", [
+        "Harbor board minutes, 12 May",
+        "Present: Aldersen (chair), Brandt, Covas; apologies from Dahl.",
+        "The April minutes were approved without amendment.",
+        "Motion to resurface the east ramp",
+        "carried, five votes to one,",
+        "with works scheduled after the regatta.",
+        "The chair thanked the volunteer crew for the patching done in April.",
+        "The crane inspection report was noted; follow-up in September.",
+        "The meeting closed at 21:10.",
+    ]),
 ]
 
 # ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
