@@ -131,6 +131,33 @@ object ExactSubstrDedup {
     out
   }
 
+  /** h1-only twin of [[spanHashesFromWordHashes]] for the prefilter's
+    * count pass: emits exactly the `_2` stream of the full version (same
+    * P1 polynomial, same order) without building 400M boxed
+    * (Int, Long, Long) tuples per 2M docs or accumulating the unused h2 —
+    * the count pass only groups on `__h1`, so pos/h2 are dead weight
+    * there. Equality with the full stream is property-pinned
+    * (ExactSubstrGcSpec). */
+  def spanH1FromWordHashes(h: Array[Long], spanWords: Int): Array[Long] = {
+    if (h.length < spanWords) return Array.empty
+    val P1 = 0x100000001b3L
+    var pow1 = 1L
+    var j = 1
+    while (j < spanWords) { pow1 *= P1; j += 1 }
+    val out = new Array[Long](h.length - spanWords + 1)
+    var acc1 = 0L
+    var i = 0
+    while (i < spanWords) { acc1 = acc1 * P1 + h(i); i += 1 }
+    out(0) = acc1
+    i = spanWords
+    while (i < h.length) {
+      acc1 = (acc1 - h(i - spanWords) * pow1) * P1 + h(i)
+      out(i - spanWords + 1) = acc1
+      i += 1
+    }
+    out
+  }
+
   /** Overload on precomputed per-word hashes: the multi-length pass calls
     * this once per length over ONE tokenize + word-hash stream (the
     * O(doc) part of the work), instead of redoing it per length. */
@@ -187,9 +214,41 @@ object ExactSubstrDedup {
     // rows then broadcast-semi-join against that small set so the
     // ~unique majority never rides the window exchange. Result-identical
     // by the `!= __first` argument; recomputes the span UDF once more.
+    // The count pass runs a LEAN h1-only UDF over the input (primitive
+    // Array[Long] — no tuple boxing, no h2/pos arithmetic) instead of
+    // re-deriving h1 from the full span-row lineage; spanH1FromWordHashes
+    // is property-pinned equal to the full stream's h1, and the fold/
+    // anchor logic below mirrors the span UDFs line for line.
+    val dupH1: Option[DataFrame] =
+      if (!cfg.prefilterDupHashes) None
+      else {
+        val h1Udf = udf { text: String =>
+          if (text == null) Array.empty[Long]
+          else {
+            val h = Tokenizer.words(text).map(graft.functions.Hashes.xxhash64)
+            val a = anchorW.map(anchorPositions(h, _))
+            def kept(l: Int): Array[Long] = {
+              val s = spanH1FromWordHashes(h, l)
+              a match {
+                case Some(anch) =>
+                  val out = new scala.collection.mutable.ArrayBuilder.ofLong
+                  var i = 0
+                  while (i < s.length) { if (anch(i)) out += s(i); i += 1 }
+                  out.result()
+                case None => s
+              }
+            }
+            if (!multi) kept(sw)
+            else lengths.toArray.flatMap(l =>
+              kept(l).map(_ + l * 0x9E3779B97F4A7C15L))
+          }
+        }
+        Some(DupCandidates.dupKeys(
+          df.select(explode(h1Udf(col(textCol))).as("__h1")), Seq("__h1")))
+      }
     def prefilter(spans: DataFrame): DataFrame =
-      if (!cfg.prefilterDupHashes) spans
-      else DupCandidates.filterToDupKeys(spans, Seq("__h1"))
+      dupH1.map(d => spans.join(broadcast(d), Seq("__h1"), "left_semi"))
+        .getOrElse(spans)
     // with the prefilter, firsts is one row per DUPLICATED span hash —
     // within the DupCandidates broadcast contract, so the groupBy-min
     // escape hatch's join-back can skip its sort-merge exchanges too

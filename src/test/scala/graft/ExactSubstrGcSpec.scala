@@ -104,6 +104,18 @@ class ExactSubstrGcSpec extends SparkSpec {
     }
   }
 
+  test("spanH1FromWordHashes emits exactly the h1 stream of the full span rows") {
+    val rng = new scala.util.Random(77)
+    for (n <- Seq(0, 1, 7, 15, 16, 50, 113, 400); trial <- 1 to 3) {
+      val h = Array.fill(n)(rng.nextLong())
+      for (sw <- Seq(1, 2, 15, 16, 50)) {
+        val full = ExactSubstrDedup.spanHashesFromWordHashes(h, sw).map(_._2)
+        val lean = ExactSubstrDedup.spanH1FromWordHashes(h, sw)
+        assert(full.toSeq == lean.toSeq, s"n=$n sw=$sw trial=$trial")
+      }
+    }
+  }
+
   test("hotKeyGroupByMin escape hatch agrees with the window-min default") {
     // mixed corpus: a mass-duplicated boilerplate block (the hot-key case
     // the flag exists for), partial overlaps, and unique docs — in both
