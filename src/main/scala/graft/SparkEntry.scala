@@ -435,7 +435,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_wild" -> ((s, dir) => {
-      // the general extraction path over 77 HAND-TRANSCRIBED realistic
+      // the general extraction path over 81 HAND-TRANSCRIBED realistic
       // page skeletons (tools/gen_wild_warc.py — news+sidebar+comments,
       // docs+TOC, forum, table-heavy, RTL, wiki refs, legacy table
       // layout, paywall/popup chrome, details/summary, inline entities,
@@ -2312,7 +2312,11 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/obituary', 4, 401, 'b26de5fe26728afcc5f6de7a3cc2e548'),
   ('https://wild.example.org/api-reference', 10, 266, '68f936d3080629e29783ebf79c257c25'),
   ('https://wild.example.org/faq-aria-hidden', 5, 206, '28d3b7c9a079faa7f0c39024d8474245'),
-  ('https://wild.example.org/board-minutes', 9, 405, '72a034fe7580156ee79d34b55bdc52f3')
+  ('https://wild.example.org/board-minutes', 9, 405, '72a034fe7580156ee79d34b55bdc52f3'),
+  ('https://wild.example.org/sitemap-links', 1, 8, '4fbb483bb2abca4cefe1818eddb3c6b5'),
+  ('https://wild.example.org/login-page', 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+  ('https://wild.example.org/unsubscribe-confirm', 2, 116, '0966632cf2749c9dcd2168c5c0b56047'),
+  ('https://wild.example.org/print-checklist', 4, 233, '4cd42e3729d9467f3fb0a08419650b5d')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

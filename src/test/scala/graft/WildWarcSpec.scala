@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TrafilaturaExtractor
 
 /** Byte-equality replay of the HAND-TRANSCRIBED realistic page corpus
-  * (VERDICT r5 "Next round" #5): 77 page skeletons written by hand in
+  * (VERDICT r5 "Next round" #5): 81 page skeletons written by hand in
   * tools/gen_wild_warc.py — news+sidebar+comments, docs+TOC, forum thread,
   * table-heavy, RTL Arabic, wiki reference lists, legacy table layout,
   * paywall/popup/cookie chrome, details/summary FAQ, inline entities, a
@@ -55,9 +55,9 @@ class WildWarcSpec extends AnyFunSuite {
         .map(h => d.url -> TrafilaturaExtractor.extract(h))
     }.toMap
 
-  test("corpus shape: 77 hand-transcribed pages decode, all with goldens") {
-    assert(extracted.size == 77)
-    assert(goldens.size == 77)
+  test("corpus shape: 81 hand-transcribed pages decode, all with goldens") {
+    assert(extracted.size == 81)
+    assert(goldens.size == 81)
     assert(extracted.keySet == goldens.keySet)
   }
 

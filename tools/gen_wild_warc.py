@@ -1317,6 +1317,62 @@ The chair thanked the volunteer crew for the patching done in April.</li>
         "The crane inspection report was noted; follow-up in September.",
         "The meeting closed at 21:10.",
     ]),
+
+    # ---- round-6 tenth batch: the NEAR-EMPTY behavior class — pages whose
+    # correct extraction is (almost) nothing. A sitemap whose all-anchor
+    # lists die by link density leaving only the heading; a login page
+    # whose single wrapper div carries the "login" discard keyword, so the
+    # WHOLE page extracts to the empty string (n_lines 0 — the oracle's
+    # empty-text branch); a two-line unsubscribe confirmation; and an
+    # hr-separated print checklist (hr flushes, emits nothing itself).
+
+    ("sitemap-links", """<html><body>
+<h1>Site map</h1>
+<ul>
+<li><a href="/news">News</a></li>
+<li><a href="/harbor">Harbor information</a></li>
+<li><a href="/tides">Tide tables</a></li>
+<li><a href="/contact">Contact the office</a></li>
+</ul>
+<ul>
+<li><a href="/archive/2023">2023 archive</a></li>
+<li><a href="/archive/2022">2022 archive</a></li>
+</ul>
+</body></html>""", [
+        "Site map",
+    ]),
+
+    ("login-page", """<html><body>
+<div class="login-box"><h1>Member sign-in</h1>
+<form action="/session"><label>Email</label><input type="email"><label>Password</label><input type="password"><button>Sign in</button></form>
+<p class="help">Accounts are created by the harbor office; call during opening hours if you are locked out.</p>
+</div>
+</body></html>""", []),
+
+    ("unsubscribe-confirm", """<html><body>
+<main>
+<h1>You are unsubscribed</h1>
+<p>The weekly digest will stop within two issues; transactional mail about your booking continues.</p>
+</main>
+</body></html>""", [
+        "You are unsubscribed",
+        "The weekly digest will stop within two issues; transactional mail about your booking continues.",
+    ]),
+
+    ("print-checklist", """<html><body class="print">
+<h1>Mushroom foray checklist</h1>
+<hr>
+<p>Carry a basket, not a plastic bag; spores travel and the caps keep their shape.</p>
+<hr>
+<p>Cut one specimen per cluster and leave the young ones standing.</p>
+<hr>
+<p>When in doubt, photograph the gills and ask at the Sunday table.</p>
+</body></html>""", [
+        "Mushroom foray checklist",
+        "Carry a basket, not a plastic bag; spores travel and the caps keep their shape.",
+        "Cut one specimen per cluster and leave the young ones standing.",
+        "When in doubt, photograph the gills and ask at the Sunday table.",
+    ]),
 ]
 
 # ---- round-6 third batch: non-UTF-8 bytes through the decode-or-drop path.
