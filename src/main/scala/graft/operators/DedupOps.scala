@@ -29,15 +29,30 @@ object ExactDedup {
     * boilerplate; a Window.partitionBy would sort the whole hot group on
     * one reducer). Cost: the input lineage is scanned three times (count,
     * semi, anti) instead of twice. `prefilterDupKeys = false` restores
-    * the r5 single-pass groupBy(hash, text) + join-back shape — the
-    * escape hatch when even the hash-only duplicated-key set would not
-    * fit a broadcast (mass-dup corpus before any upstream dedup). */
+    * the r5 single-pass groupBy(hash, text) + join-back shape. Round 7:
+    * the mass-dup escape is no longer only a manual flag — the prefilter
+    * goes through [[DupCandidates.guardedDupKeys]], which sizes the
+    * duplicated-hash set at runtime (one key-only count action over a
+    * persisted aggregate, so the semi and anti probes reuse one
+    * computation) and falls back to the single-pass shape by itself when
+    * the set would not fit a broadcast. */
   def apply(df: DataFrame, idCol: String, textCol: String,
             prefilterDupKeys: Boolean = true): DataFrame = {
     val hashed = df.withColumn("__th", xxhash64(col(textCol)))
-    val annotated =
-      if (prefilterDupKeys) {
-        val dupTh = DupCandidates.dupKeys(hashed.select("__th"), Seq("__th"))
+    def singlePass(): DataFrame = {
+      val reps = hashed.groupBy(col("__th"), col(textCol).as("__tt"))
+        .agg(min(col(idCol)).as("exact_dup_rep"))
+      hashed
+        .join(reps, hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"))
+        .drop(reps("__th")).drop("__tt")
+    }
+    val guarded: Option[DataFrame] =
+      if (prefilterDupKeys)
+        DupCandidates.guardedDupKeys(hashed.select("__th"), Seq("__th"),
+          "exactdedup.dupth").keys
+      else None
+    val annotated = guarded match {
+      case Some(dupTh) =>
         val cand = hashed.join(broadcast(dupTh), Seq("__th"), "left_semi")
         val reps = cand
           .select(col("__th"), col(textCol).as("__tt"), col(idCol).as("__cid"))
@@ -51,13 +66,8 @@ object ExactDedup {
         val rest = hashed.join(broadcast(dupTh), Seq("__th"), "left_anti")
           .withColumn("exact_dup_rep", col(idCol))
         candAnnot.unionByName(rest)
-      } else {
-        val reps = hashed.groupBy(col("__th"), col(textCol).as("__tt"))
-          .agg(min(col(idCol)).as("exact_dup_rep"))
-        hashed
-          .join(reps, hashed("__th") <=> reps("__th") && col(textCol) <=> col("__tt"))
-          .drop(reps("__th")).drop("__tt")
-      }
+      case None => singlePass()
+    }
     annotated
       // null text is UNKNOWN content, not identical content — pass such rows
       // through as their own survivors instead of deduping them against
@@ -117,12 +127,22 @@ object UrlDedup {
     // representative is computed over those candidates only, and every
     // unique url is its own survivor through the LEFT join's coalesce —
     // the unique majority never rides the best-of exchange, and the
-    // join-back side shrinks to the dup groups.
-    val cand =
+    // join-back side shrinks to the dup groups. Round 7: runtime-guarded —
+    // when the duplicated-url set would not fit a broadcast the guard
+    // hands back None and this call degrades to the single-pass shape
+    // instead of OOMing inside the default config.
+    val guarded: Option[DataFrame] =
       if (prefilterDupKeys)
-        DupCandidates.filterToDupKeys(
-          keyed.select(col("__ukey"), col(priorityCol), col(idCol)), Seq("__ukey"))
-      else keyed
+        DupCandidates.guardedDupKeys(keyed.select("__ukey"), Seq("__ukey"),
+          "urldedup.dupkeys").keys
+      else None
+    val prefilterActive = guarded.isDefined
+    val cand = guarded match {
+      case Some(dk) =>
+        keyed.select(col("__ukey"), col(priorityCol), col(idCol))
+          .join(broadcast(dk), Seq("__ukey"), "left_semi")
+      case None => keyed
+    }
     // min over (priority-is-null, -priority, id) = highest non-null priority,
     // nulls last (matching the old orderBy(desc) semantics), ties to the
     // smallest id. Negation assumes a sane numeric priority (the reference's
@@ -134,12 +154,13 @@ object UrlDedup {
     keyed
       // null-safe key join: null-url rows keep flowing through the operator.
       // With the prefilter, best holds one (dup url, winner id) row per
-      // duplicated url group — key-sized, no payload columns — so the hint
-      // stays within the DupCandidates broadcast contract and the corpus
+      // duplicated url group — at most guardedDupKeys' nDupKeys rows of
+      // key-sized payload, so the hint stays within the (now
+      // runtime-enforced) DupCandidates broadcast contract and the corpus
       // side never shuffles for this join
-      .join(if (prefilterDupKeys) broadcast(best) else best,
+      .join(if (prefilterActive) broadcast(best) else best,
         col("__ukey") <=> col("__bkey"),
-        if (prefilterDupKeys) "left" else "inner")
+        if (prefilterActive) "left" else "inner")
       // a null url is an unknown page, not THE SAME page — pass through;
       // prefiltered-out unique urls are their own survivors
       .withColumn("url_dup_rep",
@@ -289,15 +310,26 @@ object SentenceDedup {
     * regardless, so the fat (hash, doc, sent) rows of the unique majority
     * never ride the min exchange or the join. */
   private def corpusDups(sigs: DataFrame, prefilter: Boolean): DataFrame = {
-    val cand =
-      if (prefilter) DupCandidates.filterToDupKeys(sigs, Seq("__hash"))
-      else sigs
+    // runtime-guarded (round 7): even with the non-default flag ON, a
+    // mass-dup corpus whose duplicated-window-hash set exceeds the
+    // broadcast budget degrades to the unprefiltered shape instead of
+    // OOMing the driver
+    val guarded: Option[DataFrame] =
+      if (prefilter)
+        DupCandidates.guardedDupKeys(sigs.select("__hash"), Seq("__hash"),
+          "sentencededup.duphashes").keys
+      else None
+    val prefilterActive = guarded.isDefined
+    val cand = guarded match {
+      case Some(dk) => sigs.join(broadcast(dk), Seq("__hash"), "left_semi")
+      case None => sigs
+    }
     val firsts = cand.groupBy("__hash")
       .agg(min(struct(col("__doc"), col("__sent"))).as("__first"))
     cand
       // prefiltered: firsts is one row per DUPLICATED hash — broadcast it
       // so the candidate rows skip a sort-merge exchange for the join-back
-      .join(if (prefilter) broadcast(firsts) else firsts, Seq("__hash"))
+      .join(if (prefilterActive) broadcast(firsts) else firsts, Seq("__hash"))
       .where(struct(col("__doc"), col("__sent")) =!= col("__first"))
       .select("__hash", "__doc", "__sent")
   }

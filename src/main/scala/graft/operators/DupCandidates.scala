@@ -11,31 +11,86 @@ import org.apache.spark.sql.functions._
   * group — its own representative — so it can be assigned locally and must
   * never ride the group-by/join exchanges. `dupKeys` shuffles ONLY the key
   * (+ an 8-byte partial count, map-side combined, hash-agg — no sort) and
-  * `filterToDupKeys` broadcast-LEFT-SEMI-joins the input against that
-  * small set.
+  * the callers broadcast-LEFT-SEMI-join the input against that small set.
   *
-  * Scale contract: the distinct duplicated-key set must fit a broadcast
-  * (the `broadcast` hint deliberately bypasses autoBroadcastJoinThreshold).
-  * Every caller exposes an escape flag for mass-dup corpora where it would
-  * not; size the decision on the KEY set (keys are 8-64 bytes here), never
-  * on group payloads — payload columns must not be broadcast through this
-  * helper. */
+  * Scale contract (round 7: now ENFORCED at runtime, not just documented):
+  * the distinct duplicated-key set must fit a broadcast. [[guardedDupKeys]]
+  * materializes the key+count aggregate once, sizes it with a single cheap
+  * action, and only hands the caller a broadcastable set when it is below
+  * [[maxBroadcastKeys]]; past the threshold the caller falls back to its
+  * single-pass (no-prefilter) shape instead of OOMing the driver on a
+  * mass-dup corpus. Size the decision on the KEY set (keys are 8-64 bytes
+  * here), never on group payloads — payload columns must not be broadcast
+  * through this helper. */
 private[graft] object DupCandidates {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Spark conf key for the broadcast guard threshold (distinct duplicated
+    * KEYS, not rows). Default sizing: 8-byte keys build a driver-side
+    * LongHashedRelation at ~20-30 bytes/key, so 2×10^7 keys ≈ 0.5 GB of
+    * driver+executor broadcast memory — comfortably inside a production
+    * driver while still covering any realistically-boilerplated web corpus
+    * (the duplicated-key set of a mostly-unique corpus is orders below
+    * this). A corpus past the threshold is mass-dup, which is exactly the
+    * regime where the prefilter saves nothing anyway (most rows are
+    * candidates), so the fallback is also the better plan. */
+  val MaxBroadcastKeysConf = "spark.graft.dedup.maxBroadcastKeys"
+  val DefaultMaxBroadcastKeys: Long = 20000000L
+
+  def maxBroadcastKeys(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(MaxBroadcastKeysConf, DefaultMaxBroadcastKeys.toString).toLong
 
   /** Distinct keys of `df` occurring more than once. Map-side partial
     * aggregation absorbs hot keys before the exchange, so a key shared by
     * millions of rows costs one combiner cell per map task, not a skewed
     * reducer. */
   def dupKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    dupKeysWithCounts(df, keyCols).drop("__n")
+
+  private def dupKeysWithCounts(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1).drop("__n")
+      .where(col("__n") > 1)
+
+  /** Result of the runtime guard: `keys` is the broadcastable duplicated-
+    * key set (None = over budget, caller must fall back to its unhinted /
+    * single-pass shape), `nDupKeys` its cardinality, and `maxKeyCount` the
+    * occurrence count of the HOTTEST key — the skew statistic callers use
+    * to auto-flip hot-key mitigations (ExactSubstrDedup's groupBy-min).
+    * Both statistics are valid even when `keys` is None. */
+  final case class Guarded(keys: Option[DataFrame], nDupKeys: Long, maxKeyCount: Long)
+
+  /** Materialized, runtime-guarded duplicated-key set. One extra Spark
+    * action (a count+max over the persisted key aggregate — key-only
+    * shuffle, map-side combined) buys the decision the round-6 design left
+    * to a manual flag: broadcast-semi below the key budget, single-pass
+    * fallback above it. The aggregate is persisted through CacheRegistry
+    * so the sizing action and the caller's semi/anti probes share one
+    * computation (this also closes the dupTh double-execution hazard —
+    * the lineage runs once, not per consumer). */
+  def guardedDupKeys(df: DataFrame, keyCols: Seq[String], cacheKey: String): Guarded = {
+    val dk = CacheRegistry.swapRotating(cacheKey,
+      dupKeysWithCounts(df, keyCols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val stats = dk.agg(count(lit(1)).as("k"), max(col("__n")).as("m")).head()
+    val nKeys = stats.getLong(0)
+    val maxN = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val budget = maxBroadcastKeys(df)
+    if (nKeys <= budget) Guarded(Some(dk.select(keyCols.map(col): _*)), nKeys, maxN)
+    else {
+      log.warn(s"DupCandidates[$cacheKey]: $nKeys duplicated keys exceed the " +
+        s"broadcast budget $budget ($MaxBroadcastKeysConf) — mass-dup corpus; " +
+        "falling back to the single-pass shape (no broadcast, no prefilter)")
+      try dk.unpersist(blocking = false) catch { case _: Exception => () }
+      Guarded(None, nKeys, maxN)
+    }
+  }
 
   /** `df` restricted to rows whose key occurs more than once, via a
     * broadcast left-semi join (the broadcast is the point: an unhinted
     * semi would shuffle the very table this prefilter exists to keep
-    * local). Recomputes `df`'s lineage a second time unless the caller
-    * persisted it — cheap when the lineage is a scan + projection, worth
-    * a persist when it is a heavy UDF explode (see SentenceDedup). */
+    * local). UNGUARDED — kept for call sites that have already sized the
+    * key set; new callers should go through [[guardedDupKeys]]. */
   def filterToDupKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.join(broadcast(dupKeys(df, keyCols)), keyCols, "left_semi")
 }

@@ -56,9 +56,15 @@ import graft.text.Tokenizer
   *   span shared by ~10^8 docs would serialize through one task. This flag
   *   switches to groupBy-min + join-back: the min uses map-side partial
   *   aggregation (hot keys combine before the exchange) and the join-back
-  *   is AQE-skew-splittable. Costs a second shuffle of the span table —
-  *   flip it when the duplicate histogram shows any span hash above ~10^6
-  *   occurrences (≈ the rows one reducer can stream per minute). */
+  *   is AQE-skew-splittable. Costs a second shuffle of the span table.
+  *   Round 7: no longer only manual — when the prefilter's count pass runs
+  *   (prefilterDupHashes=true, the default) the max per-hash occurrence
+  *   count comes out of the same aggregate for free, and the operator
+  *   flips to groupBy-min BY ITSELF above
+  *   `spark.graft.exactsubstr.hotKeyThreshold` (default 10^6 ≈ the rows
+  *   one reducer can stream per minute); this flag forces the shape ON
+  *   regardless. With the prefilter off there is no count pass, so the
+  *   flag stays the only switch. */
 /** @param prefilterDupHashes duplicate-candidate prefilter: before the
   *   (h1, h2) first-occurrence pass, a first job shuffles ONLY `__h1`
   *   (8-byte key, map-side count combine — no sort) to find the hash
@@ -72,10 +78,14 @@ import graft.text.Tokenizer
   *   (expected pairs n²/2^65 ≪ 1 below ~10^9 spans) only pass harmless
   *   extra rows to the exact 128-bit pass. The trade: spans are computed
   *   twice (tokenize + word-hash re-run, CPU-cheap vs the exchange) and
-  *   the duplicated-hash set must fit a broadcast — web-scale mass-dup
-  *   corpora past ~10^8 distinct duplicated spans should turn this off
-  *   (or run the anchored posture, whose span table is already ~2/(w+1)
-  *   of stride-1). Composes with either min strategy. */
+  *   the duplicated-hash set must fit a broadcast — ENFORCED at runtime
+  *   since round 7: the count pass goes through
+  *   [[DupCandidates.guardedDupKeys]], and when the duplicated-span set
+  *   exceeds `spark.graft.dedup.maxBroadcastKeys` the prefilter disables
+  *   itself for this run (falling back to the round-5 full-table window
+  *   shape) instead of OOMing; mass-dup corpora can still pre-emptively
+  *   turn it off, or run the anchored posture, whose span table is
+  *   already ~2/(w+1) of stride-1. Composes with either min strategy. */
 final case class ExactSubstrConfig(
     spanWords: Int = 50,
     minDocWords: Int = 50,
@@ -219,7 +229,7 @@ object ExactSubstrDedup {
     // re-deriving h1 from the full span-row lineage; spanH1FromWordHashes
     // is property-pinned equal to the full stream's h1, and the fold/
     // anchor logic below mirrors the span UDFs line for line.
-    val dupH1: Option[DataFrame] =
+    val guardStats: Option[DupCandidates.Guarded] =
       if (!cfg.prefilterDupHashes) None
       else {
         val h1Udf = udf { text: String =>
@@ -243,17 +253,31 @@ object ExactSubstrDedup {
               kept(l).map(_ + l * 0x9E3779B97F4A7C15L))
           }
         }
-        Some(DupCandidates.dupKeys(
-          df.select(explode(h1Udf(col(textCol))).as("__h1")), Seq("__h1")))
+        Some(DupCandidates.guardedDupKeys(
+          df.select(explode(h1Udf(col(textCol))).as("__h1")), Seq("__h1"),
+          "exactsubstr.duph1"))
       }
+    // runtime decisions off the guard's one sizing action: the prefilter
+    // is active only when the duplicated-hash set fit the broadcast
+    // budget, and the window-min flips to groupBy-min automatically when
+    // the hottest span hash exceeds the streaming-reducer threshold (the
+    // guard's maxKeyCount statistic is valid even when the key set was
+    // over budget, so the auto-flip survives the fallback too)
+    val dupH1: Option[DataFrame] = guardStats.flatMap(_.keys)
+    val prefilterActive = dupH1.isDefined
+    val hotKeyThreshold = spark.conf
+      .get("spark.graft.exactsubstr.hotKeyThreshold", "1000000").toLong
+    val useGroupByMin = cfg.hotKeyGroupByMin ||
+      guardStats.exists(_.maxKeyCount > hotKeyThreshold)
     def prefilter(spans: DataFrame): DataFrame =
       dupH1.map(d => spans.join(broadcast(d), Seq("__h1"), "left_semi"))
         .getOrElse(spans)
     // with the prefilter, firsts is one row per DUPLICATED span hash —
-    // within the DupCandidates broadcast contract, so the groupBy-min
-    // escape hatch's join-back can skip its sort-merge exchanges too
+    // within the (runtime-enforced) DupCandidates broadcast contract, so
+    // the groupBy-min escape hatch's join-back can skip its sort-merge
+    // exchanges too
     def joinFirsts(spans: DataFrame, firsts: DataFrame, keys: Seq[String]): DataFrame =
-      spans.join(if (cfg.prefilterDupHashes) broadcast(firsts) else firsts, keys)
+      spans.join(if (prefilterActive) broadcast(firsts) else firsts, keys)
 
     // first occurrence (min doc, then min pos) of each span hash survives.
     // WINDOW-min over the span hash, not groupBy-min + join-back: the span
@@ -288,7 +312,7 @@ object ExactSubstrDedup {
         .select(col("__doc"), col("s._1").as("__pos"),
           col("s._2").as("__h1"), col("s._3").as("__h2")))
       val laterCopies =
-        if (cfg.hotKeyGroupByMin) {
+        if (useGroupByMin) {
           val firsts = spans.groupBy("__h1", "__h2")
             .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
           joinFirsts(spans, firsts, Seq("__h1", "__h2"))
@@ -339,7 +363,7 @@ object ExactSubstrDedup {
         .select(col("__doc"), col("s._1").as("__lp"),
           col("s._2").as("__h1"), col("s._3").as("__h2")))
       val laterCopies =
-        if (cfg.hotKeyGroupByMin) {
+        if (useGroupByMin) {
           val firsts = spans.groupBy("__h1", "__h2")
             .agg(min(struct(col("__doc"), col("__lp"))).as("__first"))
           joinFirsts(spans, firsts, Seq("__h1", "__h2"))

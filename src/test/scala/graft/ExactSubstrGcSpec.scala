@@ -130,7 +130,12 @@ class ExactSubstrGcSpec extends SparkSpec {
     for (cfg <- Seq(
         ExactSubstrConfig(),
         ExactSubstrConfig(shortSpanWords = Some(15)),
-        ExactSubstrConfig(anchorEvery = Some(8)))) {
+        ExactSubstrConfig(anchorEvery = Some(8)),
+        // the combined config is exactly what ScaleEvidence's anchored
+        // posture runs with prefilterDupHashes=true — the lean h1 UDF's
+        // anchored+salted multi-length path must stay property-pinned to
+        // the full span UDF (ADVICE r6)
+        ExactSubstrConfig(shortSpanWords = Some(15), anchorEvery = Some(8)))) {
       val base = ExactSubstrDedup(docs, "doc_id", "text", cfg)
         .select("doc_id", "exact_substr_keep", "n_removed_words", "text")
         .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getString(3)))).toMap

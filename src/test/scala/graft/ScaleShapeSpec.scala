@@ -187,6 +187,103 @@ class ScaleShapeSpec extends SparkSpec {
       .matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"))
   }
 
+  test("guardedDupKeys: sizes the key set in one action and withholds the broadcast over budget") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val ok = DupCandidates.guardedDupKeys(df, Seq("k"), "spec.guard.ok")
+    assert(ok.keys.isDefined)
+    assert(ok.nDupKeys == 2 && ok.maxKeyCount == 3)
+    assert(ok.keys.get.as[Long].collect().toSet == Set(1L, 2L))
+    spark.conf.set(DupCandidates.MaxBroadcastKeysConf, "1")
+    try {
+      val over = DupCandidates.guardedDupKeys(df, Seq("k"), "spec.guard.over")
+      // fallback: no broadcastable set, but the skew statistics still come out
+      assert(over.keys.isEmpty)
+      assert(over.nDupKeys == 2 && over.maxKeyCount == 3)
+      // an all-unique input has nothing to size — stays broadcastable (empty set)
+      val uniq = DupCandidates.guardedDupKeys(
+        Seq(10L, 11L, 12L).toDF("k"), Seq("k"), "spec.guard.uniq")
+      assert(uniq.keys.isDefined && uniq.nDupKeys == 0 && uniq.maxKeyCount == 0)
+    } finally spark.conf.unset(DupCandidates.MaxBroadcastKeysConf)
+  }
+
+  test("runtime broadcast guard: mass-dup corpus degrades every default dedup config to the single-pass shape") {
+    // VERDICT r6 #2: the prefilter's broadcast had no runtime guard — a
+    // corpus whose dup-key set exceeds the budget OOMed inside the DEFAULT
+    // config. Plant the condition by lowering the budget below the planted
+    // dup-key count and pin (a) the chosen plan has no broadcast semi/anti
+    // — the single-pass shape — and (b) the answers are unchanged.
+    val rows = (0 until 40).map { i =>
+      // variants differ by a LETTER, not a digit: SentenceDedup's window
+      // hash runs simplify_text, which normalizes every number to "0" —
+      // digit-only variation would collapse all docs to ONE dup key and
+      // legitimately stay under budget
+      val v = ('a' + i % 8).toChar
+      val text = s"body variant $v$v shared across five docs"
+      (i.toLong, text, s"https://host$v.example/page", java.lang.Long.valueOf((i % 3).toLong))
+    }
+    val df = rows.toDF("doc_id", "text", "url", "prio").repartition(4)
+    def snap(d: org.apache.spark.sql.DataFrame, cols: String*) =
+      d.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val exactRef = snap(ExactDedup(df, "doc_id", "text", prefilterDupKeys = false),
+      "doc_id", "exact_keep", "exact_dup_rep")
+    val urlRef = snap(UrlDedup(df, "url", "doc_id", "prio", prefilterDupKeys = false),
+      "doc_id", "url_keep", "url_dup_rep")
+    val esRef = snap(ExactSubstrDedup(df, "doc_id", "text",
+      ExactSubstrConfig(spanWords = 4, minDocWords = 2, prefilterDupHashes = false)),
+      "doc_id", "exact_substr_keep", "text")
+    spark.conf.set(DupCandidates.MaxBroadcastKeysConf, "1")
+    try {
+      val exact = ExactDedup(df, "doc_id", "text")
+      val pe = planOf(exact)
+      assert(!pe.contains("LeftSemi") && !pe.contains("LeftAnti"),
+        "over budget, ExactDedup must take the single-pass shape:\n" + pe.take(400))
+      assert(snap(exact, "doc_id", "exact_keep", "exact_dup_rep") == exactRef)
+      val url = UrlDedup(df, "url", "doc_id", "prio")
+      assert(!planOf(url).contains("LeftSemi"))
+      assert(snap(url, "doc_id", "url_keep", "url_dup_rep") == urlRef)
+      val es = ExactSubstrDedup(df, "doc_id", "text",
+        ExactSubstrConfig(spanWords = 4, minDocWords = 2))
+      val pes = planOf(es)
+      assert(!pes.contains("LeftSemi") && pes.contains("Window"),
+        "over budget, ExactSubstr must fall back to the full-table window shape")
+      assert(snap(es, "doc_id", "exact_substr_keep", "text") == esRef)
+      val threeLine = df.withColumn("text",
+        concat(col("text"), lit("\nmid "), col("text"), lit("\n"), col("text"), lit(" end")))
+      val sd = SentenceDedup(threeLine, "doc_id", "text",
+        SentenceDedupConfig(prefilterDupHashes = true))
+      assert(!planOf(sd).contains("LeftSemi"))
+      assert(snap(sd, "doc_id", "sentence_dedup_keep", "text") ==
+        snap(SentenceDedup(threeLine, "doc_id", "text"), "doc_id", "sentence_dedup_keep", "text"))
+    } finally spark.conf.unset(DupCandidates.MaxBroadcastKeysConf)
+  }
+
+  test("exact_substr auto hot-key: max occurrence over threshold flips to groupBy-min by itself") {
+    // one boilerplate text on 6 docs -> every span hash occurs 6 times;
+    // threshold 2 must flip the window-min to groupBy-min + join-back
+    // (VERDICT r6 next-round #3) with identical output
+    val boiler = (1 to 12).map(i => s"w$i").mkString(" ")
+    val rows = (0 until 6).map(i => (i.toLong, boiler)) ++
+      (6 until 12).map(i => (i.toLong, s"unique doc $i with its own words here kept intact " + i))
+    val df = rows.toDF("doc_id", "text").repartition(3)
+    val cfg = ExactSubstrConfig(spanWords = 4, minDocWords = 2)
+    val windowed = ExactSubstrDedup(df, "doc_id", "text", cfg)
+    assert(planOf(windowed).contains("Window"), "below threshold: window-min stays")
+    val ref = windowed.select("doc_id", "exact_substr_keep", "text")
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.exactsubstr.hotKeyThreshold", "2")
+    try {
+      val auto = ExactSubstrDedup(df, "doc_id", "text", cfg)
+      val p = planOf(auto)
+      assert(!p.contains("Window"),
+        "over the hot-key threshold the plan must not contain the window-min:\n" + p.take(400))
+      // prefilter stays active (dup-key set is tiny) so the join-back gets
+      // the broadcast hint — both semi and join-back are broadcast nodes
+      assert(p.matches("(?s).*BroadcastHashJoin[^\\n]*LeftSemi.*"), p.take(400))
+      assert(auto.select("doc_id", "exact_substr_keep", "text")
+        .collect().map(_.toSeq).toSet == ref)
+    } finally spark.conf.unset("spark.graft.exactsubstr.hotKeyThreshold")
+  }
+
   test("exact/url dedup: null text, null url, and null priority rows survive the join") {
     val rows = Seq(
       (1L, "same text", "u1", java.lang.Long.valueOf(5L)),
