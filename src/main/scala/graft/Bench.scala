@@ -51,17 +51,24 @@ object Bench {
     * (VERDICT r3 "What's wrong" #1: BENCH_r03 recorded 8-36x per-query
     * blowups on textually-unchanged operators — pure host noise — and the
     * single-shot harness could not defend itself). */
-  def noiseProbe(): Double = {
+  def noiseProbe(iters: Long = 300000000L): Double = {
     val t0 = System.nanoTime()
     var acc = 0x9e3779b97f4a7c15L
     var i = 0L
-    while (i < 300000000L) {
+    while (i < iters) {
       acc = acc * 6364136223846793005L + 1442695040888963407L + i
       i += 1
     }
     if (acc == 42L) Console.err.println("") // keep the loop live
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Short pre-query probe (~1/3 of the decile probe): cheap enough to run
+    * before EVERY query's attempts, long enough to see a noisy-neighbor
+    * burst. Compared against the run's own median, not an absolute bar —
+    * the probe is single-threaded arithmetic, so only relative drift is
+    * meaningful across hosts. */
+  def quickProbe(): Double = noiseProbe(100000000L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,14 +144,51 @@ object Bench {
     val noiseSeries = scala.collection.mutable.ArrayBuffer[Double]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val probeEvery = math.max(1, ordered.size / 10)
+    // Probe-gated DEFERRED retries (VERDICT r6 next-round #2): best-of-2
+    // re-ran its third attempt immediately, so a burst window lasting a few
+    // queries ate every attempt of the rows inside it (the r6 d/e block),
+    // and a flat decile probe could still hide contention that hit one
+    // query between probes (gopher_quality_sql). Now every query gets a
+    // short PRE-probe; queries whose attempts disagree >1.5x or whose
+    // pre-probe exceeded 1.3x the run's median pre-probe are re-timed at
+    // END of run, after waiting (bounded) for a quiet probe — far from the
+    // burst that corrupted them. The pre-probe series and the deferred
+    // retries are recorded in the artifact so every anomalous row carries
+    // its own attribution.
+    val preProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val disagreed = scala.collection.mutable.LinkedHashSet[String]()
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       if (i % probeEvery == 0) noiseSeries += noiseProbe()
+      preProbes(name) = quickProbe()
       val t1 = timeOnce(fn)
       val t2 = timeOnce(fn)
-      var best = math.min(t1, t2)
-      if (math.max(t1, t2) > 1.5 * best && best > 0.15) best = math.min(best, timeOnce(fn))
+      if (math.max(t1, t2) > 1.5 * math.min(t1, t2) && math.min(t1, t2) > 0.15)
+        disagreed += name
       firstAttempt(name) = t1
-      results(name) = best
+      results(name) = math.min(t1, t2)
+    }
+
+    val sortedPre = preProbes.values.toSeq.sorted
+    val preMedian = sortedPre(sortedPre.size / 2)
+    val flagged = scala.collection.mutable.LinkedHashSet[String]()
+    flagged ++= disagreed
+    preProbes.foreach { case (n, p) => if (p > 1.3 * preMedian) flagged += n }
+    val byName = ordered.toMap
+    val deferred = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    flagged.foreach { name =>
+      // wait (bounded) for a quiet window before the deferred attempt; if
+      // the host never quiets down, measure anyway — the recorded probe
+      // value marks the row as still-contended
+      var probe = quickProbe()
+      var tries = 0
+      while (probe > 1.3 * preMedian && tries < 4) {
+        Thread.sleep(2000)
+        probe = quickProbe()
+        tries += 1
+      }
+      val t = timeOnce(byName(name))
+      deferred(name) = (probe, t)
+      results(name) = math.min(results(name), t)
     }
 
     results("full_pipeline") = pipeSec
@@ -158,7 +202,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
     val series = noiseSeries.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val noise = f"""{"start_sec":$noiseStart%.3f,"end_sec":$noiseEnd%.3f,"decile_sec":$series}"""
+    val preSeries = preProbes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val deferredJson = deferred.map { case (k, (p, t)) =>
+      "\"" + k + "\":" + f"""{"probe":$p%.3f,"sec":$t%.3f}"""
+    }.mkString("{", ",", "}")
+    val noise = f"""{"start_sec":$noiseStart%.3f,"end_sec":$noiseEnd%.3f,"decile_sec":$series,"pre_probe_median":$preMedian%.3f,"pre_probe":$preSeries,"deferred_retries":$deferredJson}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_attempt":$qsFirst,"sf":"$sfDir","pipeline_docs_per_sec":${docsPerSec.toLong},"pipeline_rows":$rows,"pipeline_kept":$kept,"cpus":$cpus,"noise_check":$noise}""")
     spark.stop()
