@@ -297,6 +297,33 @@ FROM documents ORDER BY doc_id"""
       concat_ws(" ", (0 until 8).map(i => substring(h, i * 4 + 1, 4)): _*).as("text"))
   }
 
+  /** Planted-twin threshold oracle over the raw documents table (see the
+    * `minhash_dedup` queries entry): every 10th doc gets a byte-identical
+    * twin with an id offset past every raw id; identical text ⇒ identical
+    * signature ⇒ every band collides ⇒ twin shares its source's cluster
+    * and is never the min-id survivor. Shared by `minhash_dedup` (driver
+    * union-find) and `minhash_dedup_dist` (distributed label propagation,
+    * conf-forced). */
+  private def minhashTwinOracle(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
+    val twins = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
+    val out = MinhashDedup.dedup(docs.unionByName(twins), "doc_id", "text")
+      .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
+    val t = out.where(col("doc_id") >= base)
+      .select((col("doc_id") - lit(base)).as("src_id"),
+        col("minhash_cluster").as("t_cluster"), col("minhash_keep").as("t_keep"))
+    val o = out.where(col("doc_id") < base)
+    o.agg(count(lit(1)).as("n_raw")).crossJoin(
+      t.join(o, t("src_id") === o("doc_id"))
+        .agg(count(lit(1)).as("n_planted"),
+          (sum(when(col("t_keep"), 1L).otherwise(0L)) === 0L).as("twins_all_dropped"),
+          (sum(when(col("t_cluster") === col("minhash_cluster"), 1L).otherwise(0L)) ===
+            count(lit(1))).as("twins_same_cluster")))
+  }
+
   /** 56-word variant (7 md5 blocks × 8 words) for the ExactSubstr spans
     * (which need ≥ spanWords=50 words per doc). */
   private def syntheticLongDupDocs(s: SparkSession, dir: String): DataFrame = {
@@ -549,32 +576,27 @@ FROM documents ORDER BY doc_id"""
             count(lit(1)) * 0.9).as("recall_ok"))
       raw.crossJoin(planted)
     }),
-    "minhash_dedup" -> ((s, dir) => {
-      // Raw variant upgraded from rows-only to a THRESHOLD oracle (r6,
-      // same planted-twin pattern as ann_lsh_topk): fuzzy clustering over
-      // the raw corpus is not SQL-derivable, but an identical planted twin
-      // is — same text ⇒ same shingle set ⇒ identical signature ⇒ every
-      // band collides ⇒ same cluster, and the min-id survivor rule can
-      // never pick the twin (its id is offset past every raw id). DuckDB
-      // pins the corpus/planted counts; the structural guarantees are
-      // engine-computed booleans the oracle requires to be TRUE.
-      implicit val sp: SparkSession = s
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
-      val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
-      val twins = docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
-      val out = MinhashDedup.dedup(docs.unionByName(twins), "doc_id", "text")
-        .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
-      val t = out.where(col("doc_id") >= base)
-        .select((col("doc_id") - lit(base)).as("src_id"),
-          col("minhash_cluster").as("t_cluster"), col("minhash_keep").as("t_keep"))
-      val o = out.where(col("doc_id") < base)
-      o.agg(count(lit(1)).as("n_raw")).crossJoin(
-        t.join(o, t("src_id") === o("doc_id"))
-          .agg(count(lit(1)).as("n_planted"),
-            (sum(when(col("t_keep"), 1L).otherwise(0L)) === 0L).as("twins_all_dropped"),
-            (sum(when(col("t_cluster") === col("minhash_cluster"), 1L).otherwise(0L)) ===
-              count(lit(1))).as("twins_same_cluster")))
+    // Raw variant upgraded from rows-only to a THRESHOLD oracle (r6,
+    // same planted-twin pattern as ann_lsh_topk): fuzzy clustering over
+    // the raw corpus is not SQL-derivable, but an identical planted twin
+    // is — same text ⇒ same shingle set ⇒ identical signature ⇒ every
+    // band collides ⇒ same cluster, and the min-id survivor rule can
+    // never pick the twin (its id is offset past every raw id). DuckDB
+    // pins the corpus/planted counts; the structural guarantees are
+    // engine-computed booleans the oracle requires to be TRUE.
+    "minhash_dedup" -> ((s, dir) => minhashTwinOracle(s, dir)),
+    // Same oracle computed through the DISTRIBUTED connected-components
+    // path (VERDICT r6 next-round #4): the edge bound is conf-lowered to
+    // 0 so the min-label-propagation fallback — not the driver union-find
+    // — assigns every cluster, and it must reach the same planted-twin
+    // guarantees. DedupSpec additionally pins label equality between the
+    // two paths on a raw edge multigraph.
+    "minhash_dedup_dist" -> ((s, dir) => {
+      s.conf.set("spark.graft.uf.driverEdgeLimit", "0")
+      // components() converges eagerly inside dedup(), so the conf can be
+      // restored as soon as the query DataFrame is built
+      try minhashTwinOracle(s, dir)
+      finally s.conf.unset("spark.graft.uf.driverEdgeLimit")
     }),
     "minhash_dedup_exact" -> ((s, dir) => {
       // planted-outcome oracle: exact duplicates share all buckets by
@@ -2466,6 +2488,11 @@ FROM m ORDER BY doc_id""",
     // id) — DuckDB pins the counts, the engine-computed booleans must be
     // TRUE
     "minhash_dedup" ->
+      """SELECT count(*) AS n_raw,
+  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+  TRUE AS twins_all_dropped, TRUE AS twins_same_cluster
+FROM documents""",
+    "minhash_dedup_dist" ->
       """SELECT count(*) AS n_raw,
   (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
   TRUE AS twins_all_dropped, TRUE AS twins_same_cluster

@@ -266,20 +266,28 @@ object MinhashDedup {
     nodes.map(n => (n, find(n))).toSeq.toDF("doc", "cluster")
   }
 
+  /** `driverEdgeLimit < 0` (the default) reads
+    * `spark.graft.uf.driverEdgeLimit` (default 5×10^6) — conf-settable so
+    * harnesses and tests can route real corpora through the DISTRIBUTED
+    * label-propagation path without touching call sites; the two paths are
+    * pinned label-identical in DedupSpec. */
   def components(edges0: DataFrame, maxIter: Int = 30,
-                 driverEdgeLimit: Long = 5000000L): DataFrame = {
+                 driverEdgeLimit: Long = -1L): DataFrame = {
     val spark = edges0.sparkSession
+    val limit =
+      if (driverEdgeLimit >= 0) driverEdgeLimit
+      else spark.conf.get("spark.graft.uf.driverEdgeLimit", "5000000").toLong
     val edges = edges0.cache()
     // (limit+1).toInt would overflow for a caller-raised limit near
     // Long.MaxValue — same guard shape as Similarity.bruteForceTopK
     val edgeCount =
-      if (driverEdgeLimit >= Int.MaxValue - 1) edges.count()
-      else edges.limit(driverEdgeLimit.toInt + 1).count()
+      if (limit >= Int.MaxValue - 1) edges.count()
+      else edges.limit(limit.toInt + 1).count()
     if (edgeCount == 0) { // no duplicate pairs at all — skip the whole loop
       edges.unpersist()
       return edges0.select(col("doc"), col("rep").as("cluster"))
     }
-    if (edgeCount <= driverEdgeLimit &&
+    if (edgeCount <= limit &&
         edges.schema("doc").dataType == org.apache.spark.sql.types.LongType) {
       import spark.implicits._
       val pairs = edges.select(col("doc").cast("long"), col("rep").cast("long"))
