@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.plans.Checkpoint
+import graft.plans.{Checkpoint, PhaseMetrics}
 import graft.sources.{WebCorpusGen, Writers}
 
 /** The production job: spark-submit entry point running the full quality
@@ -15,11 +15,19 @@ import graft.sources.{WebCorpusGen, Writers}
   *     --input  /path/web_pages_parquet   (or synth:N for the seeded corpus)
   *     --output /path/out                  \
   *     [--preset fineweb|fork] [--languages en,fr] [--extract-html]
+  *     [--posture scale]
   *
   * Stage layout under --output:
   *   stage_filtered/   committed verdict table (resume skip point)
   *   kept/ quarantine/ final split outputs
   *   _metrics/         per-partition drop-reason lineage
+  *
+  * `--posture scale` applies [[graft.operators.ScalePosture]] — the 100 TB
+  * configuration as one named config (AQE+skew-join, capped read splits,
+  * the guarded dedup prefilters, anchored ExactSubstr) — and chains the
+  * full dedup family after the quality filter, each phase a committed
+  * snapshot with a per-phase metrics line and a `_metrics/posture_phases`
+  * table. One command = the whole measured posture, end to end.
   */
 object RunPipeline {
 
@@ -34,17 +42,22 @@ object RunPipeline {
     val output = opts.getOrElse("output", sys.error("--output required"))
     val preset = opts.getOrElse("preset", "fineweb")
     val languages = opts.getOrElse("languages", "en").split(",").toSeq
+    val posture = opts.get("posture")
+    require(posture.forall(_ == "scale"), s"unknown --posture ${posture.get}")
 
     // master/conf come from spark-submit in production; local[*] fallback
     // lets the job run standalone in this sandbox
-    implicit val spark: SparkSession = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-quality-pipeline")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // CPU-bound text kernels want small read splits (BENCH.md)
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .master(spark_masterOrLocal())
-      .getOrCreate()
+    // the named posture's confs win over the standalone defaults above
+    if (posture.contains("scale"))
+      ScalePosture.sparkConfs.foreach { case (k, v) => builder.config(k, v) }
+    implicit val spark: SparkSession = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val raw: DataFrame =
@@ -76,10 +89,74 @@ object RunPipeline {
     if (!ckpt.isCommitted("kept")) {
       Writers.withQuarantine(filtered, ckpt.stagePath("kept"), s"$output/quarantine")
     }
-    val kept = spark.read.parquet(ckpt.stagePath("kept")).count()
+    val keptDf = spark.read.parquet(ckpt.stagePath("kept"))
+    val kept =
+      if (posture.contains("scale")) postureDedupChain(keptDf, ckpt).count()
+      else keptDf.count()
     val total = filtered.count()
     println(s"""{"event":"pipeline_done","total":$total,"kept":$kept,"output":"$output"}""")
     spark.stop()
+  }
+
+  /** The posture's dedup chain (VERDICT r6 #8): exact → url → minhash →
+    * sentence (measured default: prefilter OFF) → anchored ExactSubstr.
+    * Each phase is a committed snapshot (resume skips it), prints one
+    * per-phase JSON metrics line (sec, rows_out, shuffle bytes — same
+    * listener as ScaleEvidence), and lands in `_metrics/posture_phases`.
+    * The chain carries the kept schema plus `doc_id` end to end; the
+    * rewriting stages (sentence, exact-substr) replace `text` in place.
+    * Returns the final kept table (`stage_exact_substr`). */
+  def postureDedupChain(kept: DataFrame, ckpt: Checkpoint)
+                       (implicit spark: SparkSession): DataFrame = {
+    val meter = new PhaseMetrics
+    spark.sparkContext.addSparkListener(meter)
+    val phaseRows = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long, Long)]()
+    def phase(name: String)(body: => DataFrame): DataFrame = {
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      val out = body
+      val rows = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      meter.settle(name)
+      val sr = meter.shuffleRead.getOrDefault(name, 0L)
+      val sw = meter.shuffleWrite.getOrDefault(name, 0L)
+      phaseRows += ((name, sec, rows, sr, sw))
+      println(f"""{"phase":"$name","sec":$sec%.2f,"rows_out":$rows,"shuffle_read_mb":${sr / 1e6}%.1f,"shuffle_write_mb":${sw / 1e6}%.1f}""")
+      out
+    }
+    val docs = kept.withColumn("doc_id", xxhash64(col("url")))
+    val chainCols = docs.columns.toSeq
+    def prune(df: DataFrame): DataFrame = df.select(chainCols.map(col): _*)
+
+    val exact = phase("exact_dedup")(ckpt.stage("stage_exact_dedup") {
+      prune(ExactDedup(docs, "doc_id", "text").where(col("exact_keep")))
+    })
+    val byUrl = phase("url_dedup")(ckpt.stage("stage_url_dedup") {
+      // crawl recency as priority: the latest capture of a url wins
+      prune(UrlDedup(
+        exact.withColumn("__prio", unix_timestamp(col("warc_ts"))),
+        "url", "doc_id", "__prio").where(col("url_keep")))
+    })
+    val mh = phase("minhash_dedup")(ckpt.stage("stage_minhash_dedup") {
+      prune(MinhashDedup.dedup(byUrl, "doc_id", "text", ScalePosture.minhash)
+        .where(col("minhash_keep")))
+    })
+    val sd = phase("sentence_dedup")(ckpt.stage("stage_sentence_dedup") {
+      prune(SentenceDedup(mh, "doc_id", "text", ScalePosture.sentenceDedup)
+        .where(col("sentence_dedup_keep")))
+    })
+    val es = phase("exact_substr")(ckpt.stage("stage_exact_substr") {
+      prune(ExactSubstrDedup(sd, "doc_id", "text", ScalePosture.exactSubstr)
+        .where(col("exact_substr_keep")))
+    })
+    locally {
+      import spark.implicits._
+      ckpt.writeMetrics("posture_phases", phaseRows.toSeq
+        .toDF("phase", "sec", "rows_out", "shuffle_read_bytes", "shuffle_write_bytes"))
+    }
+    spark.sparkContext.removeSparkListener(meter)
+    es
   }
 
   private def spark_masterOrLocal(): String =

@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.plans.PhaseMetrics
 import graft.sources.WebCorpusGen
 
 /** Round-5 at-scale evidence run (VERDICT r4 "Next round" #3): one sf1-scale
@@ -20,29 +20,6 @@ import graft.sources.WebCorpusGen
   * local mode, so this is the whole-process ceiling, the conservative view).
   */
 object ScaleEvidence {
-
-  private final class PhaseMetrics extends SparkListener {
-    private val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-    val shuffleRead = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    val shuffleWrite = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    val inputBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-    override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
-      val group = Option(jobStart.properties)
-        .map(_.getProperty("spark.jobGroup.id", "ungrouped")).getOrElse("ungrouped")
-      jobStart.stageInfos.foreach(si => stageToGroup.put(si.stageId, group))
-    }
-
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val g = stageToGroup.getOrDefault(sc.stageInfo.stageId, "ungrouped")
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        shuffleRead.merge(g, m.shuffleReadMetrics.totalBytesRead, (a, b) => a + b)
-        shuffleWrite.merge(g, m.shuffleWriteMetrics.bytesWritten, (a, b) => a + b)
-        inputBytes.merge(g, m.inputMetrics.bytesRead, (a, b) => a + b)
-      }
-    }
-  }
 
   // Two running maxima: `peakHeap` is the whole-run ceiling for the summary
   // line; `phasePeak` is snapshotted+reset at each phase boundary so the
@@ -112,23 +89,7 @@ object ScaleEvidence {
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
       results(name) = (sec, out)
-      // listener events arrive asynchronously: wait until the per-group
-      // counters stop moving before sampling (review-caught undercount)
-      locally {
-        var prev = -1L
-        var cur = metrics.shuffleRead.getOrDefault(name, 0L) +
-          metrics.shuffleWrite.getOrDefault(name, 0L) +
-          metrics.inputBytes.getOrDefault(name, 0L)
-        var waited = 0
-        while (cur != prev && waited < 3000) {
-          prev = cur
-          Thread.sleep(250)
-          waited += 250
-          cur = metrics.shuffleRead.getOrDefault(name, 0L) +
-            metrics.shuffleWrite.getOrDefault(name, 0L) +
-            metrics.inputBytes.getOrDefault(name, 0L)
-        }
-      }
+      metrics.settle(name)
       val sr = metrics.shuffleRead.getOrDefault(name, 0L)
       val sw = metrics.shuffleWrite.getOrDefault(name, 0L)
       val in = metrics.inputBytes.getOrDefault(name, 0L)
