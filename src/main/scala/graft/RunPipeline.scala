@@ -53,6 +53,10 @@ object RunPipeline {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // CPU-bound text kernels want small read splits (BENCH.md)
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      // 2× cores (ScalePosture scaladoc: local harnesses size the shuffle
+      // from CPUs; a cluster submit overrides via --conf)
+      .config("spark.sql.shuffle.partitions",
+        (Runtime.getRuntime.availableProcessors() * 2).toString)
       .master(spark_masterOrLocal())
     // the named posture's confs win over the standalone defaults above
     if (posture.contains("scale"))
