@@ -491,6 +491,36 @@ FROM documents ORDER BY doc_id"""
           md5(col("t").cast("binary")).as("text_md5"))
         .orderBy("url")
     }),
+    "warc_extract_conformance" -> ((s, dir) => {
+      // the general extraction path over 27 pages whose parser-stressing
+      // STRUCTURES are transcribed from published third-party suites —
+      // html5lib-tests tree-construction/tokenizer inputs (unclosed p/li,
+      // adoption agency, text around table internals, misnested
+      // formatting, raw-text elements, eof-in-comment/-tag, entity
+      // corner cases, MathML/SVG, plaintext, frameset, obsolete
+      // elements, CDATA, quoted '>', stray '<', table sections) and W3C
+      // i18n test structures (bidi RTL, ruby) — so the page classes were
+      // NOT invented by the extractor's author
+      // (tools/gen_conformance_warc.py cites each). Goldens hand-derived
+      // from the documented semantics; deliberate divergences from a
+      // spec HTML5 tree builder are listed in FIXTURES.md §18.
+      // ConformanceWarcSpec pins the bytes, this oracle pins
+      // (n_lines, n_chars, md5) per url.
+      import s.implicits._
+      val bytes = graft.text.Resources.readBytes("/graft/conformance.warc")
+      val docs = graft.sources.WarcParser.parse("conformance.warc", bytes)
+        .flatMap(d => graft.sources.WarcParser.decodeHtml(d.html).map(h => (d.url, h)))
+        .toList
+      val extractU = udf { h: String => TrafilaturaExtractor.extract(h) }
+      docs.toDF("url", "html")
+        .select(col("url"), extractU(col("html")).as("t"))
+        .select(col("url"),
+          when(length(col("t")) === 0, lit(0))
+            .otherwise(size(split(col("t"), "\n", -1))).as("n_lines"),
+          length(col("t")).as("n_chars"),
+          md5(col("t").cast("binary")).as("text_md5"))
+        .orderBy("url")
+    }),
     "perplexity" -> ((s, dir) => {
       // KenLM-semantics ARPA scorer over the committed tiny.arpa fixture
       // (self-authored toy bigram model). Planted single-line lowercase
@@ -2339,6 +2369,36 @@ FROM documents ORDER BY doc_id""",
   ('https://wild.example.org/login-page', 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
   ('https://wild.example.org/unsubscribe-confirm', 2, 116, '0966632cf2749c9dcd2168c5c0b56047'),
   ('https://wild.example.org/print-checklist', 4, 233, '4cd42e3729d9467f3fb0a08419650b5d')
+) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
+    "warc_extract_conformance" ->
+      """SELECT * FROM (VALUES
+  ('https://conformance.example.org/unclosed-p', 2, 64, '3afc5883d4ed51f5afed5b141f1c32fb'),
+  ('https://conformance.example.org/adoption-a-p', 5, 64, '4345b082a25a15cf4f353b8b2e72385e'),
+  ('https://conformance.example.org/foster-table', 5, 66, 'af1656f8d731cdab1c913a285acffe78'),
+  ('https://conformance.example.org/unclosed-li', 5, 77, '6e95d9ae69f3e3c86295139b84095ccc'),
+  ('https://conformance.example.org/select-option', 3, 80, '725ba502fb4747cb231f2be2836f78a4'),
+  ('https://conformance.example.org/formatting-misnest', 1, 53, '793f1beeadd3613c3b2c40075145d813'),
+  ('https://conformance.example.org/script-rawtext', 2, 49, '059504562e205b68e484a267bf1a8265'),
+  ('https://conformance.example.org/unclosed-comment', 1, 33, 'c40dcd630bccad7143e0148eba0bc4df'),
+  ('https://conformance.example.org/bogus-comment-pi', 1, 50, '1db95b35185165b68aa6b5db31404b4f'),
+  ('https://conformance.example.org/entities', 5, 188, '6164b968bead80567674d2a1b9558470'),
+  ('https://conformance.example.org/math-inline', 1, 41, 'dca5394df291f8df8a76c2fd71658ea9'),
+  ('https://conformance.example.org/svg-dropped', 2, 38, 'a3559c0587500d5982ad097dfb729f27'),
+  ('https://conformance.example.org/end-tag-br', 1, 33, '4d83bc37308facc0e0e38bcd32a42a7f'),
+  ('https://conformance.example.org/nested-heading', 3, 65, 'd1f4d5c5c87953873e9c2c4c6aefd6a5'),
+  ('https://conformance.example.org/orphan-td', 3, 68, '89769acf1106cc5504cb134d8c609c12'),
+  ('https://conformance.example.org/plaintext', 2, 68, '0a47c990c1e22fcfc80d2ef1bfe36631'),
+  ('https://conformance.example.org/textarea-raw', 2, 73, '2a39005796fe4c7f9828e73b014f9e0d'),
+  ('https://conformance.example.org/quoted-gt-attr', 2, 61, '86bb41e86c7c73de5f1458e4c636b4b5'),
+  ('https://conformance.example.org/stray-lt', 1, 53, 'fdac3887c6e497fc07e29a37b7fb6d44'),
+  ('https://conformance.example.org/eof-in-tag', 1, 45, '45b6b09fa2c5fc6061d49c10226789ba'),
+  ('https://conformance.example.org/frameset-noframes', 1, 37, '2c66c92ad628ad6aba2e8ae4f2ba5f88'),
+  ('https://conformance.example.org/obsolete-elements', 3, 82, 'c9eb8181dc3fb7481a49f9a970ae7229'),
+  ('https://conformance.example.org/cdata-in-html', 1, 25, 'e92a062d2c6ed0bcd8362021da711853'),
+  ('https://conformance.example.org/table-sections', 5, 82, 'de3e2d44e3c28322a85f68e8ba55fced'),
+  ('https://conformance.example.org/template-inert', 2, 36, '4bd76d9b852258658d68398ddd4bec82'),
+  ('https://conformance.example.org/i18n-bidi-rtl', 3, 81, 'e758d8a5f14c0851f8d5b7010b3a7b5e'),
+  ('https://conformance.example.org/i18n-ruby', 2, 33, 'eebea861dee2b8214dcc504b06b5b576')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES
