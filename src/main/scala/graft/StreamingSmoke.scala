@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.{CacheRegistry, Presets, UrlFilter}
 import graft.sources.WebCorpusGen
 
-/** Round-5 streaming at-scale smoke (VERDICT r4 "Next round" #6): the
-  * streaming path's only prior evidence was the 1000-doc MemoryStream
-  * oracle + unit tests. This drives the REAL file-source path over the
-  * sf0.1 (200k-doc) corpus:
+/** Round-5 streaming at-scale smoke (VERDICT r4 "Next round" #6), raised
+  * to sf1 in round 7 (VERDICT r6 "Next round" #7): the streaming path's
+  * only prior evidence was the 1000-doc MemoryStream oracle + unit tests.
+  * This drives the REAL file-source path over the corpus
+  * (SPARK_GRAFT_STREAM_ROWS, default 200k; the r7 evidence runs 2M):
   *
   *   corpus → 20 time-ordered parquet chunks (1 simulated ingest-minute
   *   apart, like successive CC dump shards) → readStream
@@ -32,7 +33,7 @@ object StreamingSmoke {
     spark.sparkContext.setLogLevel("WARN")
     implicit val sp: SparkSession = spark
 
-    val rows = 200000L
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong
     val corpusPath = Bench.ensureCorpus(spark, rows)
     val srcDir = s"/tmp/graft_stream_src_$rows"
     val nChunks = 20
@@ -96,8 +97,13 @@ object StreamingSmoke {
     // bounded-state assertion: TTL eviction actually fired and the state
     // store never held anywhere near the cumulative distinct-key count
     require(totalRemoved > 0, "no TTL eviction observed")
-    require(maxState < 80000,
-      s"state unbounded: $maxState rows (expected < ~5 chunks of keys)")
+    // rows-proportional bound: 80k at the original 200k smoke (~5 chunks of
+    // kept keys out of 20), scaling linearly — at 2M this demands the state
+    // store hold < 800k rows while 1.26M kept keys stream through, i.e. TTL
+    // eviction must keep pace at 10x the originally-evidenced volume
+    val stateBound = rows * 80000L / 200000L
+    require(maxState < stateBound,
+      s"state unbounded: $maxState rows (bound $stateBound = ~5 chunks of keys at $rows rows)")
     CacheRegistry.clearAll()
     spark.stop()
   }

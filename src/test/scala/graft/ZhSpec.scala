@@ -20,11 +20,21 @@ class ZhSpec extends AnyFunSuite {
   }
 
   test("HMM emits B..E / S spans and partitions losslessly") {
-    // 4 fully-unseen chars: flat emissions, transitions prefer 2-char words
-    val oov = "鹿鸣魔焰" // 鹿鸣魔焰 — none in dict
+    // 4 fully-unseen chars (彧犇淼焱 appear in NO dict word, checked below):
+    // flat emissions, so transitions decide — B→E (log .7) beats B→M→M→E
+    // (.3·.4·.6) and the start/E→B products favor BEBE = two 2-char words
+    // (0.6·0.7·0.55·0.7 = .1617, the max over all B/M/E/S paths).
+    val oov = "彧犇淼焱"
+    assert(oov.forall(c => !ZhSegmenter.wordFreqs.keys.exists(_.contains(c))))
     val cut = ZhSegmenter.Hmm.cut(oov)
     assert(cut.mkString == oov)
-    assert(cut == Seq("鹿鸣", "魔焰"))
+    assert(cut == Seq("彧犇", "淼焱"))
+    // the round-6 pin 鹿鸣魔焰 is no longer fully unseen: round 7's dict
+    // waves made 鹿 an end-state char (梅花鹿/麋鹿/驯鹿), 鸣 end (耳鸣),
+    // 魔 begin (魔方/魔鬼鱼) — emission mass now joins the run into one
+    // 4-char word, which is exactly the emission-over-transition behavior
+    // the model is supposed to show for name-like runs of seen chars.
+    assert(ZhSegmenter.Hmm.cut("鹿鸣魔焰") == Seq("鹿鸣魔焰"))
   }
 
   test("buffered single-char dict words only HMM-join when the buffer has no dict freq") {
