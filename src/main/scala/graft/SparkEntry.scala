@@ -492,7 +492,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_conformance" -> ((s, dir) => {
-      // the general extraction path over 27 pages whose parser-stressing
+      // the general extraction path over 41 pages whose parser-stressing
       // STRUCTURES are transcribed from published third-party suites —
       // html5lib-tests tree-construction/tokenizer inputs (unclosed p/li,
       // adoption agency, text around table internals, misnested
@@ -2398,7 +2398,21 @@ FROM documents ORDER BY doc_id""",
   ('https://conformance.example.org/table-sections', 5, 82, 'de3e2d44e3c28322a85f68e8ba55fced'),
   ('https://conformance.example.org/template-inert', 2, 36, '4bd76d9b852258658d68398ddd4bec82'),
   ('https://conformance.example.org/i18n-bidi-rtl', 3, 81, 'e758d8a5f14c0851f8d5b7010b3a7b5e'),
-  ('https://conformance.example.org/i18n-ruby', 2, 33, 'eebea861dee2b8214dcc504b06b5b576')
+  ('https://conformance.example.org/i18n-ruby', 2, 33, 'eebea861dee2b8214dcc504b06b5b576'),
+  ('https://conformance.example.org/div-closes-p', 3, 57, '3537ec810b39c6268d2680d68c8ba344'),
+  ('https://conformance.example.org/blockquote-closes-p', 3, 91, 'a0ea6485030a94c46c51305b1b0dcc91'),
+  ('https://conformance.example.org/button-menu-chrome', 3, 87, '99fbf07dbb9a9445716d57298238321f'),
+  ('https://conformance.example.org/iframe-markup', 2, 42, '3fe942f228d86dfeb0817771f9a192d3'),
+  ('https://conformance.example.org/xmp-transparent', 3, 60, '319be8602fecc7055541b93b8189b4d6'),
+  ('https://conformance.example.org/dt-dd-implied', 5, 84, '9249e62df53c8e0d5828d565d3688436'),
+  ('https://conformance.example.org/entity-edges', 5, 172, '788a8f7fea7b0f207a2781c85c19c937'),
+  ('https://conformance.example.org/tfoot-source-order', 4, 49, '02bdde7f2d894c3a109c6864b8cb4602'),
+  ('https://conformance.example.org/nested-anchor', 1, 118, '5f89d70e4ae72705015d4f5946dc7225'),
+  ('https://conformance.example.org/head-stray-text', 1, 33, '8779742c0e65a5646c7fbf65dad0905d'),
+  ('https://conformance.example.org/duplicate-class-attr', 2, 44, '6de4a0a9a8fceabad392f43530211032'),
+  ('https://conformance.example.org/math-annotation', 1, 26, '32e19aefe7fb4f0a52f1e07e835c33c7'),
+  ('https://conformance.example.org/svg-foreignobject', 2, 27, '074b2509c3d12842a30cc8381c43a116'),
+  ('https://conformance.example.org/self-closing-div', 3, 64, 'ba262850db09b3bb3ab0e778d6c6c160')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

@@ -322,6 +322,167 @@ var markup = "<div>also invisible</div>";
         "振り仮名: 漢かん字じを抽出する。",
         "東京(とうきょう)行きの列車。",
     ]),
+
+    # ------------------------------------------------------------ batch 2
+    # <div> implies </p>; a <p> inside an open <div> nests (no implied
+    # close for div), each block its own line.
+    ("div-closes-p", "html5lib-tests tree-construction p/div implied-end cases",
+     """<html><body><p>Alpha paragraph text<div>Beta block text<p>Gamma paragraph text</div></body></html>""", [
+        "Alpha paragraph text",
+        "Beta block text",
+        "Gamma paragraph text",
+    ]),
+
+    # <blockquote> implies </p>; trailing text after </blockquote> sits at
+    # body level and forms its own line at the final flush.
+    ("blockquote-closes-p", "html5lib-tests tree-construction blockquote implied-end cases",
+     """<html><body><p>He opened with a claim<blockquote>The quoted passage stands alone.</blockquote>and closed without a new paragraph.</body></html>""", [
+        "He opened with a claim",
+        "The quoted passage stands alone.",
+        "and closed without a new paragraph.",
+    ]),
+
+    # <button> and <menu> are interactive chrome (DropElems): their text —
+    # including <li> items inside <menu> — never extracts.
+    ("button-menu-chrome", "html5lib-tests tree-construction button scope / menu cases",
+     """<html><body><h1>Interactive chrome page</h1>
+<p>The verbs below are controls, not content.</p>
+<button type="submit">Submit the form now</button>
+<menu><li>Cut selection</li><li>Paste buffer</li></menu>
+<p>Only prose survives.</p></body></html>""", [
+        "Interactive chrome page",
+        "The verbs below are controls, not content.",
+        "Only prose survives.",
+    ]),
+
+    # <iframe>: a spec parser treats the content as raw text (never part of
+    # the tree); ours parses it as markup but drops the whole subtree
+    # (DropElems) — the EXTRACTION result is identical, so no divergence row.
+    ("iframe-markup", "html5lib-tests tests16.dat iframe raw-text states",
+     """<html><body><p>Embedded frame below.</p>
+<iframe src="/ad.html"><p>Iframe fallback markup never extracts.</p></iframe>
+<p>Main flow continues.</p></body></html>""", [
+        "Embedded frame below.",
+        "Main flow continues.",
+    ]),
+
+    # <xmp>: spec raw text (literal <b> tags would show); ours parses it as
+    # markup under a transparent unknown element (disclosed divergence,
+    # FIXTURES.md §18) — the inline tags vanish and the text floats as one
+    # body-level line.
+    ("xmp-transparent", "html5lib-tests webkit01.dat xmp raw-text case",
+     """<html><body><p>Before the sample.</p>
+<xmp>Inline <b>code sample</b> text</xmp>
+<p>After the sample.</p></body></html>""", [
+        "Before the sample.",
+        "Inline code sample text",
+        "After the sample.",
+    ]),
+
+    # dt/dd implied end tags: each sibling implies closing the open one;
+    # dt and dd are block tags, one line each.
+    ("dt-dd-implied", "html5lib-tests tree-construction dt/dd implied-end-tag cases",
+     """<html><body><h1>Glossary</h1>
+<dl><dt>First term<dd>Meaning of the first term<dt>Second term<dd>Meaning of the second term</dl>
+</body></html>""", [
+        "Glossary",
+        "First term",
+        "Meaning of the first term",
+        "Second term",
+        "Meaning of the second term",
+    ]),
+
+    # Entity edge cases: &shy; deletes, &nbsp; maps to a plain space,
+    # out-of-range numerics (> U+10FFFF) stay literal, names longer than
+    # the 10-char reference budget stay literal, known math names decode.
+    ("entity-edges", "html5lib-tests entities02.dat numeric/edge cases",
+     """<html><body>
+<p>Soft hyphen: co&shy;operate rejoins</p>
+<p>Nbsp is a plain space: a&nbsp;b</p>
+<p>Invalid numerics &#x110000; and &#99999999; stay literal</p>
+<p>Overlong name &averylongname; stays</p>
+<p>Math: 3&times;4&divide;2 gives 6&plusmn;0</p>
+</body></html>""", [
+        "Soft hyphen: cooperate rejoins",
+        "Nbsp is a plain space: a b",
+        "Invalid numerics &#x110000; and &#99999999; stay literal",
+        "Overlong name &averylongname; stays",
+        "Math: 3×4÷2 gives 6±0",
+    ]),
+
+    # <tfoot> written before <thead>/<tbody>: the DOM keeps source order
+    # (rendering reorders, extraction follows the DOM — same in lxml).
+    ("tfoot-source-order", "html5lib-tests tree-construction table-section cases",
+     """<html><body><h1>Annual totals</h1>
+<table><tfoot><tr><td>Total<td>4550</tfoot>
+<thead><tr><th>Item<th>Amount</thead>
+<tbody><tr><td>Widgets<td>4550</tbody></table></body></html>""", [
+        "Annual totals",
+        "Total 4550",
+        "Item Amount",
+        "Widgets 4550",
+    ]),
+
+    # <a> inside <a>: spec's adoption agency closes the outer anchor first,
+    # ours nests and nearest-match closes — the text order and the
+    # extracted line are identical either way; the plain continuation
+    # keeps the paragraph's anchor density below the 2/3 threshold.
+    ("nested-anchor", "html5lib-tests adoption01.dat '<a>1<a>2'",
+     """<html><body><p><a href="/one">first anchor <a href="/two">second anchor</a></a> then a long plain continuation that keeps the paragraph density safely below the threshold.</p></body></html>""", [
+        "first anchor second anchor then a long plain continuation that keeps the paragraph density safely below the threshold.",
+    ]),
+
+    # Non-whitespace text inside <head>: a spec parser re-parents it to
+    # <body> (it renders); ours drops it with the head subtree (disclosed
+    # divergence, FIXTURES.md §18).
+    ("head-stray-text", "html5lib-tests tree-construction text-in-head cases",
+     """<html><head><title>Stray</title>Loose head text is spec-reparented to body.</head><body><p>Only the body paragraph extracts.</p></body></html>""", [
+        "Only the body paragraph extracts.",
+    ]),
+
+    # Duplicate attribute: the spec tokenizer keeps the FIRST class and
+    # drops the duplicate, so a spec-based extractor keeps this div; our
+    # attribute scan checks every class/id occurrence and sees the discard
+    # keyword in the duplicate (disclosed divergence, FIXTURES.md §18).
+    ("duplicate-class-attr", "html5lib-tests tokenizer duplicate-attribute cases",
+     """<html><body><p>First paragraph stays.</p>
+<div class="story" class="comment-list">A spec parser keeps this line because the first class attribute wins.</div>
+<p>Last paragraph stays.</p></body></html>""", [
+        "First paragraph stays.",
+        "Last paragraph stays.",
+    ]),
+
+    # MathML <semantics>/<annotation>: browsers render only the first
+    # child and hide the annotation; our unknown elements are transparent,
+    # so the TeX annotation text flows too (disclosed divergence,
+    # FIXTURES.md §18).
+    ("math-annotation", "html5lib-tests tests9.dat MathML semantics/annotation",
+     """<html><body><p>The successor <math><semantics><mrow><mi>n</mi><mo>+</mo><mn>1</mn></mrow><annotation encoding="application/x-tex">n+1</annotation></semantics></math> of n.</p></body></html>""", [
+        "The successor n+1n+1 of n.",
+    ]),
+
+    # SVG <foreignObject> holding HTML: a spec parser switches back to the
+    # HTML insertion mode inside it (the paragraph renders); ours drops
+    # the whole <svg> subtree as non-text media (disclosed divergence,
+    # FIXTURES.md §18).
+    ("svg-foreignobject", "html5lib-tests tests9/tests10.dat svg foreignObject",
+     """<html><body><p>Vector intro.</p>
+<svg width="100" height="50"><foreignObject x="0" y="0"><p>HTML inside the SVG canvas.</p></foreignObject></svg>
+<p>Vector outro.</p></body></html>""", [
+        "Vector intro.",
+        "Vector outro.",
+    ]),
+
+    # Self-closing slash on a non-void HTML element: the spec ignores the
+    # slash (<div/> stays open), ours honors it (no element pushed) — the
+    # floating text forms its own body-level line either way, so the
+    # extracted lines are identical and no divergence row is needed.
+    ("self-closing-div", "html5lib-tests tokenizer self-closing-flag cases",
+     """<html><body><p>Header line.</p><div/>Floating text after a self-closed div.<p>Footer line.</p></body></html>""", [
+        "Header line.",
+        "Floating text after a self-closed div.",
+        "Footer line.",
+    ]),
 ]
 
 # The entities page's golden, spelled out with explicit escapes (the
