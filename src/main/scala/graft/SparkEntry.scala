@@ -492,7 +492,7 @@ FROM documents ORDER BY doc_id"""
         .orderBy("url")
     }),
     "warc_extract_conformance" -> ((s, dir) => {
-      // the general extraction path over 41 pages whose parser-stressing
+      // the general extraction path over 42 pages whose parser-stressing
       // STRUCTURES are transcribed from published third-party suites —
       // html5lib-tests tree-construction/tokenizer inputs (unclosed p/li,
       // adoption agency, text around table internals, misnested
@@ -2412,7 +2412,8 @@ FROM documents ORDER BY doc_id""",
   ('https://conformance.example.org/duplicate-class-attr', 2, 44, '6de4a0a9a8fceabad392f43530211032'),
   ('https://conformance.example.org/math-annotation', 1, 26, '32e19aefe7fb4f0a52f1e07e835c33c7'),
   ('https://conformance.example.org/svg-foreignobject', 2, 27, '074b2509c3d12842a30cc8381c43a116'),
-  ('https://conformance.example.org/self-closing-div', 3, 64, 'ba262850db09b3bb3ab0e778d6c6c160')
+  ('https://conformance.example.org/self-closing-div', 3, 64, 'ba262850db09b3bb3ab0e778d6c6c160'),
+  ('https://conformance.example.org/entity-nul-surrogate', 3, 116, '5241a7aeb904b7565e74a930b186e329')
 ) AS t(url, n_lines, n_chars, text_md5) ORDER BY url""",
     "warc_extract_general" ->
       """SELECT * FROM (VALUES

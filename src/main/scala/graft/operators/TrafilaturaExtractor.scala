@@ -136,6 +136,18 @@ object TrafilaturaExtractor {
     "zwnj" -> "\u200c", "zwj" -> "\u200d",
     "lrm" -> "\u200e", "rlm" -> "\u200f")
 
+  /** Numeric reference → decoded string, or null when the code point must
+    * not be emitted: NUL and lone surrogates (U+D800-DFFF) pass
+    * isValidCodePoint but would put a zero byte / an unpaired surrogate
+    * into extracted text — a lone surrogate silently becomes '?' in every
+    * downstream UTF-8 encode (parquet, hashing), breaking byte-level
+    * determinism. The HTML5 spec maps both to U+FFFD + parse error; our
+    * documented convention for un-emittable references is the same as for
+    * out-of-range ones — the reference stays literal. */
+  private def decodeCp(cp: Int): String =
+    if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || !Character.isValidCodePoint(cp)) null
+    else new String(Character.toChars(cp))
+
   /** Decode numeric (dec/hex) and the common named entities; unknown
     * entities pass through verbatim (browsers render them literally). */
   private[graft] def decodeEntities(s: String): String = {
@@ -151,15 +163,11 @@ object TrafilaturaExtractor {
           val body = s.substring(i + 1, semi)
           val rep: String =
             if (body.startsWith("#x") || body.startsWith("#X")) {
-              try {
-                val cp = Integer.parseInt(body.substring(2), 16)
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
-              } catch { case _: NumberFormatException => null }
+              try decodeCp(Integer.parseInt(body.substring(2), 16))
+              catch { case _: NumberFormatException => null }
             } else if (body.startsWith("#")) {
-              try {
-                val cp = Integer.parseInt(body.substring(1))
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
-              } catch { case _: NumberFormatException => null }
+              try decodeCp(Integer.parseInt(body.substring(1)))
+              catch { case _: NumberFormatException => null }
             } else NamedEntities.getOrElse(body, null)
           if (rep != null) { out.append(rep); i = semi + 1 }
           else { out.append(c); i += 1 }

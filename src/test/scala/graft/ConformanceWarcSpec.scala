@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TrafilaturaExtractor
 
 /** Byte-equality replay of the CONFORMANCE-STRUCTURE corpus (VERDICT r6
-  * "Next round" #5): 41 pages (batch 2 added round-7 session 2) in tools/gen_conformance_warc.py whose
+  * "Next round" #5): 42 pages (batch 2 added round-7 session 2) in tools/gen_conformance_warc.py whose
   * parser-stressing structures are transcribed from published third-party
   * suites — html5lib-tests tree-construction/tokenizer inputs (unclosed
   * p/li, adoption agency, text around table internals, formatting
@@ -53,9 +53,9 @@ class ConformanceWarcSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("corpus shape: 41 conformance-structure pages decode, all with goldens") {
-    assert(extracted.size == 41)
-    assert(goldens.size == 41)
+  test("corpus shape: 42 conformance-structure pages decode, all with goldens") {
+    assert(extracted.size == 42)
+    assert(goldens.size == 42)
     assert(extracted.keySet == goldens.keySet)
   }
 

@@ -483,6 +483,19 @@ var markup = "<div>also invisible</div>";
         "Floating text after a self-closed div.",
         "Footer line.",
     ]),
+
+    # NUL and lone-surrogate numeric references: the spec emits U+FFFD +
+    # parse error; ours keeps the reference literal (same convention as
+    # out-of-range numerics) so no zero byte or unpaired surrogate can
+    # reach extracted text (disclosed divergence, FIXTURES.md §18).
+    ("entity-nul-surrogate", "html5lib-tests entities02.dat / tokenizer NUL + surrogate refs",
+     """<html><body><p>Nul ref &#0; stays literal</p>
+<p>Surrogate refs &#xD800; and &#xDFFF; stay literal</p>
+<p>Boundary neighbours &#xD7FF; and &#xE000; decode fine</p></body></html>""", [
+        "Nul ref &#0; stays literal",
+        "Surrogate refs &#xD800; and &#xDFFF; stay literal",
+        "Boundary neighbours \ud7ff and \ue000 decode fine",
+    ]),
 ]
 
 # The entities page's golden, spelled out with explicit escapes (the
