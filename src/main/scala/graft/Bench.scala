@@ -172,7 +172,12 @@ object Bench {
     val preMedian = sortedPre(sortedPre.size / 2)
     val flagged = scala.collection.mutable.LinkedHashSet[String]()
     flagged ++= disagreed
-    preProbes.foreach { case (n, p) => if (p > 1.3 * preMedian) flagged += n }
+    // same >0.15s floor as the disagreement path: a sub-noise-scale query
+    // can't have been corrupted enough to matter, and each deferred retry
+    // costs up to ~8s of quiet-window waiting (review-caught, round 7)
+    preProbes.foreach { case (n, p) =>
+      if (p > 1.3 * preMedian && results(n) > 0.15) flagged += n
+    }
     val byName = ordered.toMap
     val deferred = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     flagged.foreach { name =>

@@ -46,21 +46,31 @@ object RunPipeline {
     require(posture.forall(_ == "scale"), s"unknown --posture ${posture.get}")
 
     // master/conf come from spark-submit in production; local[*] fallback
-    // lets the job run standalone in this sandbox
+    // lets the job run standalone in this sandbox.
+    //
+    // Builder .config() OVERRIDES spark-submit --conf (builder options are
+    // applied on top of the SparkConf loaded from system properties), so
+    // every default below — including the posture's — is set only when the
+    // operator did not pass it explicitly: a cluster submit's
+    // --conf spark.sql.shuffle.partitions=2000 must win over the
+    // standalone 2×driver-cores sizing (review-caught, round 7).
+    val submitted = new org.apache.spark.SparkConf(true) // loads --conf/sys props
+    val defaults: Seq[(String, String)] = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // CPU-bound text kernels want small read splits (BENCH.md)
+      "spark.sql.files.maxPartitionBytes" -> (16 * 1024 * 1024).toString,
+      // 2× cores fits the standalone/local harness; real clusters size
+      // this for the executor fleet via --conf
+      "spark.sql.shuffle.partitions" ->
+        (Runtime.getRuntime.availableProcessors() * 2).toString) ++
+      (if (posture.contains("scale")) ScalePosture.sparkConfs else Nil)
     val builder = SparkSession.builder()
       .appName("graft-quality-pipeline")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // CPU-bound text kernels want small read splits (BENCH.md)
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
-      // 2× cores (ScalePosture scaladoc: local harnesses size the shuffle
-      // from CPUs; a cluster submit overrides via --conf)
-      .config("spark.sql.shuffle.partitions",
-        (Runtime.getRuntime.availableProcessors() * 2).toString)
       .master(spark_masterOrLocal())
-    // the named posture's confs win over the standalone defaults above
-    if (posture.contains("scale"))
-      ScalePosture.sparkConfs.foreach { case (k, v) => builder.config(k, v) }
+    defaults.foreach { case (k, v) =>
+      if (!submitted.contains(k)) builder.config(k, v)
+    }
     implicit val spark: SparkSession = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -114,53 +124,80 @@ object RunPipeline {
                        (implicit spark: SparkSession): DataFrame = {
     val meter = new PhaseMetrics
     spark.sparkContext.addSparkListener(meter)
-    val phaseRows = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long, Long)]()
-    def phase(name: String)(body: => DataFrame): DataFrame = {
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
-      val t0 = System.nanoTime()
-      val out = body
-      val rows = out.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.clearJobGroup()
-      meter.settle(name)
-      val sr = meter.shuffleRead.getOrDefault(name, 0L)
-      val sw = meter.shuffleWrite.getOrDefault(name, 0L)
-      phaseRows += ((name, sec, rows, sr, sw))
-      println(f"""{"phase":"$name","sec":$sec%.2f,"rows_out":$rows,"shuffle_read_mb":${sr / 1e6}%.1f,"shuffle_write_mb":${sw / 1e6}%.1f}""")
-      out
-    }
-    val docs = kept.withColumn("doc_id", xxhash64(col("url")))
-    val chainCols = docs.columns.toSeq
-    def prune(df: DataFrame): DataFrame = df.select(chainCols.map(col): _*)
+    try {
+      val phaseRows = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long, Long)]()
+      // a resumed run must not overwrite a committed phase's REAL metrics
+      // with the read-back timing of its skip (review-caught, round 7):
+      // only phases that actually computed this run contribute rows
+      val computedPhases = scala.collection.mutable.ArrayBuffer[String]()
+      def phase(name: String)(body: => DataFrame): DataFrame = {
+        val wasCommitted = ckpt.isCommitted(s"stage_$name")
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+        val t0 = System.nanoTime()
+        val out = body
+        val rows = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        meter.settle(name)
+        val sr = meter.shuffleRead.getOrDefault(name, 0L)
+        val sw = meter.shuffleWrite.getOrDefault(name, 0L)
+        if (!wasCommitted) { phaseRows += ((name, sec, rows, sr, sw)); computedPhases += name }
+        println(f"""{"phase":"$name","sec":$sec%.2f,"rows_out":$rows,"shuffle_read_mb":${sr / 1e6}%.1f,"shuffle_write_mb":${sw / 1e6}%.1f,"resumed":$wasCommitted}""")
+        out
+      }
+      // doc_id must be unique PER CAPTURE, not per url: hashing only the
+      // url collapses every recrawl of a page onto one id, and since each
+      // operator's keep flag is `representative === doc_id`, a shared id
+      // makes every capture its own representative — url dedup could then
+      // never drop anything (review-caught, round 7). Hash the full
+      // (url, capture time, payload) identity instead.
+      val docs = kept.withColumn("doc_id",
+        xxhash64(col("url"), col("warc_ts"), col("text")))
+      val chainCols = docs.columns.toSeq
+      def prune(df: DataFrame): DataFrame = df.select(chainCols.map(col): _*)
 
-    val exact = phase("exact_dedup")(ckpt.stage("stage_exact_dedup") {
-      prune(ExactDedup(docs, "doc_id", "text").where(col("exact_keep")))
-    })
-    val byUrl = phase("url_dedup")(ckpt.stage("stage_url_dedup") {
-      // crawl recency as priority: the latest capture of a url wins
-      prune(UrlDedup(
-        exact.withColumn("__prio", unix_timestamp(col("warc_ts"))),
-        "url", "doc_id", "__prio").where(col("url_keep")))
-    })
-    val mh = phase("minhash_dedup")(ckpt.stage("stage_minhash_dedup") {
-      prune(MinhashDedup.dedup(byUrl, "doc_id", "text", ScalePosture.minhash)
-        .where(col("minhash_keep")))
-    })
-    val sd = phase("sentence_dedup")(ckpt.stage("stage_sentence_dedup") {
-      prune(SentenceDedup(mh, "doc_id", "text", ScalePosture.sentenceDedup)
-        .where(col("sentence_dedup_keep")))
-    })
-    val es = phase("exact_substr")(ckpt.stage("stage_exact_substr") {
-      prune(ExactSubstrDedup(sd, "doc_id", "text", ScalePosture.exactSubstr)
-        .where(col("exact_substr_keep")))
-    })
-    locally {
-      import spark.implicits._
-      ckpt.writeMetrics("posture_phases", phaseRows.toSeq
-        .toDF("phase", "sec", "rows_out", "shuffle_read_bytes", "shuffle_write_bytes"))
-    }
-    spark.sparkContext.removeSparkListener(meter)
-    es
+      val exact = phase("exact_dedup")(ckpt.stage("stage_exact_dedup") {
+        prune(ExactDedup(docs, "doc_id", "text").where(col("exact_keep")))
+      })
+      val byUrl = phase("url_dedup")(ckpt.stage("stage_url_dedup") {
+        // crawl recency as priority: the latest capture of a url wins
+        prune(UrlDedup(
+          exact.withColumn("__prio", unix_timestamp(col("warc_ts"))),
+          "url", "doc_id", "__prio").where(col("url_keep")))
+      })
+      val mh = phase("minhash_dedup")(ckpt.stage("stage_minhash_dedup") {
+        prune(MinhashDedup.dedup(byUrl, "doc_id", "text", ScalePosture.minhash)
+          .where(col("minhash_keep")))
+      })
+      val sd = phase("sentence_dedup")(ckpt.stage("stage_sentence_dedup") {
+        prune(SentenceDedup(mh, "doc_id", "text", ScalePosture.sentenceDedup)
+          .where(col("sentence_dedup_keep")))
+      })
+      val es = phase("exact_substr")(ckpt.stage("stage_exact_substr") {
+        prune(ExactSubstrDedup(sd, "doc_id", "text", ScalePosture.exactSubstr)
+          .where(col("exact_substr_keep")))
+      })
+      if (computedPhases.nonEmpty) {
+        import spark.implicits._
+        val fresh = phaseRows.toSeq
+          .toDF("phase", "sec", "rows_out", "shuffle_read_bytes", "shuffle_write_bytes")
+        // merge with any prior run's table: keep the old rows for phases
+        // that were skipped this run, replace the ones recomputed now
+        val metricsPath = s"${ckpt.baseDir}/_metrics/posture_phases"
+        val merged =
+          try {
+            val prior = spark.read.parquet(metricsPath)
+              .where(!col("phase").isin(computedPhases.toSeq: _*))
+            // materialize before the overwrite clobbers the files read
+            val rows = prior.collect().toSeq
+            if (rows.isEmpty) fresh
+            else spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 1), prior.schema).union(fresh)
+          } catch { case _: org.apache.spark.sql.AnalysisException => fresh }
+        ckpt.writeMetrics("posture_phases", merged)
+      }
+      es
+    } finally spark.sparkContext.removeSparkListener(meter)
   }
 
   private def spark_masterOrLocal(): String =

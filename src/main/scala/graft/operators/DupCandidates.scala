@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   * single-pass (no-prefilter) shape instead of OOMing the driver on a
   * mass-dup corpus. Size the decision on the KEY set (keys are 8-64 bytes
   * here), never on group payloads — payload columns must not be broadcast
-  * through this helper. */
+  * through this helper.
+  *
+  * By design the sizing is one EAGER action at operator-construction time
+  * (the resulting plan SHAPE depends on the statistics, like AQE's runtime
+  * re-planning but before the query starts): constructing a prefilter-ON
+  * dedup operator launches a key-only Spark job even if the returned
+  * DataFrame is never executed, and these operators therefore accept only
+  * batch inputs, not streaming DataFrames. */
 private[graft] object DupCandidates {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -67,11 +74,23 @@ private[graft] object DupCandidates {
     * fallback above it. The aggregate is persisted through CacheRegistry
     * so the sizing action and the caller's semi/anti probes share one
     * computation (this also closes the dupTh double-execution hazard —
-    * the lineage runs once, not per consumer). */
+    * the lineage runs once, not per consumer).
+    *
+    * The sizing persist is DISK_ONLY (review-caught, round 7): on a
+    * mass-dup corpus the aggregate can be arbitrarily large, and
+    * materializing it into storage MEMORY just to read two numbers would
+    * evict other cached data in exactly the regime the guard exists to
+    * protect. Disk-only bounds the collateral to transient local-disk
+    * churn (comparable to the sizing pass's own shuffle files, removed on
+    * the over-budget unpersist) while keeping the common path single-pass
+    * — sizing ExactSubstr's expensive span-hash stream twice instead
+    * measured +25% phase time / +1.7 GB exchange at 2M. The under-budget
+    * consumers (two broadcast collects of an ≤[[maxBroadcastKeys]]-key
+    * set) read megabytes back from page-cached disk, which is noise. */
   def guardedDupKeys(df: DataFrame, keyCols: Seq[String], cacheKey: String): Guarded = {
     val dk = CacheRegistry.swapRotating(cacheKey,
       dupKeysWithCounts(df, keyCols)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val stats = dk.agg(count(lit(1)).as("k"), max(col("__n")).as("m")).head()
     val nKeys = stats.getLong(0)
     val maxN = if (stats.isNullAt(1)) 0L else stats.getLong(1)

@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (crashed) stage has no `_SUCCESS` and is recomputed from its committed
   * predecessor.
   */
-final class Checkpoint(baseDir: String)(implicit spark: SparkSession) {
+final class Checkpoint(val baseDir: String)(implicit spark: SparkSession) {
 
   def stagePath(name: String): String = s"$baseDir/$name"
 

@@ -44,10 +44,20 @@ class ScalePostureSpec extends SparkSpec {
   test("postureDedupChain composes the dedup family over committed snapshots") {
     val out = java.nio.file.Files.createTempDirectory("posture_spec").toString
     val ckpt = new Checkpoint(out)
-    // 300 synthetic pages: enough for the generator's planted duplicate
-    // families (exact twins, url recrawls, near-dup paraphrases) to fire
-    val kept = WebCorpusGen.generate(spark, 300, partitions = 4)
+    // 300 synthetic pages give the generator's planted exact twins and
+    // near-dup paraphrases; its urls are unique per row, so URL RECRAWLS
+    // are planted here: 5 older captures of existing urls with drifted
+    // text (review-caught, round 7 — the url phase was untested, which
+    // hid doc_id = xxhash64(url) making url dedup a silent no-op)
+    val base = WebCorpusGen.generate(spark, 300, partitions = 4)
       .select("url", "warc_ts", "text", "lang")
+    val recrawls = base.orderBy("url").limit(5)
+      .withColumn("warc_ts",
+        (col("warc_ts").cast("long") - 864000L).cast("timestamp"))
+      .withColumn("text", concat(col("text"), lit(" older capture drift")))
+    val recrawlUrls = recrawls.select("url")
+      .collect().map(_.getString(0)).toSeq
+    val kept = base.unionByName(recrawls)
     val finalKept = RunPipeline.postureDedupChain(kept, ckpt)
 
     // chain schema contract: kept columns + doc_id, no annotation leftovers
@@ -68,6 +78,19 @@ class ScalePostureSpec extends SparkSpec {
       s"counts not monotone: $counts")
     assert(counts.last < 300, s"chain dropped nothing: $counts")
     assert(counts.last > 0, "chain dropped everything")
+
+    // the url phase must collapse each planted recrawl pair to ONE row,
+    // and the survivor must be the LATEST capture (recency priority):
+    // the older capture's drifted text never reaches later phases
+    val urlStage = spark.read.parquet(ckpt.stagePath("stage_url_dedup"))
+      .where(col("url").isin(recrawlUrls: _*))
+    val perUrl = urlStage.groupBy("url").agg(count(lit(1)).as("n")).collect()
+    assert(perUrl.length == recrawlUrls.size &&
+      perUrl.forall(_.getAs[Long]("n") == 1L),
+      s"url recrawls not collapsed: ${perUrl.mkString(",")}")
+    val keptTexts = urlStage.select("text").collect().map(_.getString(0))
+    assert(keptTexts.nonEmpty && keptTexts.forall(!_.endsWith("older capture drift")),
+      "url dedup kept an older capture instead of the latest")
 
     // per-phase metrics table landed with one row per phase
     val phases = spark.read.parquet(s"$out/_metrics/posture_phases")
