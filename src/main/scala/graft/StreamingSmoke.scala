@@ -25,11 +25,22 @@ import graft.sources.WebCorpusGen
   */
 object StreamingSmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb swaps the default HDFS-backed state
+    // store for RocksDB (changelog checkpointing): the per-batch cost of
+    // the keyed dedup is state-store-bound, and RocksDB keeps state off
+    // the JVM heap with incremental snapshots — the scale-path store for
+    // large keyed state. Measured at 2M in BENCH.md.
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sp: SparkSession = spark
 
