@@ -68,8 +68,17 @@ object RunPipeline {
     val builder = SparkSession.builder()
       .appName("graft-quality-pipeline")
       .master(spark_masterOrLocal())
+    val postureKeys: Set[String] =
+      if (posture.contains("scale")) ScalePosture.sparkConfs.map(_._1).toSet
+      else Set.empty
     defaults.foreach { case (k, v) =>
       if (!submitted.contains(k)) builder.config(k, v)
+      // a ceded POSTURE conf may come from an operator's explicit --conf
+      // (their call) or from the cluster's spark-defaults.conf (probably
+      // not their intent) — the driver cannot tell the two apart, so say
+      // loudly which parts of the named posture were not applied
+      else if (postureKeys.contains(k))
+        println(s"""{"event":"posture_conf_ceded","key":"$k","posture_value":"$v","submitted_value":"${submitted.get(k, "")}"}""")
     }
     implicit val spark: SparkSession = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -125,11 +134,14 @@ object RunPipeline {
     val meter = new PhaseMetrics
     spark.sparkContext.addSparkListener(meter)
     try {
-      val phaseRows = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long, Long)]()
       // a resumed run must not overwrite a committed phase's REAL metrics
       // with the read-back timing of its skip (review-caught, round 7):
-      // only phases that actually computed this run contribute rows
-      val computedPhases = scala.collection.mutable.ArrayBuffer[String]()
+      // every phase records a row with a `resumed` flag, and the final
+      // table prefers, per phase: this run's real compute > the prior
+      // table's real row > this run's read-back stand-in (flagged) — so
+      // the table always has one row per phase even after a crash
+      // between a stage commit and the metrics write.
+      val phaseRows = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long, Long, Boolean)]()
       def phase(name: String)(body: => DataFrame): DataFrame = {
         val wasCommitted = ckpt.isCommitted(s"stage_$name")
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
@@ -141,7 +153,7 @@ object RunPipeline {
         meter.settle(name)
         val sr = meter.shuffleRead.getOrDefault(name, 0L)
         val sw = meter.shuffleWrite.getOrDefault(name, 0L)
-        if (!wasCommitted) { phaseRows += ((name, sec, rows, sr, sw)); computedPhases += name }
+        phaseRows += ((name, sec, rows, sr, sw, wasCommitted))
         println(f"""{"phase":"$name","sec":$sec%.2f,"rows_out":$rows,"shuffle_read_mb":${sr / 1e6}%.1f,"shuffle_write_mb":${sw / 1e6}%.1f,"resumed":$wasCommitted}""")
         out
       }
@@ -151,8 +163,29 @@ object RunPipeline {
       // makes every capture its own representative — url dedup could then
       // never drop anything (review-caught, round 7). Hash the full
       // (url, capture time, payload) identity instead.
-      val docs = kept.withColumn("doc_id",
+      val hashed = kept.withColumn("doc_id",
         xxhash64(col("url"), col("warc_ts"), col("text")))
+      // BYTE-IDENTICAL captures (the same record ingested twice:
+      // overlapping input globs, a re-ingested crawl segment) still share
+      // that id and would all keep (review-caught, round 7 second pass).
+      // Collapse them to one row up front — they are indistinguishable,
+      // so keeping one IS the correct dedup — with the same guarded
+      // candidate shape as the dedup family: only rows whose doc_id
+      // occurs >1× ride the distinct shuffle, and equality is decided on
+      // the full (url, warc_ts, text) tuple, never on the 64-bit hash
+      // alone (at 10^12 docs a hash-only distinct would wrongly collapse
+      // colliding non-duplicates).
+      val docs = {
+        val g = DupCandidates.guardedDupKeys(hashed, Seq("doc_id"), "posture_distinct")
+        g.keys match {
+          case Some(_) if g.nDupKeys == 0 => hashed
+          case Some(k) =>
+            hashed.join(broadcast(k), Seq("doc_id"), "left_anti").unionByName(
+              hashed.join(broadcast(k), Seq("doc_id"), "left_semi")
+                .dropDuplicates("url", "warc_ts", "text"))
+          case None => hashed.dropDuplicates("url", "warc_ts", "text")
+        }
+      }
       val chainCols = docs.columns.toSeq
       def prune(df: DataFrame): DataFrame = df.select(chainCols.map(col): _*)
 
@@ -177,24 +210,35 @@ object RunPipeline {
         prune(ExactSubstrDedup(sd, "doc_id", "text", ScalePosture.exactSubstr)
           .where(col("exact_substr_keep")))
       })
-      if (computedPhases.nonEmpty) {
+      locally {
         import spark.implicits._
-        val fresh = phaseRows.toSeq
-          .toDF("phase", "sec", "rows_out", "shuffle_read_bytes", "shuffle_write_bytes")
-        // merge with any prior run's table: keep the old rows for phases
-        // that were skipped this run, replace the ones recomputed now
-        val metricsPath = s"${ckpt.baseDir}/_metrics/posture_phases"
-        val merged =
-          try {
-            val prior = spark.read.parquet(metricsPath)
-              .where(!col("phase").isin(computedPhases.toSeq: _*))
-            // materialize before the overwrite clobbers the files read
-            val rows = prior.collect().toSeq
-            if (rows.isEmpty) fresh
-            else spark.createDataFrame(
-              spark.sparkContext.parallelize(rows, 1), prior.schema).union(fresh)
-          } catch { case _: org.apache.spark.sql.AnalysisException => fresh }
-        ckpt.writeMetrics("posture_phases", merged)
+        // prior REAL rows by phase (torn/absent tables → empty, via
+        // Checkpoint.readMetrics which forces read errors and falls back;
+        // pre-flag tables count as real rows)
+        val prior: Map[String, (Double, Long, Long, Long)] =
+          ckpt.readMetrics("posture_phases").map { df =>
+            val flagged =
+              if (df.columns.contains("resumed")) df
+              else df.withColumn("resumed", lit(false))
+            flagged.where(!col("resumed"))
+              .select("phase", "sec", "rows_out",
+                "shuffle_read_bytes", "shuffle_write_bytes")
+              .collect()
+              .map(r => r.getString(0) ->
+                ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+              .toMap
+          }.getOrElse(Map.empty)
+        val finalRows = phaseRows.toSeq.map {
+          case row @ (name, _, _, _, _, resumed) =>
+            if (!resumed) row
+            else prior.get(name) match {
+              case Some((sec, n, sr, sw)) => (name, sec, n, sr, sw, false)
+              case None => row // read-back stand-in, flagged resumed=true
+            }
+        }
+        ckpt.writeMetrics("posture_phases", finalRows.toDF(
+          "phase", "sec", "rows_out", "shuffle_read_bytes",
+          "shuffle_write_bytes", "resumed"))
       }
       es
     } finally spark.sparkContext.removeSparkListener(meter)

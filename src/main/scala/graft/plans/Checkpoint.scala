@@ -34,7 +34,20 @@ final class Checkpoint(val baseDir: String)(implicit spark: SparkSession) {
     spark.read.parquet(stagePath(name))
   }
 
+  /** Single owner of the metrics layout — writers and readers must agree. */
+  def metricsPath(name: String): String = s"$baseDir/_metrics/$name"
+
   /** Write the per-partition lineage/metrics table for a stage result. */
   def writeMetrics(name: String, metrics: DataFrame): Unit =
-    metrics.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/_metrics/$name")
+    metrics.write.mode(SaveMode.Overwrite).parquet(metricsPath(name))
+
+  /** Read a previously-written metrics table; None when absent OR
+    * unreadable (a torn write from a killed run must not fail the job
+    * that is trying to replace it). */
+  def readMetrics(name: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(metricsPath(name))
+      df.collect() // force read errors (corrupt footer) to surface HERE
+      Some(df)
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

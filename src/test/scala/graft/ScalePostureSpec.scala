@@ -51,14 +51,32 @@ class ScalePostureSpec extends SparkSpec {
     // hid doc_id = xxhash64(url) making url dedup a silent no-op)
     val base = WebCorpusGen.generate(spark, 300, partitions = 4)
       .select("url", "warc_ts", "text", "lang")
-    val recrawls = base.orderBy("url").limit(5)
+    // pick recrawl urls only from UNIQUE-text rows: a planted exact twin
+    // could lose its base capture at the exact phase (rep choice between
+    // equal texts is hash-order), which would make the older recrawl the
+    // legitimate url survivor and fail the latest-capture assertion for
+    // the wrong reason (review-caught)
+    val uniqueTextRows = base.join(
+      base.groupBy("text").count().where(col("count") === 1).select("text"),
+      Seq("text"), "left_semi")
+    val recrawls = uniqueTextRows.orderBy("url").limit(5)
       .withColumn("warc_ts",
         (col("warc_ts").cast("long") - 864000L).cast("timestamp"))
       .withColumn("text", concat(col("text"), lit(" older capture drift")))
     val recrawlUrls = recrawls.select("url")
       .collect().map(_.getString(0)).toSeq
-    val kept = base.unionByName(recrawls)
+    // plus 3 BYTE-IDENTICAL re-ingested captures (same url+ts+text — the
+    // overlapping-glob / re-ingested-segment case): they share doc_id by
+    // construction, so only the chain's distinct-captures collapse can
+    // drop them (review-caught, round 7 second pass)
+    val identicalCopies = uniqueTextRows.orderBy(col("url").desc).limit(3)
+    val kept = base.unionByName(recrawls).unionByName(identicalCopies)
     val finalKept = RunPipeline.postureDedupChain(kept, ckpt)
+
+    // no byte-identical capture survives anywhere in the chain
+    assert(finalKept.groupBy("url", "warc_ts", "text").count()
+      .where(col("count") > 1).isEmpty,
+      "byte-identical captures survived the chain")
 
     // chain schema contract: kept columns + doc_id, no annotation leftovers
     assert(finalKept.columns.toSet ==
