@@ -77,8 +77,17 @@ object RunPipeline {
       // (their call) or from the cluster's spark-defaults.conf (probably
       // not their intent) — the driver cannot tell the two apart, so say
       // loudly which parts of the named posture were not applied
-      else if (postureKeys.contains(k))
-        println(s"""{"event":"posture_conf_ceded","key":"$k","posture_value":"$v","submitted_value":"${submitted.get(k, "")}"}""")
+      else if (postureKeys.contains(k)) {
+        // escape quotes/backslashes/control chars: a submitted conf value
+        // containing '"' or '\' must not emit malformed JSON (ADVICE r7 #4)
+        def js(s: String): String = s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        println(s"""{"event":"posture_conf_ceded","key":"${js(k)}","posture_value":"${js(v)}","submitted_value":"${js(submitted.get(k, ""))}"}""")
+      }
     }
     implicit val spark: SparkSession = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

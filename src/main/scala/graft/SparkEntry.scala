@@ -622,11 +622,19 @@ FROM documents ORDER BY doc_id"""
     // guarantees. DedupSpec additionally pins label equality between the
     // two paths on a raw edge multigraph.
     "minhash_dedup_dist" -> ((s, dir) => {
-      s.conf.set("spark.graft.uf.driverEdgeLimit", "0")
+      // capture the prior value so a session that explicitly set the limit
+      // (e.g. a posture-configured harness) gets it back, not the library
+      // default (ADVICE r7 #3)
+      val key = "spark.graft.uf.driverEdgeLimit"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "0")
       // components() converges eagerly inside dedup(), so the conf can be
       // restored as soon as the query DataFrame is built
       try minhashTwinOracle(s, dir)
-      finally s.conf.unset("spark.graft.uf.driverEdgeLimit")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }),
     "minhash_dedup_exact" -> ((s, dir) => {
       // planted-outcome oracle: exact duplicates share all buckets by

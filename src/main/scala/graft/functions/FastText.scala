@@ -225,7 +225,9 @@ final class FastTextModel(
   }
 
   override def predict(text: String): (String, Double, Map[String, Double]) = {
-    val scores = predictScores(text.replace("\n", " "))
+    // skip the full-string copy when there is no newline (the common case)
+    val flat = if (text.indexOf('\n') >= 0) text.replace('\n', ' ') else text
+    val scores = predictScores(flat)
     val cleaned = scores.map { case (l, s) => l.stripPrefix("__label__") -> s }
     (cleaned.head._1, cleaned.head._2, cleaned.toMap)
   }

@@ -44,9 +44,24 @@ private[graft] object DupCandidates {
   val MaxBroadcastKeysConf = "spark.graft.dedup.maxBroadcastKeys"
   val DefaultMaxBroadcastKeys: Long = 20000000L
 
+  /** Byte budget for the broadcast key set (ADVICE r7 #1): the key-COUNT
+    * budget was sized for 8-byte keys, but string-keyed callers (UrlDedup's
+    * normalized urls run ~100-300 bytes each) could fit the count budget
+    * while building a multi-GB broadcast. The sizing action therefore also
+    * sums the raw key bytes (string/binary length; 8 per fixed-width key)
+    * and the guard requires BOTH budgets. Default 160 MB of raw key bytes =
+    * the same driver/executor footprint the 2×10^7 × 8-byte default was
+    * sized for (per-key JVM overhead dominates either way). */
+  val MaxBroadcastKeyBytesConf = "spark.graft.dedup.maxBroadcastKeyBytes"
+  val DefaultMaxBroadcastKeyBytes: Long = 160000000L
+
   def maxBroadcastKeys(df: DataFrame): Long =
     df.sparkSession.conf
       .get(MaxBroadcastKeysConf, DefaultMaxBroadcastKeys.toString).toLong
+
+  def maxBroadcastKeyBytes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(MaxBroadcastKeyBytesConf, DefaultMaxBroadcastKeyBytes.toString).toLong
 
   /** Distinct keys of `df` occurring more than once. Map-side partial
     * aggregation absorbs hot keys before the exchange, so a key shared by
@@ -91,15 +106,32 @@ private[graft] object DupCandidates {
     val dk = CacheRegistry.swapRotating(cacheKey,
       dupKeysWithCounts(df, keyCols)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-    val stats = dk.agg(count(lit(1)).as("k"), max(col("__n")).as("m")).head()
+    // per-key raw byte estimate: variable-width keys count their real
+    // length, fixed-width keys count 8 — summed in the SAME sizing action
+    // (no extra pass), so string-keyed callers are guarded in bytes too
+    val keyByteCols = keyCols.map { k =>
+      df.schema(k).dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType =>
+          coalesce(length(col(k)).cast("long"), lit(0L))
+        case _ => lit(8L)
+      }
+    }
+    val stats = dk.agg(count(lit(1)).as("k"), max(col("__n")).as("m"),
+      sum(keyByteCols.reduce(_ + _)).as("b")).head()
     val nKeys = stats.getLong(0)
     val maxN = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val keyBytes = if (stats.isNullAt(2)) 0L else stats.getLong(2)
     val budget = maxBroadcastKeys(df)
-    if (nKeys <= budget) Guarded(Some(dk.select(keyCols.map(col): _*)), nKeys, maxN)
+    val byteBudget = maxBroadcastKeyBytes(df)
+    if (nKeys <= budget && keyBytes <= byteBudget)
+      Guarded(Some(dk.select(keyCols.map(col): _*)), nKeys, maxN)
     else {
-      log.warn(s"DupCandidates[$cacheKey]: $nKeys duplicated keys exceed the " +
-        s"broadcast budget $budget ($MaxBroadcastKeysConf) — mass-dup corpus; " +
-        "falling back to the single-pass shape (no broadcast, no prefilter)")
+      log.warn(s"DupCandidates[$cacheKey]: $nKeys duplicated keys / $keyBytes " +
+        s"key bytes exceed the broadcast budget ($budget keys " +
+        s"[$MaxBroadcastKeysConf] / $byteBudget bytes " +
+        s"[$MaxBroadcastKeyBytesConf]) — mass-dup corpus; falling back to " +
+        "the single-pass shape (no broadcast, no prefilter)")
       try dk.unpersist(blocking = false) catch { case _: Exception => () }
       Guarded(None, nKeys, maxN)
     }

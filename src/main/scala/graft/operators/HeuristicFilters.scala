@@ -42,8 +42,19 @@ object GopherQualityFilter {
     val words = tokenize(text)
     val nWords = words.length
 
-    val nonSymbolWords = Tokenizer.nonSymbolWords(words)
-    val nNonSymbol = nonSymbolWords.length
+    // one fused pass (r8): non-symbol count + summed lengths without
+    // materializing the filtered array (this kernel runs per doc in the
+    // pipeline chain)
+    var nNonSymbol = 0
+    var nonSymbolLen = 0L
+    locally {
+      var i = 0
+      while (i < nWords) {
+        val w = words(i)
+        if (Tokenizer.hasNonSymbolChar(w)) { nNonSymbol += 1; nonSymbolLen += w.length }
+        i += 1
+      }
+    }
 
     if (cfg.minDocWords.exists(m => nNonSymbol < m)) return Some("gopher_short_doc")
     if (cfg.maxDocWords.exists(m => nNonSymbol > m)) return Some("gopher_long_doc")
@@ -51,7 +62,7 @@ object GopherQualityFilter {
     // np.mean of [] is NaN; NaN comparisons are false — preserved via Double
     val avgLen =
       if (nNonSymbol == 0) Double.NaN
-      else nonSymbolWords.map(_.length.toLong).sum.toDouble / nNonSymbol
+      else nonSymbolLen.toDouble / nNonSymbol
     if (cfg.minAvgWordLength.exists(m => avgLen < m)) return Some("gopher_below_avg_threshold")
     if (cfg.maxAvgWordLength.exists(m => avgLen > m)) return Some("gopher_above_avg_threshold")
 
@@ -83,11 +94,38 @@ object GopherQualityFilter {
         Tokenizer.words(TextKernels.preprocessForAlphaWordRatio(text))
       else words
     if (cfg.maxNonAlphaWordsRatio.exists { r =>
-        words2.count(_.exists(Character.isLetter)).toDouble / nWords < r
+        var alpha = 0
+        var i = 0
+        while (i < words2.length) {
+          val w = words2(i)
+          var j = 0
+          var found = false
+          while (!found && j < w.length) {
+            if (Character.isLetter(w.charAt(j))) found = true
+            j += 1
+          }
+          if (found) alpha += 1
+          i += 1
+        }
+        alpha.toDouble / nWords < r
       }) return Some("gopher_below_alpha_threshold")
 
-    if (cfg.minStopWords.exists(m => cfg.stopWords.count(words2.contains) < m))
-      return Some("gopher_enough_stop_words")
+    // distinct stop words present (== stopWords.count(words2.contains)),
+    // in ONE pass over the words with early exit once every stop word has
+    // been seen — instead of one full array scan per stop word (r8)
+    if (cfg.minStopWords.isDefined) {
+      val m = cfg.minStopWords.get
+      val total = cfg.stopWords.size
+      var found = 0
+      val seen = new java.util.HashSet[String](16)
+      var i = 0
+      while (i < words2.length && found < total) {
+        val w = words2(i)
+        if (cfg.stopWords.contains(w) && seen.add(w)) found += 1
+        i += 1
+      }
+      if (found < m) return Some("gopher_enough_stop_words")
+    }
 
     None
   }
@@ -187,15 +225,38 @@ object C4QualityFilter {
 
     for (line0 <- lines) {
       var line = PyText.pyStrip(line0)
-      val words = PyText.pySplit(line)
-      var skip = false
-      if (cfg.maxWordLength != -1 && words.exists(_.length > cfg.maxWordLength)) skip = true
-      if (!skip) {
-        if (cfg.removeCitations) line = CitationRegex.matcher(line).replaceAll("")
-        if (cfg.filterNoTerminalPunct &&
-            (!EndPunctuation.exists(line.endsWith) || line.endsWith(Ellipsis))) skip = true
+      // fused pySplit-equivalent scan (r8): the words array was only read
+      // for .length and a max-word-length check — count and max length in
+      // one pass with no substring allocation
+      var nLineWords = 0
+      var maxWordLen = 0
+      locally {
+        var i = 0
+        val ln = line.length
+        while (i < ln) {
+          while (i < ln && PyText.pyIsSpace(line.charAt(i))) i += 1
+          val start = i
+          while (i < ln && !PyText.pyIsSpace(line.charAt(i))) i += 1
+          if (i > start) {
+            nLineWords += 1
+            if (i - start > maxWordLen) maxWordLen = i - start
+          }
+        }
       }
-      if (!skip && words.length < cfg.minWordsPerLine) skip = true
+      var skip = false
+      if (cfg.maxWordLength != -1 && maxWordLen > cfg.maxWordLength) skip = true
+      if (!skip) {
+        // regex only when a '[' exists — the pattern can't match otherwise
+        if (cfg.removeCitations && line.indexOf('[') >= 0)
+          line = CitationRegex.matcher(line).replaceAll("")
+        if (cfg.filterNoTerminalPunct && {
+          // == !EndPunctuation.exists(line.endsWith) || endsWith("...")
+          val lc = if (line.isEmpty) ' ' else line.charAt(line.length - 1)
+          val hasTerm = lc == '.' || lc == '?' || lc == '!' || lc == '"' || lc == '\''
+          !hasTerm || line.endsWith(Ellipsis)
+        }) skip = true
+      }
+      if (!skip && nLineWords < cfg.minWordsPerLine) skip = true
       if (!skip) {
         val lineL = PyText.pyLower(line)
         if (cfg.filterLoremIpsum && lineL.contains("lorem ipsum")) return Left("lorem_ipsum")
@@ -248,9 +309,24 @@ object FineWebQualityFilter {
     val lines = text.split("\n", -1).filter(l => PyText.pyStrip(l).nonEmpty)
     if (lines.isEmpty) return Some("empty")
 
-    val stopChars = cfg.stopChars.getOrElse(Punct.TERMINAL_PUNCTUATION)
-    val punctRatio =
-      lines.count(l => stopChars.exists(l.endsWith)).toDouble / lines.length
+    // default stop chars are the 159 TERMINAL_PUNCTUATION entries, each a
+    // single code point — test the line's final code point against a BitSet
+    // instead of 159 endsWith scans per line (r8); custom stopChars keep
+    // the general endsWith path (they may be multi-char strings)
+    val endsWithStop: String => Boolean = cfg.stopChars match {
+      case None => l =>
+        l.nonEmpty && {
+          val last = l.charAt(l.length - 1)
+          val cp =
+            if (Character.isLowSurrogate(last) && l.length >= 2 &&
+                Character.isHighSurrogate(l.charAt(l.length - 2)))
+              l.codePointAt(l.length - 2)
+            else last.toInt
+          Punct.TerminalBits.get(cp)
+        }
+      case Some(custom) => l => custom.exists(l.endsWith)
+    }
+    val punctRatio = lines.count(endsWithStop).toDouble / lines.length
     if (punctRatio < cfg.linePunctThr && !(punctRatio == 0 && cfg.linePunctExcludeZero))
       return Some("line_punct_ratio")
 
@@ -259,7 +335,8 @@ object FineWebQualityFilter {
     if (shortRatio > cfg.shortLineThr) return Some("short_line_ratio")
 
     val dupChars = TextKernels.findDuplicates(lines)._2
-    val denom = text.replace("\n", "").length
+    // == text.replace("\n", "").length without materializing the copy
+    val denom = text.length - PyText.pyCount(text, "\n")
     if (dupChars.toDouble / denom > cfg.charDuplicatesRatio) return Some("char_dup_ratio")
 
     val nWords = tokenize(text).length

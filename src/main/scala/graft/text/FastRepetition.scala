@@ -149,19 +149,25 @@ object FastRepetition {
         val w = words(k)
         var h1 = 0L; var h2 = 0L
         var b1 = 1L; var b2 = 1L
+        var ib1 = 1L; var ib2 = 1L
         var c = 0
         while (c < w.length) {
           val ch = w.charAt(c).toLong
           h1 = h1 * B1 + ch; h2 = h2 * B2 + ch
           b1 *= B1; b2 *= B2
+          // inverse powers accumulate in the same pipelined loop (r8):
+          // B^-len via InvB products replaces the two 12-multiply serial
+          // inv64 Newton chains per word — same values, since
+          // inv(B^a · B^b) = inv(B)^a · inv(B)^b mod 2^64
+          ib1 *= InvB1; ib2 *= InvB2
           c += 1
         }
         pU1(k + 1) = pU1(k) * b1 + h1
         pU2(k + 1) = pU2(k) * b2 + h2
         powU1(k + 1) = powU1(k) * b1
         powU2(k + 1) = powU2(k) * b2
-        ipowU1(k + 1) = inv64(powU1(k + 1)) // powers of odd bases stay odd
-        ipowU2(k + 1) = inv64(powU2(k + 1))
+        ipowU1(k + 1) = ipowU1(k) * ib1 // powers of odd bases stay odd
+        ipowU2(k + 1) = ipowU2(k) * ib2
         pS1(k + 1) = (pS1(k) * b1 + h1) * B1 + ' '.toLong
         pS2(k + 1) = (pS2(k) * b2 + h2) * B2 + ' '.toLong
         lenU(k + 1) = lenU(k) + w.length

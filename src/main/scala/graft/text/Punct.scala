@@ -18,5 +18,24 @@ object Punct {
     a ++ b
   }
 
-  def isPunct(cp: Int): Boolean = PUNCTUATION_SET.contains(cp)
+  // r8 hot-path form: the Set[Int] boxes every lookup and this check runs
+  // per char of every word in nonSymbolWords — a code-point BitSet answers
+  // it with one word load. Contents identical to PUNCTUATION_SET.
+  private val PunctBits: java.util.BitSet = {
+    val bs = new java.util.BitSet(0x110000)
+    PUNCTUATION_SET.foreach(bs.set)
+    bs
+  }
+
+  /** Code points of TERMINAL_PUNCTUATION only (every entry is one code
+    * point — BMP char or surrogate pair), as a BitSet: lets line-ending
+    * checks test the final code point instead of running 159 endsWith
+    * scans per line (FineWebQualityFilter). */
+  val TerminalBits: java.util.BitSet = {
+    val bs = new java.util.BitSet(0x110000)
+    TERMINAL_PUNCTUATION.foreach(s => bs.set(s.codePointAt(0)))
+    bs
+  }
+
+  def isPunct(cp: Int): Boolean = PunctBits.get(cp)
 }

@@ -14,8 +14,13 @@ object PyText {
     * plus Unicode categories Zs/Zl/Zp. */
   def pyIsSpace(c: Char): Boolean = {
     val cp = c.toInt
-    if (cp == 0x09 || cp == 0x0a || cp == 0x0b || cp == 0x0c || cp == 0x0d ||
-        (cp >= 0x1c && cp <= 0x1f) || cp == 0x20 || cp == 0x85) true
+    // ASCII fast path (r8): every tokenize/strip loop calls this per char,
+    // and the common case is an ASCII letter — answer it with two compares
+    // instead of falling into Character.getType's Unicode tables. No char
+    // below 0xA0 is a SPACE/LINE/PARAGRAPH_SEPARATOR except those
+    // enumerated here (0x85 NEL included), so the fast path is exact.
+    if (cp < 0xa0)
+      (cp >= 0x09 && cp <= 0x0d) || (cp >= 0x1c && cp <= 0x20) || cp == 0x85
     else {
       val t = Character.getType(c)
       t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||

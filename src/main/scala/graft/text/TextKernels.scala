@@ -208,8 +208,8 @@ object TextKernels {
     var dupChars = 0
     var dupElems = 0
     for (x <- xs) {
-      if (unique.contains(x)) { dupChars += x.length; dupElems += 1 }
-      else unique.add(x)
+      // single hash probe: add returns false when already present
+      if (!unique.add(x)) { dupChars += x.length; dupElems += 1 }
     }
     (dupElems, dupChars)
   }

@@ -31,11 +31,21 @@ object Tokenizer {
   @inline private def isCjk(cp: Int): Boolean =
     (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)
 
-  /** Tokenize into words (jieba-on-Latin approximation, see scaladoc). */
+  /** Tokenize into words (jieba-on-Latin approximation, see scaladoc).
+    * r8 hot-path form: raw growable Array[String] instead of ArrayBuffer
+    * (this runs for every doc in every text operator — the buffer's bounds/
+    * size bookkeeping and final toArray copy are measurable at that rate).
+    * Token boundaries are identical to the pre-r8 ArrayBuffer version. */
   def words(text: String): Array[String] = {
-    val out = new ArrayBuffer[String]()
-    var i = 0
     val n = text.length
+    var out = new Array[String]((n >> 3) + 4)
+    var m = 0
+    def push(s: String): Unit = {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, out.length << 1)
+      out(m) = s
+      m += 1
+    }
+    var i = 0
     while (i < n) {
       val c = text.charAt(i)
       if (PyText.pyIsSpace(c)) {
@@ -50,24 +60,26 @@ object Tokenizer {
           i += 1
           while (i < n && isDigit(text.charAt(i))) i += 1
         }
-        out += text.substring(start, i)
+        push(text.substring(start, i))
       } else if (isCjk(c)) {
         // dictionary segmentation of the whole CJK run (jieba DAG/max-prob
         // over the committed dict + finalseg-style HMM on unknown runs —
         // see ZhSegmenter)
         val start = i
         while (i < n && isCjk(text.charAt(i))) i += 1
-        out ++= ZhSegmenter.cut(text.substring(start, i))
+        val cut = ZhSegmenter.cut(text.substring(start, i))
+        var j = 0
+        while (j < cut.length) { push(cut(j)); j += 1 }
       } else if (Character.isHighSurrogate(c) && i + 1 < n &&
                  Character.isLowSurrogate(text.charAt(i + 1))) {
-        out += text.substring(i, i + 2)
+        push(text.substring(i, i + 2))
         i += 2
       } else {
-        out += c.toString
+        push(String.valueOf(c))
         i += 1
       }
     }
-    out.toArray
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
   /** words(text).length without materializing the tokens — the hot path
@@ -114,10 +126,20 @@ object Tokenizer {
     true
   }
 
+  /** True when the word has at least one char outside PUNCTUATION_SET. */
+  @inline private[graft] def hasNonSymbolChar(w: String): Boolean = {
+    var i = 0
+    while (i < w.length) {
+      if (!Punct.isPunct(w.charAt(i).toInt)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Words containing at least one char outside PUNCTUATION_SET
     * (gopher_quality_filter.py:75). */
   def nonSymbolWords(ws: Array[String]): Array[String] =
-    ws.filter(w => w.exists(ch => !Punct.PUNCTUATION_SET.contains(ch.toInt)))
+    ws.filter(hasNonSymbolChar)
 
   /** Approximate sentence count: number of spaCy-sentencizer-style segments.
     * A boundary is a run of terminal punctuation [.!?…。！？] followed by

@@ -206,6 +206,43 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.unset(DupCandidates.MaxBroadcastKeysConf)
   }
 
+  test("guardedDupKeys: string keys are sized in BYTES too (ADVICE r7 #1)") {
+    // two duplicated ~60-byte string keys: far under the count budget, but
+    // over a 100-byte byte budget — the guard must withhold the broadcast
+    val longA = "https://example.com/" + ("a" * 40)
+    val longB = "https://example.com/" + ("b" * 40)
+    val df = Seq(longA, longA, longB, longB, "u1", "u2").toDF("k")
+    val ok = DupCandidates.guardedDupKeys(df, Seq("k"), "spec.guard.bytes.ok")
+    assert(ok.keys.isDefined && ok.nDupKeys == 2)
+    spark.conf.set(DupCandidates.MaxBroadcastKeyBytesConf, "100")
+    try {
+      val over = DupCandidates.guardedDupKeys(df, Seq("k"), "spec.guard.bytes.over")
+      assert(over.keys.isEmpty, "120 key bytes must exceed the 100-byte budget")
+      assert(over.nDupKeys == 2 && over.maxKeyCount == 2)
+      // long keys but all-unique: nothing duplicated, nothing to broadcast —
+      // stays under any byte budget
+      val uniq = DupCandidates.guardedDupKeys(
+        Seq(longA + "1", longB + "2").toDF("k"), Seq("k"), "spec.guard.bytes.uniq")
+      assert(uniq.keys.isDefined && uniq.nDupKeys == 0)
+      // UrlDedup end-to-end: over the byte budget it must degrade to the
+      // single-pass shape with unchanged answers (same pinning as the
+      // count-budget test above)
+      val rows = (0 until 20).map { i =>
+        (i.toLong, s"https://host${('a' + i % 4).toChar}.example/" + ("p" * 50),
+          java.lang.Long.valueOf((i % 3).toLong))
+      }
+      val udf0 = rows.toDF("doc_id", "url", "prio").repartition(4)
+      def snap(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), col("url_keep"), col("url_dup_rep"))
+          .collect().map(_.toSeq).toSet
+      val ref = snap(UrlDedup(udf0, "url", "doc_id", "prio", prefilterDupKeys = false))
+      val guardedRun = UrlDedup(udf0, "url", "doc_id", "prio")
+      assert(!guardedRun.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        "over the byte budget, UrlDedup must take the single-pass shape")
+      assert(snap(guardedRun) == ref)
+    } finally spark.conf.unset(DupCandidates.MaxBroadcastKeyBytesConf)
+  }
+
   test("runtime broadcast guard: mass-dup corpus degrades every default dedup config to the single-pass shape") {
     // VERDICT r6 #2: the prefilter's broadcast had no runtime guard — a
     // corpus whose dup-key set exceeds the budget OOMed inside the DEFAULT
