@@ -290,11 +290,20 @@ FROM documents ORDER BY doc_id"""
     * while distinct groups share no shingles (md5 diffusion; digits are
     * translated to letters so simplify_text's digit normalization cannot
     * alias two groups). */
+  /** Persist a constructed oracle input/intermediate that downstream
+    * operators consume in several passes (guard pass + main pass + final
+    * join): the md5-block planted-text constructions are CPU-visible at
+    * 200k rows and would otherwise recompute per consumption (r8). Keyed
+    * through CacheRegistry so repeated bench attempts stay bounded. */
+  private def cachedConstruction(key: String, df: DataFrame): DataFrame =
+    CacheRegistry.swapRotating(key,
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def syntheticDupDocs(s: SparkSession, dir: String): DataFrame = {
     val h = translate(md5((col("doc_id") % 100).cast("string")),
       "0123456789", "ghijklmnop")
-    documents(s, dir).select(col("doc_id"),
-      concat_ws(" ", (0 until 8).map(i => substring(h, i * 4 + 1, 4)): _*).as("text"))
+    cachedConstruction("oracle.dupdocs." + dir, documents(s, dir).select(col("doc_id"),
+      concat_ws(" ", (0 until 8).map(i => substring(h, i * 4 + 1, 4)): _*).as("text")))
   }
 
   /** Planted-twin threshold oracle over the raw documents table (see the
@@ -310,8 +319,13 @@ FROM documents ORDER BY doc_id"""
     val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
     val twins = docs.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
-    val out = MinhashDedup.dedup(docs.unionByName(twins), "doc_id", "text")
-      .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
+    // the oracle's crossJoin consumes `out` three times (o twice, t once);
+    // persist the slim verdict projection so the parquet scan + comps join
+    // run once, not per aggregate branch (r8)
+    val out = CacheRegistry.swapRotating("oracle.minhash.twin",
+      MinhashDedup.dedup(docs.unionByName(twins), "doc_id", "text")
+        .select(col("doc_id"), col("minhash_cluster"), col("minhash_keep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val t = out.where(col("doc_id") >= base)
       .select((col("doc_id") - lit(base)).as("src_id"),
         col("minhash_cluster").as("t_cluster"), col("minhash_keep").as("t_keep"))
@@ -332,7 +346,8 @@ FROM documents ORDER BY doc_id"""
         "0123456789", "ghijklmnop")
       (0 until 8).map(i => substring(h, i * 4 + 1, 4))
     }
-    documents(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+    cachedConstruction("oracle.longdupdocs." + dir,
+      documents(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text")))
   }
 
 
@@ -670,8 +685,9 @@ FROM documents ORDER BY doc_id"""
           "0123456789", "ghijklmnop")
         concat_ws(" ", (0 until 8).map(i => substring(h, i * 4 + 1, 4)): _*)
       }
-      val sentDocs = documents(s, dir).select(col("doc_id"),
-        concat(concat_ws(". ", blocks: _*), lit(".")).as("text"))
+      val sentDocs = cachedConstruction("oracle.sd.sent." + dir,
+        documents(s, dir).select(col("doc_id"),
+          concat(concat_ws(". ", blocks: _*), lit(".")).as("text")))
       SentenceDedup(sentDocs, "doc_id", "text",
         SentenceDedupConfig(splitSentences = true))
         .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
@@ -697,7 +713,8 @@ FROM documents ORDER BY doc_id"""
           "0123456789", "ghijklmnop")
         (0 until 8).map(i => substring(h, i * 4 + 1, 4))
       }
-      val docs = documents(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+      val docs = cachedConstruction("oracle.es.short." + dir,
+        documents(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text")))
       val short = ExactSubstrDedup(docs, "doc_id", "text",
           ExactSubstrConfig(minDocWords = 10, shortSpanWords = Some(15)))
         .select(col("doc_id"), col("exact_substr_keep").as("keep_short"),
@@ -747,14 +764,16 @@ FROM documents ORDER BY doc_id"""
       val cfg = ExactSubstrConfig(spanWords = 16, minDocWords = 5,
         anchorEvery = Some(8))
       val longRes = ExactSubstrDedup(
-          documents(s, dir).select(col("doc_id"), longText.as("text")),
+          cachedConstruction("oracle.es.anch.long." + dir,
+            documents(s, dir).select(col("doc_id"), longText.as("text"))),
           "doc_id", "text", cfg)
         .select(col("doc_id"), col("exact_substr_keep").as("keep_long"),
           (col("n_removed_words") === 0).as("untouched_long"),
           (col("n_removed_words") >= 16 && col("n_removed_words") <= 24)
             .as("caught_long"))
       val bandRes = ExactSubstrDedup(
-          documents(s, dir).select(col("doc_id"), bandText.as("text")),
+          cachedConstruction("oracle.es.anch.band." + dir,
+            documents(s, dir).select(col("doc_id"), bandText.as("text"))),
           "doc_id", "text", cfg)
         .groupBy()
         .agg(
@@ -1209,13 +1228,18 @@ FROM documents ORDER BY doc_id"""
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val d1 = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("t1"))
       val d2 = docs.select((col("doc_id") - 2).as("doc_id"), col("text").as("t2"))
-      val tri = docs.join(d1, "doc_id").join(d2, "doc_id")
-        .select(col("doc_id"), concat_ws("\n", col("text"), col("t1"), col("t2")).as("text"))
+      val tri = cachedConstruction("oracle.sd.tri." + dir,
+        docs.join(d1, "doc_id").join(d2, "doc_id")
+          .select(col("doc_id"), concat_ws("\n", col("text"), col("t1"), col("t2")).as("text")))
       val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
       val twins = tri.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
-      val out = SentenceDedup(tri.unionByName(twins), "doc_id", "text")
-        .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
+      // both aggregate branches consume `out`: persist the slim verdict so
+      // the stitch joins + rewrite/wordCount/sentCount UDFs run once (r8)
+      val out = CacheRegistry.swapRotating("oracle.sentence.twin",
+        SentenceDedup(tri.unionByName(twins), "doc_id", "text")
+          .select(col("doc_id"), col("sentence_dedup_keep"), col("removed_sentences"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val t = out.where(col("doc_id") >= base)
       val o = out.where(col("doc_id") < base)
       o.agg(count(lit(1)).as("n_stitched"),
@@ -1234,8 +1258,12 @@ FROM documents ORDER BY doc_id"""
       val base = docs.agg(max("doc_id")).first().getLong(0) + 1L
       val twins = docs.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
-      val out = SimHashDedup(docs.unionByName(twins), "doc_id", "text", maxHamming = 3)
-        .select(col("doc_id"), col("simhash_cluster"), col("simhash_keep"))
+      // three consumptions of `out` (o twice, t once): persist the slim
+      // verdict so the final per-row simhash UDF pass runs once (r8)
+      val out = CacheRegistry.swapRotating("oracle.simhash.twin",
+        SimHashDedup(docs.unionByName(twins), "doc_id", "text", maxHamming = 3)
+          .select(col("doc_id"), col("simhash_cluster"), col("simhash_keep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val t = out.where(col("doc_id") >= base)
         .select((col("doc_id") - lit(base)).as("src_id"),
           col("simhash_cluster").as("t_cluster"), col("simhash_keep").as("t_keep"))

@@ -302,6 +302,19 @@ object MinhashDedup {
       .union(und.select(col("u").as("doc"), col("v").as("cluster")))
       .groupBy("doc").agg(min("cluster").as("cluster"))
       .cache()
+    // Convergence via the label-sum invariant (r8): every step takes a MIN
+    // over a set containing the row's own label, so per-row labels are
+    // monotonically non-increasing — the exact (Decimal-38, overflow-free)
+    // sum of labels is strictly decreasing until fixpoint and equal at it.
+    // One cheap aggregate action per round replaces the old
+    // next-join-labels changed-count, removing a full shuffle join per
+    // iteration (plan evidence: plans/r08/minhash_dedup_dist_*).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -316,11 +329,11 @@ object MinhashDedup {
         .select(col("l.doc").as("doc"),
           least(col("l.cluster"), coalesce(col("r.cluster"), col("l.cluster"))).as("cluster"))
         .cache()
-      val changed = next.as("n").join(labels.as("o"), "doc")
-        .where(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     und.unpersist()

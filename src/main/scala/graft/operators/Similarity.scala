@@ -204,15 +204,35 @@ object Similarity {
 
     val nside = base.select(col("__qid").as("neighbor"),
       col("__qv").as("__nv"), col("__qn").as("__nn"))
-    val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
-    val out = pairs
+    val scored = pairs
       .join(base, Seq("__qid"))
       .join(nside, Seq("neighbor"))
       .withColumn("cosine", dotUdf(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
-    out
+      .select(col("__qid"), col("neighbor"), col("cosine"))
+    topKPerQuery(scored, k).select(col("__qid").as(idCol),
+      col("neighbor"), col("cosine"), col("rank"))
+  }
+
+  /** Per-query top-k by (cosine desc, neighbor asc) over slim
+    * (__qid, neighbor, cosine) rows. k == 1 (the common ANN-query case)
+    * takes a groupBy min-struct — a hash aggregate with map-side partial
+    * aggregation and NO per-group sort, so a hot query id combines before
+    * the exchange; k > 1 keeps the row_number window. The min-struct
+    * winner equals the window's rank-1 row: min(-cosine) = max(cosine)
+    * for the finite cosines here, ties fall to min(neighbor) in both. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    if (k == 1) {
+      scored
+        .groupBy("__qid")
+        .agg(min(struct(negate(col("cosine")).as("__nc"), col("neighbor"),
+          col("cosine"))).as("__best"))
+        .select(col("__qid"), col("__best.neighbor").as("neighbor"),
+          col("__best.cosine").as("cosine"), lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("__qid"), col("neighbor"), col("cosine"), col("rank"))
+    }
   }
 
   /** Deterministic driver-side Lloyd k-means over a bounded sample — the
@@ -313,16 +333,14 @@ object Similarity {
     val queries = base.select(col("__id").as("__qid"), col("__v").as("__qv"),
       col("__n").as("__qn"), explode(probeUdf(col("__v"))).as("__cell"))
 
-    val w = Window.partitionBy("__qid").orderBy(desc("cosine"), asc("neighbor"))
-    queries.join(data, Seq("__cell"))
+    val scored = queries.join(data, Seq("__cell"))
       .where(col("__qid") =!= col("neighbor"))
       .withColumn("cosine", dotUdf(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")))
-      // ids+cosine only through the window sort — the fat vectors must not
-      // ride the per-query ranking shuffle
+      // ids+cosine only through the ranking shuffle — the fat vectors must
+      // not ride it
       .select(col("__qid"), col("neighbor"), col("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qid").as(idCol), col("neighbor"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k).select(col("__qid").as(idCol),
+      col("neighbor"), col("cosine"), col("rank"))
   }
 
   /** Embedding near-duplicate detection: pairs with cosine ≥ threshold
@@ -341,16 +359,24 @@ object Similarity {
     // embedding would otherwise regenerate its full clique in every LSH
     // band — the dominant degenerate case at web scale. LSH then runs over
     // DISTINCT vectors only.
+    // r8 shape: vector identity is a 128-bit pair of independent xxhash64
+    // folds, so the collapse groupBy and the rep join-back move 16-byte
+    // keys instead of the fat embedding arrays (the r7 shape grouped and
+    // null-safe-joined on the full array<float>). False identity needs
+    // both 64-bit hashes to collide on different vectors: ~2^-128 per
+    // pair, ≪ 1 expected even at 10^12 rows — the same analysis as the
+    // minhash band folds and ExactSubstrDedup.spanHashes. The fat table
+    // is touched by one broadcastable semi-join (rep ids) only.
     val v = col(vecCol).cast("array<float>")
-    val hashed = df.withColumn("__vh", xxhash64(v))
-    val reps = hashed.groupBy(col("__vh").as("__rh"), v.as("__vv"))
-      .agg(min(col(idCol)).as("__rep"))
-    val withRep = hashed
-      .join(reps, col("__vh") <=> col("__rh") && (v <=> col("__vv")))
-      .drop("__rh", "__vv")
+    val slim = df.select(col(idCol), xxhash64(v).as("__vh1"),
+      xxhash64(v, lit(0x9E3779B97F4A7C15L)).as("__vh2"))
+    val reps = slim.groupBy("__vh1", "__vh2").agg(min(col(idCol)).as("__rep"))
+    val withRep = slim.join(reps, Seq("__vh1", "__vh2"))
     val exactEdges = withRep.where(col(idCol) =!= col("__rep"))
       .select(col(idCol).as("doc"), col("__rep").as("rep"))
-    val uniques = withRep.where(col(idCol) === col("__rep"))
+    val uniques = df.join(
+      withRep.where(col(idCol) === col("__rep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
       .select(col(idCol), col(vecCol))
     val top = lshTopK(uniques, idCol, vecCol, k = k, bands = bands, bitsPerBand = bitsPerBand)
     val lshEdges = top.where(col("cosine") >= threshold)
