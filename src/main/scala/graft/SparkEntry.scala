@@ -165,10 +165,21 @@ FROM documents ORDER BY doc_id"""
     * (Arrow shards, inference checkpoints): deleted on JVM exit, and each
     * [[scratchDir]] is wiped per call — repeated verify/bench rounds never
     * accumulate corpus-sized /tmp copies (only a kill -9 leaves at most
-    * one process dir behind). */
+    * one process dir behind).
+    *
+    * r8: prefer tmpfs (/dev/shm) when writable, same argument as
+    * [[streamScratchRoot]] — these are bench-scoped round-trip artifacts
+    * (MB-scale parquet/Arrow/.ds shards whose durability is meaningless;
+    * real runs write to durable storage via their own paths), and on a
+    * contended disk the commit-protocol renames + fsyncs dominate the
+    * small round-trip queries. Falls back to java.io.tmpdir otherwise. */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_oracle_scratch", ProcessHandle.current().pid().toString)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val p = base.resolve("graft_oracle_scratch")
+      .resolve(ProcessHandle.current().pid().toString)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
     p
   }
@@ -1159,7 +1170,7 @@ FROM documents ORDER BY doc_id"""
       val allIds = docIds(s, dir, below = 1000)
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 4) {
+      withShufflePartitions(s, 1) {
         val q = graft.streaming.StreamingQuality.streamingExactDedup(ms.toDS())
           .toDF().writeStream.format("memory").queryName(sinkName)
           .option("checkpointLocation", streamScratchDir("streaming_dedup_ckpt"))
@@ -1189,7 +1200,7 @@ FROM documents ORDER BY doc_id"""
       val allIds = docIds(s, dir, below = 1000) // cap: see streaming_dedup
       val ms = MemoryStream[PipeDoc]
       val sinkName = "graft_stream_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 4) {
+      withShufflePartitions(s, 1) {
         val q = graft.streaming.StreamingQuality
           .windowedDropMetrics(ms.toDS(), "1 minute", "0 seconds")
           .writeStream.format("memory").queryName(sinkName)

@@ -19,7 +19,9 @@ object SqlFilters {
     filter(split(text, " "), w => w =!= "")
 
   private def count2(text: Column, sub: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), ""))) / sub.length)
+    // literal (non-regex) StringReplace: same non-overlapping left-to-right
+    // count as the quoted regexp_replace, without the regex engine (r8)
+    ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length)
       .cast("long")
 
   /** Gopher quality as one CASE cascade (first failing rule wins,
