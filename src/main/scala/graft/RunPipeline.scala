@@ -172,6 +172,14 @@ object RunPipeline {
       // makes every capture its own representative — url dedup could then
       // never drop anything (review-caught, round 7). Hash the full
       // (url, capture time, payload) identity instead.
+      // COLLISION BOUND at the 10^12-doc design point (VERDICT r7 #1 /
+      // ADVICE r7 #2): a 64-bit id expects ~n²/2^65 ≈ 3×10^4 colliding
+      // PAIRS across the whole corpus. A collision only matters when both
+      // members land in the same dedup group, where it makes each member
+      // its own representative — an UNDER-drop (one extra kept doc), never
+      // a wrong drop, at ~10^-8 of groups. Direction-safe and negligible;
+      // widen to a 128-bit pair (two seeds, like the ES span keys) if a
+      // future posture needs the bound at zero.
       val hashed = kept.withColumn("doc_id",
         xxhash64(col("url"), col("warc_ts"), col("text")))
       // BYTE-IDENTICAL captures (the same record ingested twice:
