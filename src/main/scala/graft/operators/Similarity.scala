@@ -186,8 +186,15 @@ object Similarity {
     // reuse one computation (instead of re-hashing every vector twice), and
     // vectors join back per unique candidate pair at the end (two id-key
     // joins that AQE can broadcast when one side is small).
-    val base = df.select(col(idCol).as("__qid"),
-      col(vecCol).cast("array<float>").as("__qv"), normCol(col(vecCol)).as("__qn"))
+    // base is consumed three times (bucket build, query-side join,
+    // neighbor-side join): persist the (id, vec, norm) projection so the
+    // input lineage + norm computation run once (r8). Rotating key — a
+    // caller may build a second lshTopK (e.g. cosineNearDupes after
+    // ann_lsh_topk) before this one's consumers have executed.
+    val base = CacheRegistry.swapRotating("similarity.lshBase", df
+      .select(col(idCol).as("__qid"),
+        col(vecCol).cast("array<float>").as("__qv"), normCol(col(vecCol)).as("__qn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bucketed = CacheRegistry.swap("similarity.lshBuckets", base
       .select(col("__qid"), explode(bucketUdf(col("__qv"))).as("__bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -326,8 +333,12 @@ object Similarity {
     val cellUdf = udf { v: Array[Float] => nearestCentroid(v, cents.value) }
     val probeUdf = udf { v: Array[Float] => nearestCells(v, cents.value, np) }
 
-    val base = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<float>").as("__v"), normCol(col(vecCol)).as("__n"))
+    // base is consumed twice (data side + query side), each side
+    // re-running the input lineage and the norm fold: persist it (r8)
+    val base = CacheRegistry.swapRotating("similarity.ivfBase", df
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<float>").as("__v"), normCol(col(vecCol)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val data = base.select(col("__id").as("neighbor"), col("__v").as("__nv"),
       col("__n").as("__nn"), cellUdf(col("__v")).as("__cell"))
     val queries = base.select(col("__id").as("__qid"), col("__v").as("__qv"),
