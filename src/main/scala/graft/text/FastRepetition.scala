@@ -15,61 +15,63 @@ object FastRepetition {
   private val B1 = 1000003L
   private val B2 = 0x100000001b3L
 
-  /** Open-addressing set of 128-bit keys (two longs). */
-  private final class PairSet(expected: Int) {
-    private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
-    private var k1 = new Array[Long](cap)
-    private var k2 = new Array[Long](cap)
-    private var used = new Array[Boolean](cap)
-    private var size = 0
-
-    /** returns true if newly added, false if already present */
-    def add(a: Long, b: Long): Boolean = {
-      if (size * 2 >= cap) grow()
-      var idx = mix(a, b) & (cap - 1)
-      while (used(idx)) {
-        if (k1(idx) == a && k2(idx) == b) return false
-        idx = (idx + 1) & (cap - 1)
-      }
-      used(idx) = true; k1(idx) = a; k2(idx) = b; size += 1
-      true
-    }
-
-    private def grow(): Unit = {
-      val ok1 = k1; val ok2 = k2; val ou = used
-      cap <<= 1
-      k1 = new Array[Long](cap); k2 = new Array[Long](cap); used = new Array[Boolean](cap)
-      var i = 0
-      while (i < ou.length) {
-        if (ou(i)) {
-          var idx = mix(ok1(i), ok2(i)) & (cap - 1)
-          while (used(idx)) idx = (idx + 1) & (cap - 1)
-          used(idx) = true; k1(idx) = ok1(i); k2(idx) = ok2(i)
-        }
-        i += 1
-      }
-    }
-  }
-
-  /** Open-addressing 128-bit-key counter preserving first-insert order. */
-  private final class PairCounter(expected: Int) {
-    private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
-    private var k1 = new Array[Long](cap)
-    private var k2 = new Array[Long](cap)
-    private var cnt = new Array[Int](cap)
-    private var ord = new Array[Int](cap)
-    private var len = new Array[Int](cap)
+  /** Per-thread reusable open-addressing arena for the 9 per-doc hash
+    * passes (r8). The old per-pass PairSet/PairCounter allocated ~6 fresh
+    * arrays per pass — ~GBs of GC churn over a 200k-doc partition sweep.
+    * One generation-stamped table per executor thread serves both the
+    * set (add) and counter (addOcc/topProduct) roles: a slot is live only
+    * when gen(idx) == curGen, so `begin()` invalidates the whole table in
+    * O(1) with no zeroing. Semantics are identical to the per-pass
+    * structures (same mix, same linear probing, same first-insert-order
+    * tie-break) — pinned by the randomized FastRepetitionSpec. */
+  private final class PairArena {
+    private var cap = 0
+    private var k1: Array[Long] = null
+    private var k2: Array[Long] = null
+    private var cnt: Array[Int] = null
+    private var ord: Array[Int] = null
+    private var len: Array[Int] = null
+    private var gen: Array[Int] = null
+    private var curGen = 0
     private var size = 0
     private var nextOrd = 0
 
+    def begin(expected: Int): Unit = {
+      val want = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+      if (want > cap) {
+        cap = want
+        k1 = new Array[Long](cap); k2 = new Array[Long](cap)
+        cnt = new Array[Int](cap); ord = new Array[Int](cap)
+        len = new Array[Int](cap); gen = new Array[Int](cap)
+        curGen = 0
+      }
+      curGen += 1
+      size = 0
+      nextOrd = 0
+    }
+
+    /** set role: returns true if newly added, false if already present */
+    def add(a: Long, b: Long): Boolean = {
+      if (size * 2 >= cap) grow()
+      var idx = mix(a, b) & (cap - 1)
+      while (gen(idx) == curGen) {
+        if (k1(idx) == a && k2(idx) == b) return false
+        idx = (idx + 1) & (cap - 1)
+      }
+      gen(idx) = curGen; k1(idx) = a; k2(idx) = b; size += 1
+      true
+    }
+
+    /** counter role */
     def addOcc(a: Long, b: Long, charLen: Int): Unit = {
       if (size * 2 >= cap) grow()
       var idx = mix(a, b) & (cap - 1)
-      while (cnt(idx) != 0) {
+      while (gen(idx) == curGen) {
         if (k1(idx) == a && k2(idx) == b) { cnt(idx) += 1; return }
         idx = (idx + 1) & (cap - 1)
       }
-      k1(idx) = a; k2(idx) = b; cnt(idx) = 1; ord(idx) = nextOrd; len(idx) = charLen
+      gen(idx) = curGen; k1(idx) = a; k2(idx) = b
+      cnt(idx) = 1; ord(idx) = nextOrd; len(idx) = charLen
       nextOrd += 1; size += 1
     }
 
@@ -81,7 +83,7 @@ object FastRepetition {
       var bestLen = 0
       var i = 0
       while (i < cap) {
-        if (cnt(i) != 0 &&
+        if (gen(i) == curGen && cnt(i) != 0 &&
             (cnt(i) > bestCount || (cnt(i) == bestCount && ord(i) < bestOrd))) {
           bestCount = cnt(i); bestOrd = ord(i); bestLen = len(i)
         }
@@ -92,20 +94,27 @@ object FastRepetition {
 
     private def grow(): Unit = {
       val ok1 = k1; val ok2 = k2; val oc = cnt; val oo = ord; val ol = len
+      val og = gen; val oldCap = cap; val oldGen = curGen
       cap <<= 1
       k1 = new Array[Long](cap); k2 = new Array[Long](cap)
-      cnt = new Array[Int](cap); ord = new Array[Int](cap); len = new Array[Int](cap)
+      cnt = new Array[Int](cap); ord = new Array[Int](cap)
+      len = new Array[Int](cap); gen = new Array[Int](cap)
+      curGen = 1
       var i = 0
-      while (i < oc.length) {
-        if (oc(i) != 0) {
+      while (i < oldCap) {
+        if (og(i) == oldGen) {
           var idx = mix(ok1(i), ok2(i)) & (cap - 1)
-          while (cnt(idx) != 0) idx = (idx + 1) & (cap - 1)
-          k1(idx) = ok1(i); k2(idx) = ok2(i); cnt(idx) = oc(i); ord(idx) = oo(i); len(idx) = ol(i)
+          while (gen(idx) == curGen) idx = (idx + 1) & (cap - 1)
+          gen(idx) = curGen; k1(idx) = ok1(i); k2(idx) = ok2(i)
+          cnt(idx) = oc(i); ord(idx) = oo(i); len(idx) = ol(i)
         }
         i += 1
       }
     }
   }
+
+  private val arena: ThreadLocal[PairArena] =
+    ThreadLocal.withInitial(() => new PairArena)
 
   @inline private def mix(a: Long, b: Long): Int = {
     var z = a * 0x9e3779b97f4a7c15L + b
@@ -187,7 +196,8 @@ object FastRepetition {
     def findAllDuplicate(n: Int): Int = {
       val limit = nWords - n + 1
       if (limit <= 0) return 0
-      val seen = new PairSet(limit)
+      val seen = arena.get()
+      seen.begin(limit)
       var repeatedChars = 0
       var idx = 0
       while (idx < limit) {
@@ -204,7 +214,8 @@ object FastRepetition {
     def findTopDuplicate(n: Int): Int = {
       val limit = nWords - n + 1
       if (limit <= 0) return 0
-      val counter = new PairCounter(limit)
+      val counter = arena.get()
+      counter.begin(limit)
       val bn1 = bPow1(n) // B^(#separators in the window span)
       val bn2 = bPow2(n)
       var idx = 0
