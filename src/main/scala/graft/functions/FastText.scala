@@ -181,6 +181,14 @@ final class FastTextModel(
   /** fastText predict: tokens = whitespace split (+EOS handled by caller's
     * text form); returns label→probability, descending. */
   def predictScores(text: String): Array[(String, Double)] = {
+    val p = probabilities(text)
+    labels.indices.map(k => (labels(k), p(k))).sortBy(-_._2).toArray
+  }
+
+  /** Per-label probabilities indexed like `labels` — the allocation-lean
+    * core of predict/predictScores (r8): callers that only need the argmax
+    * plus a score map skip the 36-tuple sort entirely. */
+  private def probabilities(text: String): Array[Double] = {
     val tokens = graft.text.PyText.pySplit(text) :+ FastTextModel.EOS
     val hidden = new Array[Float](dim)
     var count = 0
@@ -221,15 +229,30 @@ final class FastTextModel(
     var z = 0.0
     i = 0
     while (i < labels.length) { logits(i) = math.exp(logits(i) - best); z += logits(i); i += 1 }
-    labels.indices.map(k => (labels(k), logits(k) / z)).sortBy(-_._2).toArray
+    i = 0
+    while (i < labels.length) { logits(i) /= z; i += 1 }
+    logits
   }
+
+  // labels with the __label__ prefix stripped ONCE at load, not 36 string
+  // allocations per predicted doc (r8)
+  @transient private lazy val cleanLabels: Array[String] =
+    labels.map(_.stripPrefix("__label__"))
 
   override def predict(text: String): (String, Double, Map[String, Double]) = {
     // skip the full-string copy when there is no newline (the common case)
     val flat = if (text.indexOf('\n') >= 0) text.replace('\n', ' ') else text
-    val scores = predictScores(flat)
-    val cleaned = scores.map { case (l, s) => l.stripPrefix("__label__") -> s }
-    (cleaned.head._1, cleaned.head._2, cleaned.toMap)
+    val p = probabilities(flat)
+    // argmax with strict > = the head of the old stable descending sort
+    // (first label wins ties in both forms)
+    var bestIdx = 0
+    var i = 1
+    while (i < p.length) { if (p(i) > p(bestIdx)) bestIdx = i; i += 1 }
+    val mb = Map.newBuilder[String, Double]
+    mb.sizeHint(p.length)
+    i = 0
+    while (i < p.length) { mb += cleanLabels(i) -> p(i); i += 1 }
+    (cleanLabels(bestIdx), p(bestIdx), mb.result())
   }
 }
 

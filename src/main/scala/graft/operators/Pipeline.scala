@@ -36,9 +36,17 @@ final class StageContext(val partitionId: Int, cfg: PipelineConfig) {
   private var lastText: String = null
   private var lastWords: Array[String] = null
   def words(text: String): Array[String] = {
+    // identity fast path, then VALUE equality (r8): a rewriting stage (C4)
+    // that keeps every line emits a new-but-equal string — an equals scan
+    // (~ns per char, early-exit on first diff) is far cheaper than
+    // re-tokenizing (~µs per word) for the common all-kept doc
     if (!(text eq lastText)) {
-      lastWords = graft.text.Tokenizer.words(text)
-      lastText = text
+      if (lastText != null && text == lastText) {
+        lastText = text
+      } else {
+        lastWords = graft.text.Tokenizer.words(text)
+        lastText = text
+      }
     }
     lastWords
   }
