@@ -278,10 +278,16 @@ object MinhashDedup {
       if (driverEdgeLimit >= 0) driverEdgeLimit
       else spark.conf.get("spark.graft.uf.driverEdgeLimit", "5000000").toLong
     val edges = edges0.cache()
-    // (limit+1).toInt would overflow for a caller-raised limit near
-    // Long.MaxValue — same guard shape as Similarity.bruteForceTopK
+    // limit 0 = the distributed path is forced: the sizing count would be
+    // pure overhead (and its limit(1) short-read materializes only part of
+    // the cache, re-running the heavy edge lineage in the next job) — skip
+    // straight to label propagation, which handles an empty edge set
+    // correctly anyway (empty labels, one convergence round) (r8)
     val edgeCount =
-      if (limit >= Int.MaxValue - 1) edges.count()
+      if (limit == 0) Long.MaxValue
+      // (limit+1).toInt would overflow for a caller-raised limit near
+      // Long.MaxValue — same guard shape as Similarity.bruteForceTopK
+      else if (limit >= Int.MaxValue - 1) edges.count()
       else edges.limit(limit.toInt + 1).count()
     if (edgeCount == 0) { // no duplicate pairs at all — skip the whole loop
       edges.unpersist()
