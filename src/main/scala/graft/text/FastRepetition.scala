@@ -29,25 +29,23 @@ object FastRepetition {
     private var k1: Array[Long] = null
     private var k2: Array[Long] = null
     private var cnt: Array[Int] = null
-    private var ord: Array[Int] = null
     private var len: Array[Int] = null
     private var gen: Array[Int] = null
+    private var ins: Array[Int] = null // claimed slots in insertion order
     private var curGen = 0
     private var size = 0
-    private var nextOrd = 0
 
     def begin(expected: Int): Unit = {
       val want = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
       if (want > cap) {
         cap = want
         k1 = new Array[Long](cap); k2 = new Array[Long](cap)
-        cnt = new Array[Int](cap); ord = new Array[Int](cap)
-        len = new Array[Int](cap); gen = new Array[Int](cap)
+        cnt = new Array[Int](cap); len = new Array[Int](cap)
+        gen = new Array[Int](cap); ins = new Array[Int](cap)
         curGen = 0
       }
       curGen += 1
       size = 0
-      nextOrd = 0
     }
 
     /** set role: returns true if newly added, false if already present */
@@ -58,7 +56,8 @@ object FastRepetition {
         if (k1(idx) == a && k2(idx) == b) return false
         idx = (idx + 1) & (cap - 1)
       }
-      gen(idx) = curGen; k1(idx) = a; k2(idx) = b; size += 1
+      gen(idx) = curGen; k1(idx) = a; k2(idx) = b
+      ins(size) = idx; size += 1
       true
     }
 
@@ -71,43 +70,45 @@ object FastRepetition {
         idx = (idx + 1) & (cap - 1)
       }
       gen(idx) = curGen; k1(idx) = a; k2(idx) = b
-      cnt(idx) = 1; ord(idx) = nextOrd; len(idx) = charLen
-      nextOrd += 1; size += 1
+      cnt(idx) = 1; len(idx) = charLen
+      ins(size) = idx; size += 1
     }
 
     /** len × count of the most frequent key; first-inserted wins ties
-      * (Counter.most_common insertion-order stability). */
+      * (Counter.most_common insertion-order stability). Scans the
+      * insertion list, NOT the table capacity — the arena is sized by the
+      * largest doc its thread has seen, and a capacity scan would charge
+      * every small doc for that one large doc (caught in the r8 mid-round
+      * bench: gopher_repetition 0.32 → 0.99 s before this fix). Iterating
+      * in insertion order makes first-insert the natural tie-break. */
     def topProduct: Int = {
       var bestCount = -1
-      var bestOrd = Int.MaxValue
       var bestLen = 0
       var i = 0
-      while (i < cap) {
-        if (gen(i) == curGen && cnt(i) != 0 &&
-            (cnt(i) > bestCount || (cnt(i) == bestCount && ord(i) < bestOrd))) {
-          bestCount = cnt(i); bestOrd = ord(i); bestLen = len(i)
-        }
+      while (i < size) {
+        val s = ins(i)
+        if (cnt(s) > bestCount) { bestCount = cnt(s); bestLen = len(s) }
         i += 1
       }
       if (bestCount <= 0) 0 else bestLen * bestCount
     }
 
     private def grow(): Unit = {
-      val ok1 = k1; val ok2 = k2; val oc = cnt; val oo = ord; val ol = len
-      val og = gen; val oldCap = cap; val oldGen = curGen
+      val ok1 = k1; val ok2 = k2; val oc = cnt; val ol = len
+      val oins = ins
       cap <<= 1
       k1 = new Array[Long](cap); k2 = new Array[Long](cap)
-      cnt = new Array[Int](cap); ord = new Array[Int](cap)
-      len = new Array[Int](cap); gen = new Array[Int](cap)
+      cnt = new Array[Int](cap); len = new Array[Int](cap)
+      gen = new Array[Int](cap); ins = new Array[Int](cap)
       curGen = 1
       var i = 0
-      while (i < oldCap) {
-        if (og(i) == oldGen) {
-          var idx = mix(ok1(i), ok2(i)) & (cap - 1)
-          while (gen(idx) == curGen) idx = (idx + 1) & (cap - 1)
-          gen(idx) = curGen; k1(idx) = ok1(i); k2(idx) = ok2(i)
-          cnt(idx) = oc(i); ord(idx) = oo(i); len(idx) = ol(i)
-        }
+      while (i < size) { // rehash live slots in insertion order
+        val o = oins(i)
+        var idx = mix(ok1(o), ok2(o)) & (cap - 1)
+        while (gen(idx) == curGen) idx = (idx + 1) & (cap - 1)
+        gen(idx) = curGen; k1(idx) = ok1(o); k2(idx) = ok2(o)
+        cnt(idx) = oc(o); len(idx) = ol(o)
+        ins(i) = idx
         i += 1
       }
     }
