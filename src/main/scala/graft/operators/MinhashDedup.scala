@@ -301,9 +301,18 @@ object MinhashDedup {
       edges.unpersist()
       return driverComponents(pairs, spark)
     }
+    // Fill the edge cache with ONE explicit action before the label lineage
+    // consumes it: the initial-labels job reads `edges` through four union
+    // branches, and concurrent tasks racing an unfilled cache each
+    // recompute the heavy signature/window lineage per branch (measured
+    // 1.7 s vs 0.14 s cached at sf0.1). A forced path (limit 0) skipped
+    // the sizing count entirely and paid that race; a sized path's
+    // limit(k) short-read filled only part of the cache (r8).
+    edges.count()
+    // `und` is two cheap projections of the now-cached edges — caching it
+    // too would just double-buffer the same rows (r8; it was cached before)
     val und = edges.select(col("doc").as("u"), col("rep").as("v"))
       .union(edges.select(col("rep").as("u"), col("doc").as("v")))
-      .cache()
     var labels = und.select(col("u").as("doc"), col("u").as("cluster"))
       .union(und.select(col("u").as("doc"), col("v").as("cluster")))
       .groupBy("doc").agg(min("cluster").as("cluster"))
@@ -321,28 +330,54 @@ object MinhashDedup {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum(labels)
+    // parents of the not-yet-materialized `labels`, freed only after the
+    // next aggregate action has filled the current round's caches (freeing
+    // eagerly would force the fill to recompute the freed lineage)
+    var toFree: List[DataFrame] = Nil
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor-min: labels flow across every edge in both directions
+      // neighbor-min: labels flow across every edge in both directions;
+      // the sum is taken HERE, before pointer jumping, because equality
+      // already proves global fixpoint — monotone rows + equal sum ⇒ no
+      // row changed ⇒ every edge (u,v) has label(u) ≤ label(v) and
+      // label(v) ≤ label(u), i.e. labels are constant across every edge,
+      // so cluster→cluster pointer jumping is a no-op. The converging
+      // round therefore skips the self-join entirely (r8 session 2).
       val viaEdges = und.join(labels, und("v") === labels("doc"))
         .select(und("u").as("doc"), col("cluster"))
       val afterNeighbors = viaEdges.union(labels)
         .groupBy("doc").agg(min("cluster").as("cluster"))
-      // pointer jump: follow cluster → its own cluster
-      val next = afterNeighbors.as("l")
-        .join(afterNeighbors.as("r"), col("l.cluster") === col("r.doc"), "left")
-        .select(col("l.doc").as("doc"),
-          least(col("l.cluster"), coalesce(col("r.cluster"), col("l.cluster"))).as("cluster"))
         .cache()
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      val aSum = labelSum(afterNeighbors)
+      toFree.foreach(_.unpersist())
+      toFree = Nil
+      if (aSum.compareTo(prevSum) == 0) {
+        labels.unpersist()
+        labels = afterNeighbors
+        converged = true
+      } else {
+        // pointer jump: follow cluster → its own cluster. Not summed —
+        // next round's neighbor-min sum is compared against THIS round's
+        // pre-jump sum, which is exact: the jump is also monotone, so
+        // sum(A_{r+1}) = sum(A_r) forces A_{r+1} = jump(A_r) = A_r
+        // pointwise, which implies both fixpoint conditions at once.
+        val next = afterNeighbors.as("l")
+          .join(afterNeighbors.as("r"), col("l.cluster") === col("r.doc"), "left")
+          .select(col("l.doc").as("doc"),
+            least(col("l.cluster"), coalesce(col("r.cluster"), col("l.cluster"))).as("cluster"))
+          .cache()
+        labels.unpersist()
+        toFree = List(afterNeighbors)
+        labels = next
+        prevSum = aSum
+      }
       iter += 1
     }
-    und.unpersist()
+    // a maxIter exit leaves the final pointer-jump cache unfilled — fill it
+    // before its parents (afterNeighbors, edges) are released below
+    if (!converged) labels.count()
+    toFree.foreach(_.unpersist())
     edges.unpersist()
     labels
   }

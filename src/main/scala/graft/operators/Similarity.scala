@@ -247,7 +247,7 @@ object Similarity {
     * (deterministic, no RNG state dependence); empty cells keep their
     * previous centroid. Sample bias only affects cell BALANCE, never
     * correctness (every vector is searched within its assigned cells). */
-  private[operators] def trainCentroids(sample: Array[Array[Float]], nLists: Int,
+  private[graft] def trainCentroids(sample: Array[Array[Float]], nLists: Int,
                                         iters: Int): Array[Array[Float]] = {
     val n = sample.length
     val kk = math.min(nLists, math.max(1, n))
@@ -278,7 +278,7 @@ object Similarity {
     cents
   }
 
-  private[operators] def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+  private[graft] def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -294,7 +294,7 @@ object Similarity {
     best
   }
 
-  private[operators] def nearestCells(v: Array[Float], cents: Array[Array[Float]],
+  private[graft] def nearestCells(v: Array[Float], cents: Array[Array[Float]],
                                       nProbe: Int): Array[Int] = {
     val ds = cents.indices.map { c =>
       var d2 = 0.0
@@ -319,8 +319,18 @@ object Similarity {
               sampleSize: Int = 8192)
              (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val sample: Array[Array[Float]] = df
-      .select(col(vecCol).cast("array<float>")).limit(sampleSize)
+    // base is consumed twice (data side + query side), each side
+    // re-running the input lineage and the norm fold: persist it (r8)
+    val base = CacheRegistry.swapRotating("similarity.ivfBase", df
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<float>").as("__v"), normCol(col(vecCol)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the k-means sample reads the persisted base (same projection, same
+    // scan order ⇒ identical sample rows) instead of re-running the input
+    // lineage in a separate job — the input is scanned once, not twice,
+    // and the sample's partitions pre-fill the cache (r8 session 2)
+    val sample: Array[Array[Float]] = base
+      .select(col("__v")).limit(sampleSize)
       .as[Seq[Float]].collect().map(_.toArray)
     // Empty shards are a legitimate pipeline state: short-circuit with an
     // empty result (trainCentroids would index into the empty sample).
@@ -332,13 +342,6 @@ object Similarity {
 
     val cellUdf = udf { v: Array[Float] => nearestCentroid(v, cents.value) }
     val probeUdf = udf { v: Array[Float] => nearestCells(v, cents.value, np) }
-
-    // base is consumed twice (data side + query side), each side
-    // re-running the input lineage and the norm fold: persist it (r8)
-    val base = CacheRegistry.swapRotating("similarity.ivfBase", df
-      .select(col(idCol).as("__id"),
-        col(vecCol).cast("array<float>").as("__v"), normCol(col(vecCol)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val data = base.select(col("__id").as("neighbor"), col("__v").as("__nv"),
       col("__n").as("__nn"), cellUdf(col("__v")).as("__cell"))
     val queries = base.select(col("__id").as("__qid"), col("__v").as("__qv"),
