@@ -189,11 +189,17 @@ final class FastTextModel(
     * core of predict/predictScores (r8): callers that only need the argmax
     * plus a score map skip the 36-tuple sort entirely. */
   private def probabilities(text: String): Array[Double] = {
-    val tokens = graft.text.PyText.pySplit(text) :+ FastTextModel.EOS
+    // EOS is appended virtually (index == length) — the old `tokens :+ EOS`
+    // copied the whole token array per doc; iteration order and the
+    // per-token EOS equality check (a literal "</s>" token takes the EOS
+    // branch) are unchanged, so accumulation stays bit-identical (r8)
+    val tokens = graft.text.PyText.pySplit(text)
     val hidden = new Array[Float](dim)
     var count = 0
     val cache = sumCache.get()
-    for (tok <- tokens) {
+    var ti = 0
+    while (ti <= tokens.length) {
+      val tok = if (ti == tokens.length) FastTextModel.EOS else tokens(ti)
       if (tok == FastTextModel.EOS) {
         val wid = vocab.getOrDefault(tok, -1)
         if (wid >= 0) { addRow(hidden, wid); count += 1 }
@@ -208,6 +214,7 @@ final class FastTextModel(
         while (d < dim) { hidden(d) += sum(d); d += 1 }
         count += n
       }
+      ti += 1
     }
     // each added row (in-vocab word or subword bucket) counts toward the mean
     val denom = math.max(count, 1)

@@ -87,16 +87,24 @@ object PyText {
 
   /** Python s.split() (no args): split on runs of whitespace, drop empties. */
   def pySplit(s: String): Array[String] = {
-    val out = new ArrayBuffer[String]()
-    var i = 0
+    // raw growable array (same shape as Tokenizer.words, r8): this runs per
+    // doc in the LID hot path — no ArrayBuffer bookkeeping, no final
+    // toArray copy. Token boundaries identical to the ArrayBuffer form.
     val n = s.length
+    var out = new Array[String]((n >> 3) + 4)
+    var m = 0
+    var i = 0
     while (i < n) {
       while (i < n && pyIsSpace(s.charAt(i))) i += 1
       val start = i
       while (i < n && !pyIsSpace(s.charAt(i))) i += 1
-      if (i > start) out += s.substring(start, i)
+      if (i > start) {
+        if (m == out.length) out = java.util.Arrays.copyOf(out, out.length << 1)
+        out(m) = s.substring(start, i)
+        m += 1
+      }
     }
-    out.toArray
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
   /** Python str.lower() — locale-independent full-string lowercase. */
