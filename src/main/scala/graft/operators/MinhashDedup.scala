@@ -313,8 +313,17 @@ object MinhashDedup {
     // too would just double-buffer the same rows (r8; it was cached before)
     val und = edges.select(col("doc").as("u"), col("rep").as("v"))
       .union(edges.select(col("rep").as("u"), col("doc").as("v")))
-    var labels = und.select(col("u").as("doc"), col("u").as("cluster"))
-      .union(und.select(col("u").as("doc"), col("v").as("cluster")))
+    // Initial labels = min over each node's CLOSED neighborhood, emitted as
+    // TWO rows per edge — (doc, least(doc,rep)) and (rep, least(doc,rep)) —
+    // instead of the old four branches over `und` (self + neighbor per
+    // direction). Identical result: least(d,r) ∈ {d,r}, and for a node n
+    // with ≥1 incident edge (every node here), min over its incident
+    // least(n,v) = min(n, min of neighbors). Halves the rows through the
+    // init groupBy exchange (guide §2.3) and halves the cached-edge scans
+    // feeding it (r8 session 3).
+    val lsr = least(col("doc"), col("rep"))
+    var labels = edges.select(col("doc").as("doc"), lsr.as("cluster"))
+      .union(edges.select(col("rep").as("doc"), lsr.as("cluster")))
       .groupBy("doc").agg(min("cluster").as("cluster"))
       .cache()
     // Convergence via the label-sum invariant (r8): every step takes a MIN
