@@ -126,6 +126,15 @@ object TextKernels {
     * no marks). [[simplifyTextNaive]] keeps the original regex/Set form as
     * the property-test twin. */
   def simplifyText(text0: String): String = {
+    // Pure-ASCII fused fast path (r8): lowercasing never changes
+    // ASCII-ness, so the raw text can be classified up front and the
+    // whole default chain fused into one output pass (see
+    // [[simplifyAsciiFast]]). Non-ASCII input keeps the staged path.
+    var a = true
+    var ai = 0
+    val an = text0.length
+    while (ai < an && a) { if (text0.charAt(ai) >= 128) a = false; ai += 1 }
+    if (a) return simplifyAsciiFast(text0)
     var text = PyText.pyLower(text0)
     var n = text.length
     var ascii = true
@@ -160,6 +169,59 @@ object TextKernels {
       i += 1
     }
     PyText.pyStrip(out.toString)
+  }
+
+  /** Default-config simplify for an all-ASCII string in ONE output pass
+    * (r8). Equivalence to the staged path, step by step:
+    *  - toLowerCase(ROOT) on ASCII is exactly the A-Z→a-z map;
+    *  - NumbersPattern restricted to ASCII is: maximal 0-9 run, optionally
+    *    followed by [.,] + another 0-9 run (the other three separators are
+    *    ≥ U+2396), leftmost/greedy — the inline scan below consumes exactly
+    *    that and emits '0';
+    *  - below 128 the regex-\s set is {\t..\r, ' '} and Python-isspace
+    *    additionally holds \x1C..\x1F — but \x1C..\x1F (like every
+    *    control char except \t and \n) are in PUNCTUATION, so BOTH paths
+    *    turn them into space runs; every below-128 Python-space char is
+    *    therefore in (\s ∪ punct), and pyStrip ∘ squeezeWs ∘ pyStrip
+    *    collapses to the pendingSpace pass below (drop leading/trailing
+    *    \s-or-punct runs, single space between tokens). The trailing
+    *    pyStrip is a no-op by construction (the builder never starts or
+    *    ends with a space) and stays as a cheap invariant guard;
+    *  - ASCII is NFD-normalized with no combining marks, so the NFD+Mn
+    *    stage is a no-op (same skip the staged path takes).
+    * Pinned against [[simplifyTextNaive]] by TextKernelsSpec on random
+    * ASCII strings with digit/separator/punct edge cases. */
+  private def simplifyAsciiFast(text: String): String = {
+    val n = text.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c >= '0' && c <= '9') {
+        var j = i + 1
+        while (j < n && { val d = text.charAt(j); d >= '0' && d <= '9' }) j += 1
+        if (j + 1 < n && (text.charAt(j) == '.' || text.charAt(j) == ',') && {
+              val d = text.charAt(j + 1); d >= '0' && d <= '9'
+            }) {
+          j += 2
+          while (j < n && { val d = text.charAt(j); d >= '0' && d <= '9' }) j += 1
+        }
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append('0')
+        i = j
+      } else {
+        if (wsTable(c) || punctTable(c)) {
+          if (sb.length > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+    }
+    PyText.pyStrip(sb.toString)
   }
 
   /** Original regex/Set implementation of the default-config path — kept

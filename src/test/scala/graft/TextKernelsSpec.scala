@@ -126,4 +126,28 @@ class TextKernelsSpec extends AnyFunSuite {
         s"divergence on '$s'")
     }
   }
+
+  test("simplify_text fused ASCII pass equals the naive twin on ASCII edge cases") {
+    // the r8 single-pass ASCII path: pin it against the naive twin on
+    // ASCII-only strings hitting every branch — digit runs with/without
+    // [.,] separators (incl. chained "1,000.5"), separators at string end,
+    // punct/ws runs at boundaries, control chars in/outside the \s set,
+    // uppercase folding
+    val edges = Seq(
+      "12.34.56", "1,000.5", "1.", "1,", ".5", ",5", "1..2", "1,,2",
+      "9", "99", "a1b2", "A.B,C", "x 1 , 2 y", "0.0,0", "12,34,56",
+      " 12 ", "!3.14!", "\u000b5", "\u00015", "tab\tsep",
+      "UPPER lower MiXeD", "trailing 7,", "lead .7", "a-b|c$d",
+      "  ", "...", "7.7.7.7", "1234567890,1234567890.42")
+    for (s <- edges)
+      assert(TextKernels.simplifyText(s) == TextKernels.simplifyTextNaive(s),
+        s"divergence on '$s'")
+    val rng = new scala.util.Random(4321)
+    val pool = "abcXYZ0189 \t\n.,!|$-_;:'\"/\\()\u001c\u0001"
+    for (trial <- 0 until 600) {
+      val s = (0 until rng.nextInt(50)).map(_ => pool(rng.nextInt(pool.length))).mkString
+      assert(TextKernels.simplifyText(s) == TextKernels.simplifyTextNaive(s),
+        s"divergence on trial $trial: ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
 }
